@@ -1,0 +1,295 @@
+"""Standard security handler — RC4 and AES decryption.
+
+Mirrors StdSecHandler (/root/reference/src/StdSecHandler.jl) and the
+object-key derivation / recursive decrypt pass (/root/reference/src/
+CosCrypt.jl:81-239). Password-less (empty user password) documents are
+the target; user/owner password validation follows the spec algorithms.
+
+AES uses the `cryptography` package when present; RC4 and the key
+derivation are pure Python (hashlib).
+"""
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from .objects import HexStr, LitStr, Name, ObjStm, Ref, Stream
+
+__all__ = ["make_sec_handler", "decrypt_object", "UnsupportedEncryption"]
+
+# 32-byte standard padding (PDF 32000-1:2008, 7.6.3.3 Algorithm 2)
+PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+class UnsupportedEncryption(Exception):
+    pass
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 KSA+PRGA (reference has its own ksa/prga,
+    /root/reference/src/LibCrypto.jl:972-985)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for idx, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[idx] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+    return dec.update(data) + dec.finalize()
+
+
+def _aes_ecb_decrypt_nopad(key: bytes, data: bytes) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    dec = Cipher(algorithms.AES(key), modes.ECB()).decryptor()
+    return dec.update(data) + dec.finalize()
+
+
+def _str_bytes(s) -> bytes:
+    if isinstance(s, HexStr):
+        return s.binary
+    if isinstance(s, (LitStr, bytes)):
+        return bytes(s)
+    return b""
+
+
+class StdSecHandler:
+    """V/R dispatch per StdSecHandler.jl:314-377. Only the empty user
+    password is attempted (web-crawl PDFs); a wrong password raises
+    UnsupportedEncryption so the row is quarantined, not the task."""
+
+    def __init__(self, doc, enc: dict, password: bytes = b""):
+        g = lambda k, d=None: doc.get(enc, Name(k), d)
+        self.v = int(g("V", 0))
+        self.r = int(g("R", 0))
+        self.length = int(g("Length", 40))
+        self.o = _str_bytes(g("O"))
+        self.u = _str_bytes(g("U"))
+        self.oe = _str_bytes(g("OE"))
+        self.ue = _str_bytes(g("UE"))
+        self.p = int(g("P", -1)) & 0xFFFFFFFF
+        self.encrypt_metadata = g("EncryptMetadata", True)
+        ids = doc.get_id()
+        self.id0 = _str_bytes(doc.get_object(ids[0])) if ids else b""
+        # crypt filters (V4/V5): resolve StmF/StrF -> CFM
+        self.cfm = Name("V2") if self.v < 4 else None
+        self.stm_cfm = self.str_cfm = None
+        if self.v >= 4:
+            cf = g("CF") or {}
+            stmf = g("StmF", Name("Identity"))
+            strf = g("StrF", Name("Identity"))
+
+            def cfm_of(fname):
+                if fname == Name("Identity"):
+                    return Name("Identity")
+                cfd = doc.get(cf, fname) if isinstance(cf, dict) else None
+                if cfd is None:
+                    return Name("Identity")
+                return cfd.get(Name("CFM"), Name("None"))
+            self.stm_cfm = cfm_of(stmf)
+            self.str_cfm = cfm_of(strf)
+        else:
+            self.stm_cfm = self.str_cfm = Name("V2")
+        self.key = self._compute_key(password)
+
+    # --- Algorithm 2: R2-R4 file key (StdSecHandler.jl:60-92) ---
+    def _algo2(self, password: bytes) -> bytes:
+        pw = (password + PAD)[:32]
+        md = hashlib.md5()
+        md.update(pw)
+        md.update(self.o[:32])
+        md.update(struct.pack("<I", self.p))
+        md.update(self.id0)
+        if self.r >= 4 and not self.encrypt_metadata:
+            md.update(b"\xff\xff\xff\xff")
+        h = md.digest()
+        n = self.length // 8 if self.r >= 3 else 5
+        if self.r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        return h[:n]
+
+    # --- R5/R6 SHA2 KDF (Algorithm 2.A/2.B, StdSecHandler.jl:94-175) ---
+    def _hash_2b(self, password: bytes, salt: bytes, udata: bytes) -> bytes:
+        k = hashlib.sha256(password + salt + udata).digest()
+        if self.r == 5:
+            return k
+        i = 0
+        while True:
+            k1 = (password + k + udata) * 64
+            e = _aes_cbc_encrypt(k[:16], k[16:32], k1)
+            mod = sum(e[:16]) % 3
+            k = (hashlib.sha256(e).digest() if mod == 0 else
+                 hashlib.sha384(e).digest() if mod == 1 else
+                 hashlib.sha512(e).digest())
+            i += 1
+            if i >= 64 and e[-1] <= i - 32:
+                break
+        return k[:32]
+
+    def _compute_key(self, password: bytes) -> bytes:
+        if self.r in (2, 3, 4):
+            key = self._algo2(password)
+            # validate against /U (algorithms 4/5); tolerate mismatch by
+            # raising so the row is marked unsupported (wrong password)
+            if self.r == 2:
+                u_check = rc4(key, PAD)
+                ok = u_check == self.u[:32]
+            else:
+                md = hashlib.md5(PAD + self.id0).digest()
+                x = rc4(key, md)
+                for i in range(1, 20):
+                    k2 = bytes(b ^ i for b in key)
+                    x = rc4(k2, x)
+                ok = x == self.u[:16]
+            if not ok:
+                # try owner password path (algorithm 7) with empty owner pw
+                key2 = self._algo7_user_pw(password)
+                if key2 is None:
+                    raise UnsupportedEncryption("password required")
+                key = key2
+            return key
+        if self.r in (5, 6):
+            # Algorithm 11: validate user password
+            vsalt, ksalt = self.u[32:40], self.u[40:48]
+            h = self._hash_2b(password, vsalt, b"")
+            if h == self.u[:32]:
+                ikey = self._hash_2b(password, ksalt, b"")
+                return _aes_cbc_decrypt(ikey, b"\x00" * 16, self.ue[:32])
+            # Algorithm 12: owner password
+            vsalt, ksalt = self.o[32:40], self.o[40:48]
+            h = self._hash_2b(password, vsalt, self.u[:48])
+            if h == self.o[:32]:
+                ikey = self._hash_2b(password, ksalt, self.u[:48])
+                return _aes_cbc_decrypt(ikey, b"\x00" * 16, self.oe[:32])
+            raise UnsupportedEncryption("password required")
+        raise UnsupportedEncryption(f"unsupported /R {self.r}")
+
+    def _algo7_user_pw(self, owner_pw: bytes):
+        """Algorithm 7: recover user password from /O, then algo 2
+        (StdSecHandler.jl:254-274)."""
+        pw = (owner_pw + PAD)[:32]
+        h = hashlib.md5(pw).digest()
+        if self.r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h).digest()
+        n = self.length // 8 if self.r >= 3 else 5
+        rc4key = h[:n]
+        data = self.o[:32]
+        if self.r == 2:
+            user_pw = rc4(rc4key, data)
+        else:
+            for i in range(19, -1, -1):
+                k2 = bytes(b ^ i for b in rc4key)
+                data = rc4(k2, data)
+            user_pw = data
+        key = self._algo2_with_pw_raw(user_pw)
+        return key
+
+    def _algo2_with_pw_raw(self, padded_pw: bytes) -> bytes:
+        md = hashlib.md5()
+        md.update(padded_pw[:32])
+        md.update(self.o[:32])
+        md.update(struct.pack("<I", self.p))
+        md.update(self.id0)
+        if self.r >= 4 and not self.encrypt_metadata:
+            md.update(b"\xff\xff\xff\xff")
+        h = md.digest()
+        n = self.length // 8 if self.r >= 3 else 5
+        if self.r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        return h[:n]
+
+    # --- per-object key + decrypt (algo01/01a, CosCrypt.jl:81-129) ---
+    def object_key(self, num: int, gen: int, aes: bool) -> bytes:
+        if self.r >= 5:
+            return self.key  # AESV3 uses the file key directly
+        md = hashlib.md5()
+        md.update(self.key)
+        md.update(struct.pack("<I", num)[:3])
+        md.update(struct.pack("<I", gen)[:2])
+        if aes:
+            md.update(b"sAlT")
+        n = min(len(self.key) + 5, 16)
+        return md.digest()[:n]
+
+    def decrypt_bytes(self, data: bytes, num: int, gen: int,
+                      cfm: Name) -> bytes:
+        if cfm == Name("Identity") or cfm == Name("None"):
+            return data
+        if cfm in (Name("AESV2"), Name("AESV3")):
+            key = self.object_key(num, gen, True)
+            if len(data) < 16:
+                return b""
+            out = _aes_cbc_decrypt(key, data[:16], data[16:])
+            # strip PKCS#5 padding
+            if out and 1 <= out[-1] <= 16:
+                out = out[:-out[-1]]
+            return out
+        key = self.object_key(num, gen, False)
+        return rc4(key, data)
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    return enc.update(data) + enc.finalize()
+
+
+def make_sec_handler(doc):
+    enc = doc.encrypt
+    if isinstance(enc, (Stream, ObjStm)):
+        enc = enc.dict
+    if not isinstance(enc, dict):
+        raise UnsupportedEncryption("bad /Encrypt")
+    filt = enc.get(Name("Filter"))
+    if filt != Name("Standard"):
+        raise UnsupportedEncryption(f"security handler {filt} not supported")
+    return StdSecHandler(doc, enc)
+
+
+def decrypt_object(handler: StdSecHandler, ind) -> None:
+    """Recursively decrypt strings and stream payloads in place
+    (decrypt!, /root/reference/src/CosCrypt.jl:131-239). XRef streams are
+    exempt (S.7.5.8.2)."""
+    num, gen = ind.num, ind.gen
+
+    def walk(obj):
+        if isinstance(obj, (LitStr, HexStr)):
+            raw = _str_bytes(obj)
+            dec = handler.decrypt_bytes(raw, num, gen, handler.str_cfm)
+            return LitStr(dec)
+        if isinstance(obj, list):
+            return [walk(v) for v in obj]
+        if isinstance(obj, dict):
+            return {k: walk(v) for k, v in obj.items()}
+        if isinstance(obj, Stream):
+            typ = obj.dict.get(Name("Type"))
+            if typ == Name("XRef"):
+                return obj
+            cfm = handler.stm_cfm
+            # per-stream Crypt filter override: /Filter includes Crypt
+            obj.dict = {k: (walk(v) if isinstance(v, (LitStr, HexStr, list, dict)) else v)
+                        for k, v in obj.dict.items()}
+            obj.raw = handler.decrypt_bytes(obj.raw, num, gen, cfm)
+            return obj
+        return obj
+
+    ind.obj = walk(ind.obj)

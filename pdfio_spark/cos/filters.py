@@ -1,0 +1,296 @@
+"""Stream filter chain — decode plane.
+
+Filter dispatch and chain driver mirror function_map / decode_filter
+(/root/reference/src/CosStream.jl:43-111); individual decoders preserve
+the reference's tolerance quirks:
+
+ - FlateDecode keeps partial output on a corrupt tail
+   (/root/reference/src/Inflate.jl:87-93, test 00007.pdf).
+ - ASCIIHexDecode "sanitizes" non-hex bytes >= '0' instead of rejecting
+   (/root/reference/src/CosStream.jl:218-239).
+ - ASCII85Decode resets group state on interior whitespace
+   (/root/reference/src/CosStream.jl:252-301).
+ - PNG predictors assert a constant per-row tag equal to Predictor-10
+   (/root/reference/src/CosStream.jl:172-188) — vectorized with numpy.
+ - Predictor 2 (TIFF) and CCITT/JBIG2/Crypt raise NotImplementedError
+   (row-level quarantine upstream; never kills the partition).
+ - DCTDecode / JPXDecode pass through (images are not decoded).
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from .objects import Name, Stream
+
+__all__ = ["decode_stream", "decode_data", "apply_png_predictor",
+           "decode_flate", "decode_lzw", "decode_asciihex",
+           "decode_ascii85", "decode_rle"]
+
+_SPACE = frozenset(b"\x00\t\n\x0c\r ")
+
+
+def decode_flate(data: bytes) -> bytes:
+    """zlib inflate, window 47 (zlib+gzip auto) with corrupt-tail
+    tolerance: on zlib.error return whatever decompressed so far."""
+    d = zlib.decompressobj(47)
+    out = []
+    try:
+        out.append(d.decompress(data))
+        out.append(d.flush())
+    except zlib.error:
+        pass  # invalid or incomplete deflate data -> keep partial output
+    return b"".join(out)
+
+
+def apply_png_predictor(data: bytes, pred: int, columns: int) -> bytes:
+    """PNG row predictors (Predictor >= 10). Row layout: 1 tag byte +
+    `columns` data bytes. The reference asserts every row's tag equals
+    pred-10; we honor that and vectorize the common cases."""
+    rule = pred - 10
+    incol = columns + 1
+    n = len(data) // incol
+    if n * incol != len(data):
+        # trailing partial row: reference would throw on short read
+        data = data[: n * incol]
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(n, incol)
+    tags = arr[:, 0]
+    if not np.all(tags == rule):
+        raise ValueError("PNG predictor row tag mismatch")
+    rows = arr[:, 1:]
+    if rule == 0:                      # None
+        out = rows
+    elif rule == 1:                    # Sub: cumsum along row
+        out = np.cumsum(rows, axis=1, dtype=np.uint8)
+    elif rule == 2:                    # Up: cumsum down columns
+        out = np.cumsum(rows, axis=0, dtype=np.uint8)
+    elif rule in (3, 4):               # Average / Paeth: row-sequential
+        out = np.zeros_like(rows)
+        prev = np.zeros(columns, dtype=np.uint8)
+        for i in range(n):
+            row = rows[i]
+            curr = np.zeros(columns, dtype=np.uint8)
+            if rule == 3:
+                curr[0] = prev[0] + row[0]
+                for j in range(1, columns):
+                    curr[j] = ((int(curr[j - 1]) + int(prev[j])) // 2 + row[j]) & 0xFF
+            else:
+                curr[0] = prev[0] + row[0]
+                for j in range(1, columns):
+                    a, b, c = int(curr[j - 1]), int(prev[j]), int(prev[j - 1])
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    curr[j] = (pr + row[j]) & 0xFF
+            out[i] = curr
+            prev = curr
+    else:
+        raise ValueError(f"bad PNG predictor rule {rule}")
+    return out.tobytes()
+
+
+def _apply_flate_params(data: bytes, parms) -> bytes:
+    if not isinstance(parms, dict):
+        return data
+    pred = parms.get(Name("Predictor"), 0) or 0
+    cols = parms.get(Name("Columns"), 0) or 0
+    pred = int(pred)
+    if pred == 2:
+        raise NotImplementedError("TIFF predictor 2 not implemented")
+    if pred >= 10:
+        return apply_png_predictor(data, pred, int(cols))
+    return data
+
+
+def decode_lzw(data: bytes, early: int = 1) -> bytes:
+    """LZW per the reference bit-reader (/root/reference/src/Inflate.jl:
+    113-186): 9->12 bit codes, 256=reset, 257=EOD, EarlyChange parm."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"\x00", b"\x00"]
+    cl, it = 9, 258
+    nbits_total = len(data) * 8
+    bitpos = 0
+    old = -1
+    c = 0
+    while bitpos + cl <= nbits_total:
+        # read cl bits big-endian
+        byi = bitpos >> 3
+        sh = bitpos & 7
+        chunk = int.from_bytes(data[byi:byi + 3].ljust(3, b"\x00"), "big")
+        n = (chunk >> (24 - sh - cl)) & ((1 << cl) - 1)
+        bitpos += cl
+        if n == 257:
+            break
+        if n == 256:
+            table = [bytes([i]) for i in range(256)] + [b"\x00", b"\x00"]
+            cl, it = 9, 258
+            old = -1
+            continue
+        if n < it:
+            if old < 0:
+                out += table[n]
+                c = table[n][0]
+                old = n
+                continue
+            s = table[n]
+        elif n == it:
+            s = table[old] + bytes([c])
+        else:
+            raise ValueError(f"LZW code out of range {n}:{it}")
+        out += s
+        c = s[0]
+        table.append(table[old] + bytes([c]))
+        old = n
+        if it == 4095:
+            continue
+        if it == (1 << cl) - 1 - early:
+            cl += 1
+        it += 1
+    return bytes(out)
+
+
+def decode_asciihex(data: bytes) -> bytes:
+    """Tolerant hex decode: bytes < '0' ignored; others sanitized via the
+    reference's nibble arithmetic (CosStream.jl:218-239)."""
+    out = bytearray()
+    hi = True
+    for b in data:
+        if b < 0x30:
+            continue
+        c = ((b & 0x07) + 0x09) if b > 0x39 else (b & 0x0F)
+        if hi:
+            out.append((c << 4) & 0xFF)
+        else:
+            out[-1] = (out[-1] + c) & 0xFF
+        hi = not hi
+    return bytes(out)
+
+
+def decode_ascii85(data: bytes) -> bytes:
+    """Base-85 with 'z' shorthand, '~>' EOD, partial final group — and the
+    reference's quirk that interior whitespace resets the current group
+    (CosStream.jl:268-270)."""
+    out = bytearray()
+    n = 0
+    k = 0
+    i = 0
+    nb = len(data)
+    while i < nb:
+        b = data[i]
+        i += 1
+        if b == 0x7A:  # 'z'
+            if k > 0:
+                raise ValueError("'z' inside ascii85 group")
+            out += b"\x00\x00\x00\x00"
+        elif b == 0x7E:  # '~'
+            if i < nb:
+                c = data[i]
+                i += 1
+                if c == 0x3E:
+                    break
+            else:
+                break
+        elif b in _SPACE:
+            k = 0
+            n = 0
+        elif 0x21 <= b <= 0x75:
+            n = (n * 85 + (b - 0x21)) & 0xFFFFFFFF  # UInt32 wrap like the ref
+            k = 0 if k == 4 else k + 1
+            if k == 0:
+                out += n.to_bytes(4, "big")
+                n = 0
+        else:
+            raise ValueError(f"bad ascii85 byte {b}")
+    if k > 0:
+        for _ in range(k, 5):  # 5-k multiplications (ref: for kk = k:4)
+            n = (n * 85) & 0xFFFFFFFF
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def decode_rle(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    nb = len(data)
+    while i < nb:
+        b = data[i]
+        i += 1
+        if b == 0x80:
+            break
+        if b < 0x80:
+            out += data[i:i + b + 1]
+            i += b + 1
+        else:
+            if i < nb:
+                out += bytes([data[i]]) * (257 - b)
+                i += 1
+    return bytes(out)
+
+
+def _passthrough(data: bytes, parms) -> bytes:
+    return data
+
+
+def _not_implemented(data: bytes, parms) -> bytes:
+    raise NotImplementedError("filter not implemented")
+
+
+def _flate(data: bytes, parms) -> bytes:
+    return _apply_flate_params(decode_flate(data), parms)
+
+
+def _lzw(data: bytes, parms) -> bytes:
+    early = 1
+    if isinstance(parms, dict):
+        ec = parms.get(Name("EarlyChange"))
+        if ec is not None:
+            early = int(ec)
+    return _apply_flate_params(decode_lzw(data, early), parms)
+
+
+FUNCTION_MAP = {
+    Name("ASCIIHexDecode"): lambda d, p: decode_asciihex(d),
+    Name("ASCII85Decode"): lambda d, p: decode_ascii85(d),
+    Name("LZWDecode"): _lzw,
+    Name("FlateDecode"): _flate,
+    Name("RunLengthDecode"): lambda d, p: decode_rle(d),
+    Name("CCITTFaxDecode"): _not_implemented,
+    Name("JBIG2Decode"): _not_implemented,
+    Name("DCTDecode"): _passthrough,
+    Name("JPXDecode"): _passthrough,
+    Name("Crypt"): _not_implemented,
+}
+
+
+def decode_data(data: bytes, filters, parms, until: int = -1) -> bytes:
+    """Run the (possibly chained) filter list over `data` — decode_filter
+    (/root/reference/src/CosStream.jl:96-111)."""
+    if filters is None:
+        return data
+    if isinstance(filters, Name):
+        return FUNCTION_MAP[filters](data, parms)
+    # array of filters, optional parallel parms array
+    nf = len(filters)
+    lim = nf if until == -1 else min(until, nf)
+    out = data
+    for i in range(lim):
+        f = filters[i]
+        p = parms[i] if isinstance(parms, list) and i < len(parms) else None
+        out = FUNCTION_MAP[f](out, p)
+    return out
+
+
+def decode_stream(stm: Stream, doc=None, until: int = -1) -> bytes:
+    """Decode a stream's payload through its Filter/DecodeParms chain.
+    Indirect filter/parms references are resolved via `doc`."""
+    filt = stm.dict.get(Name("Filter"))
+    parms = stm.dict.get(Name("DecodeParms"))
+    if doc is not None:
+        filt = doc.get_object(filt)
+        parms = doc.get_object(parms)
+        if isinstance(filt, list):
+            filt = [doc.get_object(f) for f in filt]
+        if isinstance(parms, list):
+            parms = [doc.get_object(p) for p in parms]
+    return decode_data(stm.raw, filt, parms, until)

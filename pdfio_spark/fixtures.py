@@ -1,0 +1,597 @@
+"""Deterministic synthetic PDF fixtures.
+
+Builds small PDFs in pure Python (seed-free byte construction) covering
+the feature classes of the reference test corpus
+(/root/reference/test/runtests.jl; see FIXTURES.md §3): classic xref /
+xref streams + object streams / hybrid, the five text filters,
+std-14 + WinAnsi + CID fonts, Form XObjects, inline images, marked
+content, junk-before-header, contents arrays, and RC4/AES encryption.
+
+These are the INPUTS the engine is tested against; expected text is
+derived from the layout semantics (tests/test_golden.py) or from the
+DuckDB oracle SQL (__spark_entry__.py).
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+import zlib
+
+__all__ = [
+    "sanitize", "chunk_text", "make_pdf", "FIXTURE_CLASSES", "build_fixture",
+]
+
+# characters that survive sanitization — everything here is safe inside
+# a PDF literal string without escaping, and identical in Spark/DuckDB
+# regexp_replace semantics.
+SANITIZE_RE = r"[^a-zA-Z0-9 .,:;!?-]"
+
+
+def sanitize(text: str) -> str:
+    return re.sub(SANITIZE_RE, " ", text)
+
+
+def chunk_text(text: str, width: int = 60, max_lines: int = 8) -> list[str]:
+    """Fixed-width chunking (no word wrap — must be SQL-expressible)."""
+    out = [text[i:i + width] for i in range(0, len(text), width)]
+    return out[:max_lines] if out else [""]
+
+
+# ---------------------------------------------------------------- writer
+
+def _ser(obj) -> bytes:
+    """Serialize a python value to PDF syntax."""
+    if obj is None:
+        return b"null"
+    if isinstance(obj, bool):
+        return b"true" if obj else b"false"
+    if isinstance(obj, int):
+        return str(obj).encode()
+    if isinstance(obj, float):
+        return (f"{obj:.4f}").rstrip("0").rstrip(".").encode() or b"0"
+    if isinstance(obj, RefN):
+        return f"{obj.n} 0 R".encode()
+    if isinstance(obj, NameN):
+        return b"/" + str(obj).encode()
+    if isinstance(obj, str):
+        return b"(" + obj.encode("latin-1") + b")"
+    if isinstance(obj, HexN):
+        return b"<" + obj.hexs.encode() + b">"
+    if isinstance(obj, bytes):
+        return b"(" + obj + b")"
+    if isinstance(obj, dict):
+        inner = b" ".join(b"/" + k.encode() + b" " + _ser(v)
+                          for k, v in obj.items())
+        return b"<< " + inner + b" >>"
+    if isinstance(obj, (list, tuple)):
+        return b"[ " + b" ".join(_ser(v) for v in obj) + b" ]"
+    raise TypeError(f"cannot serialize {type(obj)}")
+
+
+class RefN:
+    __slots__ = ("n",)
+
+    def __init__(self, n: int):
+        self.n = n
+
+
+class NameN(str):
+    __slots__ = ()
+
+
+class HexN:
+    __slots__ = ("hexs",)
+
+    def __init__(self, hexs: str):
+        self.hexs = hexs
+
+
+class StreamN:
+    __slots__ = ("d", "data")
+
+    def __init__(self, d: dict, data: bytes):
+        self.d = d
+        self.data = data
+
+
+# ------------------------------------------------------------- encoders
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder compatible with the PDF LZWDecode filter."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    cl = 9
+    out_bits: list[tuple[int, int]] = [(256, 9)]  # start with clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            out_bits.append((table[w], cl))
+            table[wc] = next_code
+            # encoder bumps code length when next_code reaches limit-early
+            if next_code == (1 << cl) - early and cl < 12:
+                cl += 1
+            next_code += 1
+            if next_code >= 4096:
+                out_bits.append((256, cl))
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                cl = 9
+            w = bytes([ch])
+    if w:
+        out_bits.append((table[w], cl))
+    out_bits.append((257, cl))
+    # pack big-endian
+    acc = 0
+    nacc = 0
+    out = bytearray()
+    for code, bits in out_bits:
+        acc = (acc << bits) | code
+        nacc += bits
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        grp = data[i:i + 4]
+        pad = 4 - len(grp)
+        n = int.from_bytes(grp + b"\x00" * pad, "big")
+        if n == 0 and pad == 0:
+            out += b"z"
+            continue
+        chars = bytearray(5)
+        for j in range(4, -1, -1):
+            chars[j] = 0x21 + n % 85
+            n //= 85
+        out += chars[:5 - pad]
+    out += b"~>"
+    return bytes(out)
+
+
+def rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 127:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i + 1
+            while j < n and (j - i) < 128 and not (
+                    j + 1 < n and data[j] == data[j + 1]):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    out.append(0x80)
+    return bytes(out)
+
+
+def encode_filter(data: bytes, filt: str) -> bytes:
+    if filt == "FlateDecode":
+        return zlib.compress(data)
+    if filt == "ASCIIHexDecode":
+        return data.hex().encode() + b">"
+    if filt == "ASCII85Decode":
+        return ascii85_encode(data)
+    if filt == "RunLengthDecode":
+        return rle_encode(data)
+    if filt == "LZWDecode":
+        return lzw_encode(data)
+    raise ValueError(filt)
+
+
+# ----------------------------------------------------- document builder
+
+HELV_FONT = {"Type": NameN("Font"), "Subtype": NameN("Type1"),
+             "BaseFont": NameN("Helvetica")}
+
+
+def content_for_lines(lines: list[str], x: float = 72.0, y: float = 720.0,
+                      leading: float = 14.0, fontsize: int = 12) -> bytes:
+    """BT /F1 fs Tf x y Td (l1) Tj 0 -TL Td (l2) Tj ... ET"""
+    parts = [b"BT", f"/F1 {fontsize} Tf".encode(),
+             f"{x:g} {y:g} Td".encode()]
+    first = True
+    for ln in lines:
+        if not first:
+            parts.append(f"0 -{leading:g} Td".encode())
+        parts.append(b"(" + ln.encode("latin-1") + b") Tj")
+        first = False
+    parts.append(b"ET")
+    return b"\n".join(parts) + b"\n"
+
+
+def content_for_lines_cid(lines: list[str], x=72.0, y=720.0,
+                          leading=14.0, fontsize=12) -> bytes:
+    """Same but 2-byte CID hex strings for an Identity-H Type0 font."""
+    parts = [b"BT", f"/F1 {fontsize} Tf".encode(),
+             f"{x:g} {y:g} Td".encode()]
+    first = True
+    for ln in lines:
+        if not first:
+            parts.append(f"0 -{leading:g} Td".encode())
+        hexs = "".join(f"{ord(c):04x}" for c in ln)
+        parts.append(b"<" + hexs.encode() + b"> Tj")
+        first = False
+    parts.append(b"ET")
+    return b"\n".join(parts) + b"\n"
+
+
+TOUNICODE_IDENTITY = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Adobe-Identity-UCS def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfrange
+<0000> <00FF> <0000>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end
+"""
+
+
+def cid_font_objects(alloc) -> tuple[RefN, list]:
+    """Type0/Identity-H font with ToUnicode identity CMap; /W gives all
+    cids width 500 (exercises CIDWidth interval lookup)."""
+    f_n = alloc()
+    desc_n = alloc()
+    tu_n = alloc()
+    objs = [
+        (f_n, {"Type": NameN("Font"), "Subtype": NameN("Type0"),
+               "BaseFont": NameN("SyntheticCID"),
+               "Encoding": NameN("Identity-H"),
+               "DescendantFonts": [RefN(desc_n)],
+               "ToUnicode": RefN(tu_n)}),
+        (desc_n, {"Type": NameN("Font"), "Subtype": NameN("CIDFontType2"),
+                  "BaseFont": NameN("SyntheticCID"),
+                  "CIDSystemInfo": {"Registry": "Adobe",
+                                    "Ordering": "Identity",
+                                    "Supplement": 0},
+                  "DW": 1000, "W": [0, [500] * 1]}),
+        (tu_n, StreamN({}, TOUNICODE_IDENTITY)),
+    ]
+    # W as ranges: cids 32..126 -> 500
+    objs[1][1]["W"] = [32, 126, 500]
+    return RefN(f_n), objs
+
+
+def make_pdf(page_contents: list[bytes],
+             content_filter: str | None = "FlateDecode",
+             font: str = "helvetica",
+             xref_stream: bool = False,
+             use_objstm: bool = False,
+             header_junk: bytes = b"",
+             contents_array: bool = False,
+             form_xobject: bool = False,
+             inline_image: bool = False,
+             artifact_extra: bytes | None = None,
+             info: dict | None = None,
+             filter_chain: list[str] | None = None,
+             nested_pagetree: bool = False) -> bytes:
+    """Assemble a complete PDF. One page per entry in page_contents."""
+    counter = [0]
+
+    def alloc() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    objs: list[tuple[int, object]] = []
+
+    catalog_n = alloc()
+    pages_n = alloc()
+
+    # font
+    if font == "helvetica":
+        font_n = alloc()
+        objs.append((font_n, HELV_FONT))
+        font_ref = RefN(font_n)
+    elif font == "winansi":
+        font_n = alloc()
+        d = dict(HELV_FONT)
+        d["Encoding"] = NameN("WinAnsiEncoding")
+        # /Widths for bytes 32..126 (Helvetica-ish but synthetic constant)
+        d["FirstChar"] = 32
+        d["LastChar"] = 126
+        d["Widths"] = [500] * 95
+        objs.append((font_n, d))
+        font_ref = RefN(font_n)
+    elif font == "cid":
+        font_ref, fobjs = cid_font_objects(alloc)
+        objs.extend(fobjs)
+    else:
+        raise ValueError(font)
+
+    resources = {"Font": {"F1": font_ref}}
+
+    # optional form xobject: page content just invokes /X1 Do
+    xobj_ref = None
+    page_ns = []
+    page_objs = []
+    for content in page_contents:
+        body = content
+        if artifact_extra is not None:
+            body = (b"/Artifact BMC\n" + artifact_extra + b"\nEMC\n" + body)
+        if inline_image:
+            body = (b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x00\x01\x02\x03 EI\n"
+                    + body)
+        xn = None
+        if form_xobject:
+            xn = alloc()
+            xd = {"Type": NameN("XObject"), "Subtype": NameN("Form"),
+                  "BBox": [0, 0, 612, 792],
+                  "Resources": resources}
+            raw = body
+            if content_filter:
+                xd["Filter"] = NameN(content_filter)
+                raw = encode_filter(body, content_filter)
+            page_objs.append((xn, StreamN(xd, raw)))
+            body = b"q /X1 Do Q\n"
+
+        page_n = alloc()
+        if contents_array:
+            # split body into two streams mid-way
+            half = len(body) // 2
+            c1, c2 = body[:half], body[half:]
+            cns = []
+            for part in (c1, c2):
+                cn = alloc()
+                d = {}
+                raw = part
+                if content_filter and not form_xobject:
+                    d["Filter"] = NameN(content_filter)
+                    raw = encode_filter(part, content_filter)
+                page_objs.append((cn, StreamN(d, raw)))
+                cns.append(RefN(cn))
+            contents_val = cns
+        else:
+            cn = alloc()
+            d = {}
+            raw = body
+            if filter_chain:
+                # chain: apply encoders in reverse so decode order matches
+                d["Filter"] = [NameN(f) for f in filter_chain]
+                for f in reversed(filter_chain):
+                    raw = encode_filter(raw, f)
+            elif content_filter and not form_xobject:
+                d["Filter"] = NameN(content_filter)
+                raw = encode_filter(body, content_filter)
+            page_objs.append((cn, StreamN(d, raw)))
+            contents_val = RefN(cn)
+
+        page_d = {"Type": NameN("Page"), "Parent": RefN(pages_n),
+                  "MediaBox": [0, 0, 612, 792],
+                  "Resources": dict(resources),
+                  "Contents": contents_val}
+        if form_xobject:
+            page_d["Resources"] = {"Font": {"F1": font_ref},
+                                   "XObject": {"X1": RefN(xn)}}
+        page_objs.append((page_n, page_d))
+        page_ns.append(page_n)
+
+    objs.extend(page_objs)
+
+    if nested_pagetree and len(page_ns) > 2:
+        mid_n = alloc()
+        half = len(page_ns) // 2
+        left, right = page_ns[:half], page_ns[half:]
+        mid = {"Type": NameN("Pages"), "Parent": RefN(pages_n),
+               "Kids": [RefN(p) for p in right], "Count": len(right)}
+        objs.append((mid_n, mid))
+        for i, (n, o) in enumerate(objs):
+            if n in right and isinstance(o, dict):
+                o["Parent"] = RefN(mid_n)
+        kids = [RefN(p) for p in left] + [RefN(mid_n)]
+    else:
+        kids = [RefN(p) for p in page_ns]
+
+    objs.append((pages_n, {"Type": NameN("Pages"), "Kids": kids,
+                           "Count": len(page_ns)}))
+    objs.append((catalog_n, {"Type": NameN("Catalog"),
+                             "Pages": RefN(pages_n)}))
+    info_n = None
+    if info is not None:
+        info_n = alloc()
+        objs.append((info_n, info))
+
+    # ---------------- serialize
+    out = bytearray()
+    out += header_junk
+    out += b"%PDF-1.7\n%\xc2\xb5\xc2\xb6\n"
+
+    offsets: dict[int, int] = {}
+
+    junk = len(header_junk)  # file offsets are header-relative (hoffset)
+
+    def emit_obj(n: int, o: object) -> None:
+        offsets[n] = len(out) - junk
+        out.extend(f"{n} 0 obj\n".encode())
+        if isinstance(o, StreamN):
+            d = dict(o.d)
+            d["Length"] = len(o.data)
+            out.extend(_ser(d))
+            out.extend(b"\nstream\n")
+            out.extend(o.data)
+            out.extend(b"\nendstream")
+        else:
+            out.extend(_ser(o))
+        out.extend(b"\nendobj\n")
+
+    if not xref_stream:
+        for n, o in sorted(objs):
+            emit_obj(n, o)
+        xref_pos = len(out) - junk
+        maxn = counter[0]
+        out.extend(f"xref\n0 {maxn + 1}\n".encode())
+        out.extend(b"0000000000 65535 f \n")
+        for n in range(1, maxn + 1):
+            out.extend(f"{offsets[n]:010d} 00000 n \n".encode())
+        trailer = {"Size": maxn + 1, "Root": RefN(catalog_n)}
+        if info_n:
+            trailer["Info"] = RefN(info_n)
+        out.extend(b"trailer\n")
+        out.extend(_ser(trailer))
+        out.extend(f"\nstartxref\n{xref_pos}\n%%EOF\n".encode())
+        return bytes(out)
+
+    # xref-stream variant: put small dict objects in an ObjStm
+    objstm_entries = []
+    direct_objs = []
+    for n, o in sorted(objs):
+        if use_objstm and isinstance(o, dict) and n != catalog_n:
+            objstm_entries.append((n, o))
+        else:
+            direct_objs.append((n, o))
+    objstm_n = alloc() if objstm_entries else None
+    for n, o in direct_objs:
+        emit_obj(n, o)
+
+    in_objstm: dict[int, int] = {}
+    if objstm_entries:
+        hdr = bytearray()
+        body = bytearray()
+        for idx, (n, o) in enumerate(objstm_entries):
+            in_objstm[n] = idx
+            hdr.extend(f"{n} {len(body)} ".encode())
+            body.extend(_ser(o))
+            body.extend(b"\n")
+        payload = bytes(hdr) + bytes(body)
+        stm_d = {"Type": NameN("ObjStm"), "N": len(objstm_entries),
+                 "First": len(hdr), "Filter": NameN("FlateDecode")}
+        offsets[objstm_n] = len(out) - junk
+        out.extend(f"{objstm_n} 0 obj\n".encode())
+        comp = zlib.compress(payload)
+        stm_d["Length"] = len(comp)
+        out.extend(_ser(stm_d))
+        out.extend(b"\nstream\n")
+        out.extend(comp)
+        out.extend(b"\nendstream\nendobj\n")
+
+    # build xref stream with PNG Up predictor, W [1 4 2]
+    xrefstm_n = alloc()
+    maxn = counter[0]
+    rows = []
+    for n in range(0, maxn + 1):
+        if n == 0:
+            rows.append((0, 0, 65535))
+        elif n in in_objstm:
+            rows.append((2, objstm_n, in_objstm[n]))
+        elif n == xrefstm_n:
+            rows.append((1, 0, 0))  # patched below
+        elif n in offsets:
+            rows.append((1, offsets[n], 0))
+        else:
+            rows.append((0, 0, 0))
+    xref_pos = len(out) - junk
+    rows[xrefstm_n] = (1, xref_pos, 0)
+
+    def pack_rows() -> bytes:
+        raw = bytearray()
+        for t, a, c in rows:
+            raw.append(t)
+            raw.extend(struct.pack(">I", a))
+            raw.extend(struct.pack(">H", c))
+        return bytes(raw)
+
+    raw = pack_rows()
+    # PNG Up predictor, columns = 7
+    cols = 7
+    pred_rows = bytearray()
+    prev = bytes(cols)
+    for i in range(0, len(raw), cols):
+        row = raw[i:i + cols]
+        pred_rows.append(2)
+        pred_rows.extend(bytes((row[j] - prev[j]) & 0xFF for j in range(cols)))
+        prev = row
+    comp = zlib.compress(bytes(pred_rows))
+    xd = {"Type": NameN("XRef"), "Size": maxn + 1,
+          "W": [1, 4, 2], "Root": RefN(catalog_n),
+          "Filter": NameN("FlateDecode"),
+          "DecodeParms": {"Predictor": 12, "Columns": cols},
+          "Length": len(comp)}
+    if info_n:
+        xd["Info"] = RefN(info_n)
+    out.extend(f"{xrefstm_n} 0 obj\n".encode())
+    out.extend(_ser(xd))
+    out.extend(b"\nstream\n")
+    out.extend(comp)
+    out.extend(b"\nendstream\nendobj\n")
+    out.extend(f"startxref\n{xref_pos}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+# --------------------------------------------------- per-doc dispatcher
+
+FIXTURE_CLASSES = [
+    "flate_simple", "plain_uncompressed", "xref_stream", "objstm",
+    "filter_asciihex", "filter_ascii85", "filter_rle", "filter_lzw",
+    "filter_chain", "contents_array", "header_offset", "multipage",
+    "font_winansi", "font_cid", "xobject_form", "inline_image",
+    "marked_artifact",
+]
+
+
+def build_fixture(cls: str, lines: list[str]) -> bytes:
+    """Build a PDF of fixture class `cls` whose extracted text equals the
+    canonical layout rendering of `lines` (one text line per Td row)."""
+    c = content_for_lines(lines)
+    if cls == "flate_simple":
+        return make_pdf([c])
+    if cls == "plain_uncompressed":
+        return make_pdf([c], content_filter=None)
+    if cls == "xref_stream":
+        return make_pdf([c], xref_stream=True)
+    if cls == "objstm":
+        return make_pdf([c], xref_stream=True, use_objstm=True)
+    if cls == "filter_asciihex":
+        return make_pdf([c], content_filter="ASCIIHexDecode")
+    if cls == "filter_ascii85":
+        return make_pdf([c], content_filter="ASCII85Decode")
+    if cls == "filter_rle":
+        return make_pdf([c], content_filter="RunLengthDecode")
+    if cls == "filter_lzw":
+        return make_pdf([c], content_filter="LZWDecode")
+    if cls == "filter_chain":
+        return make_pdf([c], content_filter=None,
+                        filter_chain=["ASCIIHexDecode", "FlateDecode"])
+    if cls == "contents_array":
+        return make_pdf([c], contents_array=True)
+    if cls == "header_offset":
+        return make_pdf([c], header_junk=b"JUNK " * 20 + b"\n")
+    if cls == "multipage":
+        per_page = [content_for_lines([ln]) for ln in lines]
+        return make_pdf(per_page, nested_pagetree=True)
+    if cls == "font_winansi":
+        return make_pdf([c], font="winansi")
+    if cls == "font_cid":
+        return make_pdf([content_for_lines_cid(lines)], font="cid")
+    if cls == "xobject_form":
+        return make_pdf([c], form_xobject=True)
+    if cls == "inline_image":
+        return make_pdf([c], inline_image=True)
+    if cls == "marked_artifact":
+        return make_pdf([c], artifact_extra=b"BT /F1 12 Tf 72 100 Td (SUPPRESSED) Tj ET")
+    raise ValueError(cls)
+
+
+def fixture_class_for(doc_id: int) -> str:
+    return FIXTURE_CLASSES[doc_id % len(FIXTURE_CLASSES)]
