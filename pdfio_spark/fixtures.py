@@ -185,7 +185,7 @@ def encode_filter(data: bytes, filt: str) -> bytes:
     if filt == "FlateDecode":
         return zlib.compress(data)
     if filt == "ASCIIHexDecode":
-        return data.hex().encode() + b">"
+        return data.hex().encode()
     if filt == "ASCII85Decode":
         return ascii85_encode(data)
     if filt == "RunLengthDecode":

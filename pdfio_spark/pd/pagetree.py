@@ -1,0 +1,278 @@
+"""PD document semantics: catalog, page tree, resources, XObjects.
+
+Mirrors PDDocImpl / PDPageImpl (/root/reference/src/PDDocImpl.jl,
+PDPage.jl, PDXObject.jl) with an added cycle guard on the page-tree DFS
+and Parent chains (the reference has none — corrupt web PDFs can cycle).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..cos.doc import CosDoc
+from ..cos.lexer import Buf
+from ..cos.objects import Name, Ref, Stream, f32
+from .content import Group, eval_content, load_objects, new_state
+from .fonts import PDFont
+from .layout import show_text_layout
+
+__all__ = ["PDDoc", "PDPage"]
+
+_MAX_DEPTH = 64
+
+
+class PDDoc:
+    """Per-document handle: catalog + pageno<->ref maps + font cache."""
+
+    def __init__(self, data: bytes):
+        self.cos = CosDoc(data)
+        self.catalog = self.cos.get_root()
+        if not isinstance(self.catalog, dict):
+            raise ValueError("invalid catalog")
+        self.pagerefs: list = []     # DFS order (pagen2r)
+        self.fonts: dict = {}        # id(cosfont) -> PDFont
+        self.xobjs: dict = {}
+        self.is_tagged = "none"
+        self._update_page_tree()
+        self._update_structure_tree()
+
+    # ---- page tree DFS (PDDocImpl.jl:50-78) with cycle guard ----
+    def _update_page_tree(self) -> None:
+        pages = self.cos.get(self.catalog, Name("Pages"))
+        seen: set[int] = set()
+
+        def walk(node, depth: int) -> None:
+            if node is None or depth > _MAX_DEPTH or id(node) in seen:
+                return
+            seen.add(id(node))
+            typ = self.cos.get(node, Name("Type"))
+            if typ == Name("Pages"):
+                kids = self.cos.get(node, Name("Kids"))
+                if isinstance(kids, list):
+                    for ref in kids:
+                        obj = self.cos.get_object(ref)
+                        if isinstance(obj, dict):
+                            # splice parent for inheritance walks
+                            obj.setdefault(Name("Parent"), node)
+                            walk(obj, depth + 1)
+            else:
+                self.pagerefs.append(node)
+
+        walk(pages, 0)
+
+    def _update_structure_tree(self) -> None:
+        """isTagged flag (PDDocImpl.jl:94-107)."""
+        marking = self.cos.get(self.catalog, Name("MarkInfo"))
+        if marking is not None:
+            tagged = self.cos.get(marking, Name("Marked"))
+            suspect = self.cos.get(marking, Name("Suspect"))
+            self.is_tagged = ("suspect" if suspect is True else
+                              "tagged" if tagged is True else "none")
+
+    def page_count(self) -> int:
+        return len(self.pagerefs)
+
+    def get_page(self, num: int) -> "PDPage":
+        """1-based like the reference."""
+        return PDPage(self, self.pagerefs[num - 1], num)
+
+    def get_info(self) -> dict:
+        """pdDocGetInfo (PDDoc.jl:302-317) -> plain dict of str values."""
+        info = self.cos.get_info()
+        out = {}
+        if isinstance(info, dict):
+            from .fonts import pdf_doc_decode
+            for k, v in info.items():
+                v = self.cos.get_object(v)
+                if isinstance(v, (bytes,)):
+                    try:
+                        out[str(k)] = pdf_doc_decode(v)
+                    except Exception:
+                        pass
+                elif isinstance(v, Name):
+                    out[str(k)] = str(v)
+        return out
+
+    def get_pd_font(self, cosfont) -> PDFont | None:
+        if cosfont is None:
+            return None
+        key = id(cosfont)
+        font = self.fonts.get(key)
+        if font is None:
+            font = PDFont(self.cos, cosfont)
+            self.fonts[key] = font
+        return font
+
+    def get_pd_xobject(self, cosxobj):
+        if not isinstance(cosxobj, Stream):
+            return None
+        key = id(cosxobj)
+        xobj = self.xobjs.get(key)
+        if xobj is None:
+            subtype = cosxobj.dict.get(Name("Subtype"))
+            if subtype == Name("Form"):
+                xobj = FormXObject(self, cosxobj)
+            else:
+                xobj = _NullXObject()
+            self.xobjs[key] = xobj
+        return xobj
+
+
+class _NullXObject:
+    def do(self, state) -> None:
+        return None
+
+
+class FormXObject:
+    """(PDXObject.jl:1-94): recursive interpret with Matrix*CTM and
+    shared text_layout / h_profile."""
+
+    def __init__(self, doc: PDDoc, cosxobj: Stream):
+        self.doc = doc
+        self.cosxobj = cosxobj
+        mat = doc.cos.get(cosxobj.dict, Name("Matrix"))
+        if isinstance(mat, list) and len(mat) == 6:
+            a, b, c, d, e, fv = (f32(x) for x in mat)
+            self.matrix = np.array([[a, b, 0.0], [c, d, 0.0], [e, fv, 1.0]],
+                                   dtype=np.float32)
+        else:
+            self.matrix = np.identity(3, dtype=np.float32)
+        self.fonts: dict = {}
+        self.xobjs: dict = {}
+        self.content: Group | None = None
+        self._depth = 0
+
+    def _find_resource(self, restype: Name, resname: Name):
+        cos = self.doc.cos
+        resources = cos.get(self.cosxobj.dict, Name("Resources"))
+        if resources is None:
+            return None
+        ress = cos.get(resources, restype)
+        if ress is None:
+            return None
+        return cos.get(ress, resname)
+
+    def get_font(self, fontname: Name):
+        font = self.fonts.get(fontname)
+        if font is None:
+            font = self.doc.get_pd_font(
+                self._find_resource(Name("Font"), fontname))
+            self.fonts[fontname] = font
+        return font
+
+    def get_xobject(self, xobjname: Name):
+        xobj = self.xobjs.get(xobjname)
+        if xobj is None:
+            xobj = self.doc.get_pd_xobject(
+                self._find_resource(Name("XObject"), xobjname))
+            self.xobjs[xobjname] = xobj
+        return xobj
+
+    def do(self, state) -> None:
+        if self._depth > 8:  # cycle guard (absent in reference)
+            return
+        if self.content is None:
+            self.content = Group()
+            data = self.cosxobj.decoded(self.doc.cos)
+            load_objects(self.content, Buf(data))
+        if not self.content.objs:
+            return
+        self._depth += 1
+        try:
+            # fresh state sharing layout+histogram (PDXObject.jl:82-94)
+            from .content import GState
+            xstate = GState()
+            xstate["CTM"] = self.matrix @ state["CTM"]
+            xstate["text_layout"] = state["text_layout"]
+            xstate["h_profile"] = state["h_profile"]
+            eval_content(self.content, xstate, self)
+        finally:
+            self._depth -= 1
+
+
+class PDPage:
+    """Page handle: contents, resources with Parent-chain inheritance."""
+
+    def __init__(self, doc: PDDoc, cospage: dict, pageno: int):
+        self.doc = doc
+        self.cospage = cospage
+        self.pageno = pageno
+        self.fonts: dict = {}
+        self.xobjs: dict = {}
+        self._content: Group | None = None
+
+    def is_empty(self) -> bool:
+        return self.cospage.get(Name("Contents")) is None
+
+    def content_bytes(self) -> bytes:
+        """Resolve /Contents (stream | array of streams) and decode
+        (PDPage.jl:228-272)."""
+        cos = self.doc.cos
+        contents = cos.get(self.cospage, Name("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, list):
+            return cos.merge_streams(contents)
+        if isinstance(contents, Stream):
+            return contents.decoded(cos)
+        return b""
+
+    def content_objects(self) -> Group:
+        if self._content is None:
+            self._content = Group()
+            load_objects(self._content, Buf(self.content_bytes()))
+        return self._content
+
+    def _find_resource(self, restype: Name, resname: Name):
+        """Walk the /Parent chain (PDPage.jl:274-311) with cycle guard."""
+        cos = self.doc.cos
+        pgnode = self.cospage
+        depth = 0
+        while pgnode is not None and depth < _MAX_DEPTH:
+            resources = cos.get(pgnode, Name("Resources"))
+            if resources is not None:
+                ress = cos.get(resources, restype)
+                if ress is not None:
+                    res = cos.get(ress, resname)
+                    if res is not None:
+                        return res
+            pgnode = cos.get(pgnode, Name("Parent"))
+            depth += 1
+        return None
+
+    def find_attribute(self, resname: Name):
+        """Inheritable attribute up the parent chain (PDPage.jl:322-333)."""
+        cos = self.doc.cos
+        pgnode = self.cospage
+        depth = 0
+        while pgnode is not None and depth < _MAX_DEPTH:
+            res = cos.get(pgnode, resname)
+            if res is not None:
+                return res
+            pgnode = cos.get(pgnode, Name("Parent"))
+            depth += 1
+        return None
+
+    def get_font(self, fontname: Name):
+        font = self.fonts.get(fontname)
+        if font is None:
+            font = self.doc.get_pd_font(
+                self._find_resource(Name("Font"), fontname))
+            self.fonts[fontname] = font
+        return font
+
+    def get_xobject(self, xobjname: Name):
+        xobj = self.xobjs.get(xobjname)
+        if xobj is None:
+            xobj = self.doc.get_pd_xobject(
+                self._find_resource(Name("XObject"), xobjname))
+            self.xobjs[xobjname] = xobj
+        return xobj
+
+    def eval_content(self):
+        state = new_state()
+        eval_content(self.content_objects(), state, self)
+        return state
+
+    def extract_text(self) -> str:
+        """pdPageExtractText (PDPage.jl:177-181)."""
+        return show_text_layout(self.eval_content())
