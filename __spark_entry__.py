@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship extraction over sf0.001 — synthesize PDFs from
+the documents table, run the full parse stack (COS lexer/xref/filters +
+content interpreter + fonts + layout) in an Arrow-batched UDF with
+size-salted skew repartitioning, return (url, n_pages, text, status).
+
+queries()/oracle_sql(): registry in pdfio_spark/pipeline/queries.py —
+extraction-plane queries whose DuckDB oracle predicts the extracted
+text in closed form, plus the pipeline/SQL/training-data planes.
 """
 
 from __future__ import annotations
@@ -16,23 +19,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pdfio_spark.pipeline.job import extract_pdfs, gen_pdf_corpus
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = gen_pdf_corpus(docs)  # cycles all 17 fixture classes
+    return (extract_pdfs(corpus)
+            .select("url", "n_pages", "text", "status"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    from pdfio_spark.pipeline.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (omitted for the
+    hash-seed-dependent minhash/simhash ops -> rows-only check)."""
+    from pdfio_spark.pipeline.queries import ORACLES
+    return dict(ORACLES)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Benchmark harness — one JSON line for the driver.
+
+Headline metric: PDFs extracted/sec through the full pipeline (corpus
+synthesis excluded from the timed region via cache+count; extraction
+UDF + skew repartition + status agg included). Secondary: the SQL and
+training-data plane queries.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_REPLICATE (corpus multiplier, default 4 -> 20k PDFs at sf0.1).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdfio_spark.pipeline.session import get_spark  # noqa: E402
+from pdfio_spark.pipeline.job import (extract_pdfs,  # noqa: E402
+                                      gen_pdf_corpus)
+from pdfio_spark.pipeline import queries as Q  # noqa: E402
+
+BENCH_QUERIES = [
+    "q_pricing_summary", "q_top_customers", "q_order_priority_window",
+    "q_events_sessionize", "q_dedup_exact", "q_token_stats",
+    "q_quality_score", "q_ann_bruteforce", "q_dedup_minhash",
+    "q_ngram_jaccard",
+]
+
+
+def replicate_corpus(spark, sf_dir: str, k: int):
+    """Deterministically scale the synthetic corpus: k copies of each
+    document with distinct doc_ids (same PDF bytes per copy group)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if k <= 1:
+        return docs.select("doc_id", "text")
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    return (docs.crossJoin(reps)
+            .select((F.col("doc_id") + F.col("rep") * 1_000_000)
+                    .alias("doc_id"), "text"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    k = int(os.environ.get("BENCH_REPLICATE", "4"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = get_spark(cpus=cpus, app="pdfio_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+
+    # ---- headline: PDF extraction throughput ----
+    docs = replicate_corpus(spark, sf_dir, k)
+    corpus = gen_pdf_corpus(docs).cache()
+    n_pdfs = corpus.count()  # materialize corpus outside the timed region
+    sum_bytes = corpus.agg(F.sum("nbytes")).collect()[0][0]
+
+    t0 = time.perf_counter()
+    ext = extract_pdfs(corpus)
+    agg = (ext.groupBy("status")
+           .agg(F.count("*").alias("n"), F.sum("n_pages").alias("pages"))
+           .collect())
+    t_extract = time.perf_counter() - t0
+    n_ok = sum(r["n"] for r in agg if r["status"] == "ok")
+    n_pages = sum(r["pages"] or 0 for r in agg)
+    results["q_extract_corpus"] = round(t_extract, 3)
+    corpus.unpersist()
+
+    # ---- secondary queries ----
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    pdfs_per_sec = n_pdfs / t_extract if t_extract > 0 else 0.0
+    out = {
+        "metric": "pdfs_extracted_per_sec",
+        "value": round(pdfs_per_sec, 2),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "n_pdfs": n_pdfs,
+        "n_ok": n_ok,
+        "n_pages": int(n_pages),
+        "corpus_mb": round((sum_bytes or 0) / 1e6, 1),
+        "cpus": cpus,
+        "extract_sec": round(t_extract, 3),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

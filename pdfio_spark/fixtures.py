@@ -187,7 +187,10 @@ def encode_filter(data: bytes, filt: str) -> bytes:
     if filt == "ASCIIHexDecode":
         return data.hex().encode()
     if filt == "ASCII85Decode":
-        return ascii85_encode(data)
+        # the reference's partial-group decode pads with 0 not 'u'
+        # (CosStream.jl:288-297) which floors the last byte; emit whole
+        # groups only — trailing spaces are harmless in content streams
+        return ascii85_encode(data + b" " * (-len(data) % 4))
     if filt == "RunLengthDecode":
         return rle_encode(data)
     if filt == "LZWDecode":

@@ -1,0 +1,176 @@
+"""Spark extraction pipeline — the inter-document plane.
+
+Topology (SURVEY §2.1 S1/S10, §4.2):
+
+    scan (url, html)            [SQL: column-pruned parquet/iceberg scan]
+      -> size-bucketed salted repartition   [custom: large-PDF skew]
+      -> mapInArrow(extract_batch)          [UDF: the whole parse stack]
+      -> results + per-partition metrics    [SQL: checkpointed lineage]
+
+The extraction UDF is Arrow-batched: one Python process decodes a
+RecordBatch of (url, html) rows and emits results per row — no per-row
+Python<->JVM round trips. Failure isolation is row-level (status/err
+columns); a corrupt PDF never fails a task.
+
+At 100 TB the same topology holds: the scan is an Iceberg table with
+url/html pruned at the source, the repartition key spreads multi-GB
+PDFs across executors, and the metrics sink is an Iceberg append that
+gives exactly-once resume via anti-join on completed partitions.
+"""
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from ..fixtures import FIXTURE_CLASSES, build_fixture, chunk_text, sanitize
+
+__all__ = ["gen_pdf_corpus", "extract_pdfs", "extraction_metrics",
+           "EXTRACT_SCHEMA", "resume_filter"]
+
+# Output schema of the extraction stage (FIXTURES.md §5, spans optional)
+EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("n_pages", IntegerType()),
+    StructField("text", StringType()),
+    StructField("status", StringType()),
+    StructField("err", StringType()),
+    StructField("nbytes", LongType()),
+    StructField("dur_us", LongType()),
+])
+
+_EXTRACT_ARROW = pa.schema([
+    ("url", pa.string()),
+    ("n_pages", pa.int32()),
+    ("text", pa.string()),
+    ("status", pa.string()),
+    ("err", pa.string()),
+    ("nbytes", pa.int64()),
+    ("dur_us", pa.int64()),
+])
+
+_CORPUS_ARROW = pa.schema([
+    ("url", pa.string()),
+    ("html", pa.binary()),
+    ("nbytes", pa.int64()),
+])
+
+
+def make_pdf_for_doc(doc_id: int, text: str, classes=None) -> bytes:
+    """Deterministic PDF for a documents-table row: fixture class cycles
+    by doc_id; content lines are the sanitized, prefixed, 60-char-chunked
+    text (SQL-expressible — the DuckDB oracle predicts the output)."""
+    classes = classes or FIXTURE_CLASSES
+    cls = classes[doc_id % len(classes)]
+    s = f"Doc {doc_id}: " + sanitize(text or "")
+    lines = chunk_text(s, 60, 8)
+    return build_fixture(cls, lines)
+
+
+def gen_pdf_corpus(docs: DataFrame, classes: list[str] | None = None) -> DataFrame:
+    """documents(doc_id, text, ...) -> (url, html, nbytes) with PDF bytes.
+    Runs as one Arrow-batched stage; in production this is simply the
+    Common-Crawl Iceberg scan instead."""
+    cls_tuple = tuple(classes) if classes else None
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            urls, pdfs, sizes = [], [], []
+            for did, txt in zip(doc_ids, texts):
+                pdf = make_pdf_for_doc(int(did), txt or "", cls_tuple)
+                urls.append(f"doc://{did}")
+                pdfs.append(pdf)
+                sizes.append(len(pdf))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(pdfs, pa.binary()),
+                 pa.array(sizes, pa.int64())],
+                schema=_CORPUS_ARROW)
+
+    return docs.select("doc_id", "text").mapInArrow(
+        gen, "url string, html binary, nbytes long")
+
+
+def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from ..pd.extract import extract_doc
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        out = {k: [] for k in ("url", "n_pages", "text", "status", "err",
+                               "nbytes", "dur_us")}
+        for url, html in zip(urls, htmls):
+            t0 = time.perf_counter_ns()
+            r = extract_doc(html or b"")
+            dur = (time.perf_counter_ns() - t0) // 1000
+            out["url"].append(url)
+            out["n_pages"].append(r["n_pages"])
+            out["text"].append(r["text"])
+            out["status"].append(r["status"])
+            out["err"].append(r["err"])
+            out["nbytes"].append(len(html or b""))
+            out["dur_us"].append(dur)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out["url"], pa.string()),
+             pa.array(out["n_pages"], pa.int32()),
+             pa.array(out["text"], pa.string()),
+             pa.array(out["status"], pa.string()),
+             pa.array(out["err"], pa.string()),
+             pa.array(out["nbytes"], pa.int64()),
+             pa.array(out["dur_us"], pa.int64())],
+            schema=_EXTRACT_ARROW)
+
+
+def extract_pdfs(corpus: DataFrame, skew_partitions: int | None = None,
+                 salt_buckets: int = 8) -> DataFrame:
+    """(url, html[, nbytes]) -> EXTRACT_SCHEMA rows.
+
+    Skew defense (SURVEY §4.2): size-bucketed salted range repartition so
+    a handful of huge PDFs spread across executors instead of straggling
+    one partition. AQE cannot split a straggler *row*, so this must
+    happen before the UDF stage.
+    """
+    df = corpus
+    if "nbytes" not in df.columns:
+        df = df.withColumn("nbytes", F.length("html").cast("long"))
+    df = (df
+          .withColumn("size_bucket",
+                      F.ceil(F.log2(F.greatest(F.col("nbytes"),
+                                               F.lit(1)))).cast("int"))
+          .withColumn("salt", F.pmod(F.xxhash64("url"),
+                                     F.lit(salt_buckets)).cast("int")))
+    if skew_partitions:
+        df = df.repartitionByRange(skew_partitions, "size_bucket", "salt")
+    else:
+        df = df.repartitionByRange("size_bucket", "salt")
+    return (df.select("url", "html")
+              .mapInArrow(_extract_batches,
+                          "url string, n_pages int, text string, "
+                          "status string, err string, nbytes long, "
+                          "dur_us long"))
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rows — the checkpoint payload
+    (SURVEY §2.1 S10). Written per batch to the metrics table; resume
+    anti-joins completed partition ids."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nbytes").alias("sum_bytes"),
+                 F.sum("n_pages").alias("sum_pages"),
+                 F.max("dur_us").alias("max_dur_us"),
+                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+                  .alias("n_ok")))
+
+
+def resume_filter(corpus: DataFrame, done_urls: DataFrame) -> DataFrame:
+    """Exactly-once resume: drop rows whose url is already in the
+    completed-output manifest (left_anti join — broadcast when small)."""
+    return corpus.join(done_urls.select("url"), on="url", how="left_anti")

@@ -1,0 +1,684 @@
+"""Query registry: every operator claimed in SURVEY §2 has an entry
+here, and (when SQL-expressible) a DuckDB oracle that predicts its
+output exactly.
+
+Two planes:
+
+1. Extraction queries (the north star): synthesize PDFs from the
+   documents table deterministically, run the FULL parse stack in the
+   Arrow UDF, and compare against an oracle that predicts the extracted
+   text with pure SQL string functions. The fixture design makes the
+   layout output a closed-form function of the input text:
+   12pt Helvetica at x=72 -> 9 leading spaces per line; leading 14 with
+   dominant height 12 -> exactly one newline between lines; one '\n'
+   appended per page (reference driver, test/debugIO.jl:72-82).
+
+2. Pipeline/analytics plane: verification joins, resume anti-join,
+   metrics aggregation, skew windows, dedup (exact/minhash/simhash),
+   similarity search, text analysis — idiomatic DataFrame ops that
+   Catalyst optimizes (broadcast joins, partial aggs, pushdown).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .job import extract_pdfs, gen_pdf_corpus
+
+# ---------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) — predict the extraction output
+# ---------------------------------------------------------------------
+
+_SAN = ("'Doc ' || doc_id || ': ' || "
+        "regexp_replace(coalesce(text,''), '[^a-zA-Z0-9 .,:;!?-]', ' ', 'g')")
+
+# lines CTE: 60-char chunks, max 8, always >=1 (prefix guarantees len>0)
+_LINES_CTE = f"""
+WITH d AS (
+  SELECT doc_id, {_SAN} AS s FROM documents
+), l AS (
+  SELECT doc_id, i, substr(s, ((i-1)*60)+1, 60) AS line
+  FROM d CROSS JOIN generate_series(1, 8) t(i)
+  WHERE (i-1)*60 < length(s)
+)
+"""
+
+# single page: all lines on one page, one '\n' between lines, page ends
+# with '\n'
+_ORACLE_SINGLEPAGE = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url,
+       1 AS n_pages,
+       string_agg(repeat(' ', 9) || line, chr(10) ORDER BY i) || chr(10)
+           AS text,
+       'ok' AS status
+FROM l GROUP BY doc_id
+"""
+
+# multipage: one line per page, each page contributes text + '\n'
+_ORACLE_MULTIPAGE = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url,
+       cast(count(*) AS int) AS n_pages,
+       string_agg(repeat(' ', 9) || line || chr(10), '' ORDER BY i) AS text,
+       'ok' AS status
+FROM l GROUP BY doc_id
+"""
+
+
+def _extract_query(classes: list[str]):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = gen_pdf_corpus(docs, classes=classes)
+        return (extract_pdfs(corpus)
+                .select("url", "n_pages", "text", "status"))
+    return q
+
+
+# ---------------------------------------------------------------------
+# pipeline plane
+# ---------------------------------------------------------------------
+
+def q_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-comparison join (SURVEY §2.12): extraction output joined
+    with the SQL-predicted golden per url; counts matches/mismatches.
+    The golden side is computed with Spark SQL string functions — the
+    same closed form the DuckDB oracle uses."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extracted = (extract_pdfs(gen_pdf_corpus(docs, classes=["flate_simple"]))
+                 .select("url", "text"))
+    s = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(": "),
+                 F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                                  "[^a-zA-Z0-9 .,:;!?-]", " "))
+    d = docs.select("doc_id", s.alias("s"))
+    lines = (d.join(spark.range(1, 9).select(F.col("id").alias("i")))
+             .where((F.col("i") - 1) * 60 < F.length("s"))
+             .select("doc_id", "i",
+                     F.substring(F.col("s"),
+                                 ((F.col("i") - 1) * 60 + 1).cast("int"),
+                                 60).alias("line")))
+    golden = (lines.groupBy("doc_id")
+              .agg(F.expr(
+                  "array_join(transform(array_sort(collect_list("
+                  "struct(i, line))), x -> repeat(' ', 9) || x.line),"
+                  " '\\n') || '\\n'").alias("gtext"))
+              .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+                      "gtext"))
+    joined = extracted.join(F.broadcast(golden), "url", "left")
+    return (joined.select(
+        F.count_if(F.col("text") == F.col("gtext")).alias("n_match"),
+        F.count_if(F.col("text") != F.col("gtext")).alias("n_mismatch"),
+        F.count_if(F.col("gtext").isNull()).alias("n_missing")))
+
+
+ORACLE_VERIFY_JOIN = _LINES_CTE + """
+, g AS (SELECT doc_id FROM l GROUP BY doc_id)
+SELECT count(*) AS n_match, cast(0 AS bigint) AS n_mismatch,
+       cast(0 AS bigint) AS n_missing FROM g
+"""
+
+
+def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics aggregation over extraction output (SURVEY S10): doc and
+    page counts by status — the checkpoint/metrics table payload."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ext = extract_pdfs(gen_pdf_corpus(docs, classes=["multipage"]))
+    return (ext.groupBy("status")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_pages").alias("sum_pages"))
+            .orderBy("status"))
+
+
+ORACLE_EXTRACT_METRICS = _LINES_CTE + """
+, per_doc AS (SELECT doc_id, count(*) AS np FROM l GROUP BY doc_id)
+SELECT 'ok' AS status, count(*) AS n_docs,
+       cast(sum(np) AS bigint) AS sum_pages
+FROM per_doc
+"""
+
+
+def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once resume (SURVEY S10): anti-join the input manifest
+    against already-completed urls (here: every third doc 'done')."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "doc_id")
+    done = corpus.filter(F.col("doc_id") % 3 == 0).select("url")
+    remaining = corpus.join(F.broadcast(done), "url", "left_anti")
+    return remaining.select("url").orderBy("url")
+
+
+ORACLE_RESUME_ANTIJOIN = """
+SELECT 'doc://' || doc_id AS url FROM documents
+WHERE doc_id % 3 <> 0 ORDER BY url
+"""
+
+
+def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew window (SURVEY §2.12): ntile/percent_rank over doc size for
+    the salted range partitioning decision."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (docs.select(
+        "doc_id", "n_chars",
+        F.ntile(8).over(w).alias("size_bucket"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"))
+        .orderBy("doc_id"))
+
+
+ORACLE_SKEW_DIAGNOSIS = """
+SELECT doc_id, n_chars,
+       cast(ntile(8) OVER (ORDER BY n_chars ASC, doc_id ASC) AS int)
+           AS size_bucket,
+       round(percent_rank() OVER (ORDER BY n_chars ASC, doc_id ASC), 6)
+           AS pct_rank
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------
+# TPC-H-ish SQL plane (joins / aggs / windows / sorts / set ops)
+# ---------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-style aggregation: partial-agg friendly, shuffle on tiny key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg + top-k (SURVEY §2.12 joins/top-k)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy(F.desc("revenue"))
+            .limit(10))
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY revenue DESC LIMIT 10
+"""
+
+
+def q_order_priority_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: rank per group + lag delta."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders
+            .select("o_orderpriority", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 5)
+            .orderBy("o_orderpriority", "rk"))
+
+
+ORACLE_ORDER_PRIORITY_WINDOW = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         cast(row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+              AS int) AS rk
+  FROM orders) t
+WHERE rk <= 5 ORDER BY o_orderpriority, rk
+"""
+
+
+def q_regression_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (SURVEY §2.12): union + except for regression diffs."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+    b = orders.filter(F.col("o_totalprice") > 200000).select("o_orderkey")
+    return a.exceptAll(b).orderBy("o_orderkey")
+
+
+ORACLE_REGRESSION_EXCEPT = """
+SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+EXCEPT ALL
+SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+ORDER BY o_orderkey
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream sessionization via lag + cumulative sum windows —
+    the batch expression of the streaming session-window operator."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    sess = (ev.withColumn("new_sess",
+                          F.when(gap | F.lag("ts").over(w).isNull(), 1)
+                          .otherwise(0))
+            .withColumn("sess_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "sess_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .orderBy("user_id", "sess_id"))
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+WITH t AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM t
+)
+SELECT user_id, sess_id, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
+"""
+
+
+# ---------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text; keeps min doc_id
+    per group (map-side partial agg, single shuffle on the hash)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.lower(F.regexp_replace(F.coalesce("text", F.lit("")),
+                                    r"\s+", " "))
+    return (docs.select("doc_id", F.md5(norm).alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_id"))
+            .orderBy("text_hash"))
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(lower(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))
+           AS text_hash,
+       count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY text_hash
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish word/punct regex)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.coalesce("text", F.lit(""))
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    bpe_ish = F.size(F.expr(
+        r"regexp_extract_all(coalesce(text,''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"))
+    return (docs.select("doc_id",
+                        ws_tokens.alias("ws_tokens"),
+                        bpe_ish.alias("bpe_tokens"),
+                        F.length(t).alias("n_chars_actual"))
+            .orderBy("doc_id"))
+
+
+ORACLE_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT doc_id, coalesce(text,'') AS s,
+         regexp_replace(trim(coalesce(text,'')), '\s+', ' ', 'g') AS c
+  FROM documents
+)
+SELECT doc_id,
+       cast(length(c) - length(replace(c, ' ', '')) + 1 AS int) AS ws_tokens,
+       cast(length(regexp_replace(
+           regexp_replace(s, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 'x', 'g'),
+           '\s+', '', 'g')) AS int) AS bpe_tokens,
+       cast(length(s) AS int) AS n_chars_actual
+FROM t ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio —
+    all JVM-side expressions (no Python in the hot path)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.coalesce("text", F.lit(""))
+    n = F.length(t)
+    punct = n - F.length(F.regexp_replace(t, r"[.,:;!?]", ""))
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    stop = F.size(F.filter(words, lambda w: w.isin(
+        "the", "a", "of", "and", "to", "in", "is", "it")))
+    nwords = F.size(words)
+    return (docs.select(
+        "doc_id", n.alias("n_chars_actual"),
+        F.round(punct / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop / F.greatest(nwords, F.lit(1)), 6).alias("stop_ratio"))
+        .orderBy("doc_id"))
+
+
+ORACLE_QUALITY_SCORE = r"""
+WITH t AS (
+  SELECT doc_id, coalesce(text,'') AS s FROM documents
+), w AS (
+  SELECT doc_id, s,
+         string_split_regex(lower(trim(s)), '\s+') AS words
+  FROM t
+)
+SELECT doc_id, cast(length(s) AS int) AS n_chars_actual,
+       round((length(s) - length(regexp_replace(s, '[.,:;!?]', '', 'g')))
+             / greatest(length(s), 1), 6) AS punct_ratio,
+       round(len(list_filter(words, x -> x IN
+             ('the','a','of','and','to','in','is','it')))
+             / greatest(len(words), 1), 6) AS stop_ratio
+FROM w ORDER BY doc_id
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID heuristic: stopword voting en/de/fr (expression-only;
+    a production n-gram model would be a broadcast lookup + expressions)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    en = F.size(F.filter(words, lambda w: w.isin("the", "and", "of", "is")))
+    de = F.size(F.filter(words, lambda w: w.isin("der", "und", "die", "ist")))
+    fr = F.size(F.filter(words, lambda w: w.isin("le", "et", "la", "est")))
+    pred = (F.when((en >= de) & (en >= fr), "en")
+            .when(de >= fr, "de").otherwise("fr"))
+    return docs.select("doc_id", pred.alias("pred_lang")).orderBy("doc_id")
+
+
+ORACLE_LANGID = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text,''))), '\s+') AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(list_filter(ws, x -> x IN ('the','and','of','is'))) AS en,
+         len(list_filter(ws, x -> x IN ('der','und','die','ist'))) AS de,
+         len(list_filter(ws, x -> x IN ('le','et','la','est'))) AS fr
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN en >= de AND en >= fr THEN 'en'
+            WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
+FROM c ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content hash + first-8-token prefix hash
+    (both JVM hash functions, shuffle-free)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.coalesce("text", F.lit(""))
+    prefix = F.concat_ws(" ", F.slice(F.split(F.trim(t), r"\s+"), 1, 8))
+    return (docs.select("doc_id",
+                        F.md5(t).alias("content_md5"),
+                        F.md5(prefix).alias("prefix_md5"))
+            .orderBy("doc_id"))
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id, md5(coalesce(text,'')) AS content_md5,
+       md5(array_to_string(list_slice(
+           string_split_regex(trim(coalesce(text,'')), '\s+'), 1, 8), ' '))
+           AS prefix_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors, JVM-side
+    zip_with/aggregate dot products, window top-k. The IVF/LSH variant
+    (q_ann_lsh) prunes candidates by bucket at scale."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    sim = F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("q_emb"))), 6)
+    pairs = (emb.crossJoin(F.broadcast(queries))
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .select("q_id", "vec_id", sim.alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .orderBy("q_id", "rk"))
+
+
+ORACLE_ANN_BRUTEFORCE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % 100 = 0
+), pairs AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.q_emb::DOUBLE[],
+                                          q.q_emb::DOUBLE[]))), 6)
+             AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         cast(row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS int) AS rk
+  FROM pairs
+)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
+ORDER BY q_id, rk
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: word-3-shingles -> 16 minhashes
+    via seeded xxhash64 -> 4 bands of 4 -> bucket join. All JVM-side;
+    the only shuffles are the doc-level agg and the band self-join.
+    Approximate by construction -> rows-only driver check."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    docs = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
+    sh = (docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("w") - 3),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)))).alias("sh")))
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(16)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = []
+    for b in range(4):
+        cols = [f"h{b * 4 + j}" for j in range(4)]
+        bands.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(c) for c in cols]).alias("bucket")))
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    left = allb.alias("a")
+    right = allb.alias("b")
+    pairs = (left.join(right, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct()
+             .orderBy("doc_a", "doc_b"))
+    return pairs
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) per doc: token hash bit-vote, JVM expressions
+    only. Rows-only check (bit arithmetic differs across engines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    tok = docs.select("doc_id", F.explode(words).alias("w"))
+    tok = tok.withColumn("h", F.xxhash64("w"))
+    bit_cols = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{i}")
+        for i in range(32)]
+    votes = tok.groupBy("doc_id").agg(*bit_cols)
+    sim_expr = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        sim_expr = bit if sim_expr is None else sim_expr + bit
+    return (votes.select("doc_id", sim_expr.cast("long").alias("simhash32"))
+            .orderBy("doc_id"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for a bounded candidate set (doc_id < 60):
+    explode 3-shingles, self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|).
+    SQL-expressible -> full oracle."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 60))
+    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    d = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
+    sh = (d.select("doc_id", F.explode(F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("w") - 3),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3))))).alias("sh")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_inter")
+                            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                            6).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text,''))), '\s+') AS w
+  FROM documents WHERE doc_id < 60
+), dd AS (
+  SELECT doc_id, w FROM d WHERE len(w) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i+2), ' ') AS sh
+  FROM dd CROSS JOIN generate_series(1, 600) t(i)
+  WHERE i + 2 <= len(w)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------
+
+QUERIES = {
+    # extraction plane (full parse stack in the UDF)
+    "q_extract_flate": _extract_query(["flate_simple"]),
+    "q_extract_xrefstream_objstm": _extract_query(["objstm"]),
+    "q_extract_filters": _extract_query(
+        ["filter_asciihex", "filter_ascii85", "filter_rle", "filter_lzw"]),
+    "q_extract_cid": _extract_query(["font_cid"]),
+    "q_extract_winansi": _extract_query(["font_winansi"]),
+    "q_extract_xobject": _extract_query(["xobject_form"]),
+    "q_extract_structure": _extract_query(
+        ["contents_array", "header_offset", "inline_image",
+         "marked_artifact", "plain_uncompressed", "xref_stream",
+         "filter_chain"]),
+    "q_extract_multipage": _extract_query(["multipage"]),
+    # pipeline plane
+    "q_verify_join": q_verify_join,
+    "q_extract_metrics": q_extract_metrics,
+    "q_resume_antijoin": q_resume_antijoin,
+    "q_skew_diagnosis": q_skew_diagnosis,
+    # SQL plane
+    "q_pricing_summary": q_pricing_summary,
+    "q_top_customers": q_top_customers,
+    "q_order_priority_window": q_order_priority_window,
+    "q_regression_except": q_regression_except,
+    "q_events_sessionize": q_events_sessionize,
+    # training-data ops
+    "q_dedup_exact": q_dedup_exact,
+    "q_token_stats": q_token_stats,
+    "q_quality_score": q_quality_score,
+    "q_langid": q_langid,
+    "q_fingerprint": q_fingerprint,
+    "q_ann_bruteforce": q_ann_bruteforce,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+}
+
+ORACLES = {
+    "q_extract_flate": _ORACLE_SINGLEPAGE,
+    "q_extract_xrefstream_objstm": _ORACLE_SINGLEPAGE,
+    "q_extract_filters": _ORACLE_SINGLEPAGE,
+    "q_extract_cid": _ORACLE_SINGLEPAGE,
+    "q_extract_winansi": _ORACLE_SINGLEPAGE,
+    "q_extract_xobject": _ORACLE_SINGLEPAGE,
+    "q_extract_structure": _ORACLE_SINGLEPAGE,
+    "q_extract_multipage": _ORACLE_MULTIPAGE,
+    "q_verify_join": ORACLE_VERIFY_JOIN,
+    "q_extract_metrics": ORACLE_EXTRACT_METRICS,
+    "q_resume_antijoin": ORACLE_RESUME_ANTIJOIN,
+    "q_skew_diagnosis": ORACLE_SKEW_DIAGNOSIS,
+    "q_pricing_summary": ORACLE_PRICING_SUMMARY,
+    "q_top_customers": ORACLE_TOP_CUSTOMERS,
+    "q_order_priority_window": ORACLE_ORDER_PRIORITY_WINDOW,
+    "q_regression_except": ORACLE_REGRESSION_EXCEPT,
+    "q_events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_token_stats": ORACLE_TOKEN_STATS,
+    "q_quality_score": ORACLE_QUALITY_SCORE,
+    "q_langid": ORACLE_LANGID,
+    "q_fingerprint": ORACLE_FINGERPRINT,
+    "q_ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
+    "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    # q_dedup_minhash / q_dedup_simhash: hash-seed-dependent -> rows-only
+}

@@ -1,0 +1,160 @@
+"""COS-layer unit tests transliterating the reference's unit asserts
+(/root/reference/test/runtests.jl:64-103 and filter testsets)."""
+import numpy as np
+import pytest
+
+from pdfio_spark.cos import Buf, CosDoc, HexStr, LitStr, Name, ParseError, Ref
+from pdfio_spark.cos.filters import (decode_ascii85, decode_asciihex,
+                                     decode_flate, decode_lzw, decode_rle,
+                                     apply_png_predictor)
+from pdfio_spark.pd.fonts import pdf_doc_decode
+
+
+def parse(data: bytes):
+    return Buf(data).parse_value()
+
+
+class TestLexer:
+    def test_skipv_raises(self):
+        with pytest.raises(ParseError):
+            Buf(b"AB").skipv(b"B")
+
+    def test_hex_utf16(self):
+        # runtests.jl:66-70
+        assert pdf_doc_decode(HexStr(b"0041")) == "A"
+        assert pdf_doc_decode(HexStr(b"4241")) == "BA"
+
+    def test_indirect_ref(self):
+        assert Buf(b"10 0 R\n").parse_indirect_ref() == Ref(10, 0)
+
+    def test_comment(self):
+        c = parse(b"% This is a comment\r\n")
+        assert bytes(c) == b" This is a comment"
+
+    def test_ref_vs_numbers(self):
+        # RG-operator guard: "1 0 RG" must NOT parse as a reference
+        b = Buf(b"1 0 RG")
+        v = b.parse_value()
+        assert v == 1 and not isinstance(v, Ref)
+
+    def test_literal_escapes(self):
+        assert bytes(parse(rb"(a\(b\)c\\d\ne\101)")) == b"a(b)c\\d\ne\x41"
+
+    def test_literal_nested_parens(self):
+        assert bytes(parse(b"(a(b)c)")) == b"a(b)c"
+
+    def test_octal_escape_short(self):
+        assert bytes(parse(rb"(\53)")) == b"+"
+
+    def test_line_continuation(self):
+        assert bytes(parse(b"(ab\\\ncd)")) == b"abcd"
+
+    def test_xstring_odd_pad(self):
+        assert parse(b"<414 >").binary == b"A@"
+
+    def test_name_hash_escape(self):
+        assert parse(b"/A#20B ") == Name("A B")
+
+    def test_dict_null_deleted(self):
+        d = parse(b"<< /A 1 /B null /C (x) >>")
+        assert d == {Name("A"): 1, Name("C"): LitStr(b"x")}
+
+    def test_nested_dict_array(self):
+        d = parse(b"<< /K [1 2 R 3.5 (s)] /D << /X true >> >>")
+        arr = d[Name("K")]
+        assert arr[0] == 1 and isinstance(arr[1], np.floating) or True
+        # "1 2 R" is a ref; then 3.5 float; then string
+        assert isinstance(arr[0], Ref) and arr[0] == Ref(1, 2)
+        assert float(arr[1]) == pytest.approx(3.5)
+        assert d[Name("D")][Name("X")] is True
+
+    def test_float_is_f32(self):
+        v = parse(b"1.5 ")
+        assert isinstance(v, np.float32)
+
+    def test_plus_sign_ignored(self):
+        assert parse(b"+17 ") == 17
+
+
+class TestFilters:
+    def test_ascii85_zzz(self):
+        # runtests.jl:540 — take!(decode_ascii85("zzz!!!~>")) == 14 zeros
+        assert decode_ascii85(b"zzz!!!~>") == b"\x00" * 14
+
+    def test_ascii85_roundtrip_whole_groups(self):
+        from pdfio_spark.fixtures import ascii85_encode
+        for payload in (b"hello world!", b"\x00\x01\x02\x03", b"x" * 100):
+            assert decode_ascii85(ascii85_encode(payload)) == payload
+
+    def test_ascii85_partial_group_reference_quirk(self):
+        """The reference pads partial groups with 0 (not 'u'), flooring
+        the final byte (CosStream.jl:288-297) — quirk preserved."""
+        from pdfio_spark.fixtures import ascii85_encode
+        out = decode_ascii85(ascii85_encode(b"hello world"))
+        assert out[:10] == b"hello worl" and len(out) == 11
+
+    def test_asciihex_tolerant(self):
+        assert decode_asciihex(b"48 65 6C6C 6F") == b"Hello"
+        assert decode_asciihex(b"48656") == b"He`"  # odd -> pad 0
+
+    def test_rle(self):
+        from pdfio_spark.fixtures import rle_encode
+        for payload in (b"aaaaabcdef", b"", b"ab" * 200, b"z" * 300):
+            assert decode_rle(rle_encode(payload)) == payload
+
+    def test_lzw(self):
+        from pdfio_spark.fixtures import lzw_encode
+        for payload in (b"TOBEORNOTTOBEORTOBEORNOT", b"a" * 5000,
+                        bytes(range(256)) * 10):
+            assert decode_lzw(lzw_encode(payload)) == payload
+
+    def test_flate_corrupt_tail(self):
+        import zlib
+        full = zlib.compress(b"A" * 1000)
+        out = decode_flate(full[:-6])
+        assert 0 < len(out) <= 1000 and out == b"A" * len(out)
+
+    def test_png_up_predictor(self):
+        raw = bytes(range(30))
+        cols = 5
+        rows = [raw[i:i + cols] for i in range(0, 30, cols)]
+        enc = bytearray()
+        prev = bytes(cols)
+        for r in rows:
+            enc.append(2)
+            enc.extend(bytes((r[j] - prev[j]) & 0xFF for j in range(cols)))
+            prev = r
+        assert apply_png_predictor(bytes(enc), 12, cols) == raw
+
+
+class TestDocStructure:
+    def test_first_wins_incremental_update(self):
+        """Incremental updates: latest revision's xref listed first wins
+        (CosDoc.jl:510)."""
+        from pdfio_spark.fixtures import build_fixture
+        pdf = build_fixture("flate_simple", ["v1"])
+        doc = CosDoc(pdf)
+        assert doc.get_root() is not None
+
+    def test_stream_length_indirect(self):
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+               b"3 0 obj\n<< /Length 4 0 R >>\nstream\nabcde\nendstream\nendobj\n"
+               b"4 0 obj\n5\nendobj\n")
+        off3 = pdf.find(b"3 0 obj")
+        off1 = pdf.find(b"1 0 obj")
+        off2 = pdf.find(b"2 0 obj")
+        off4 = pdf.find(b"4 0 obj")
+        xref_pos = len(pdf)
+        pdf += (b"xref\n0 5\n"
+                b"0000000000 65535 f \n"
+                + f"{off1:010d} 00000 n \n".encode()
+                + f"{off2:010d} 00000 n \n".encode()
+                + f"{off3:010d} 00000 n \n".encode()
+                + f"{off4:010d} 00000 n \n".encode()
+                + b"trailer\n<< /Size 5 /Root 1 0 R >>\n"
+                + f"startxref\n{xref_pos}\n%%EOF".encode())
+        doc = CosDoc(pdf)
+        stm = doc.get_object(Ref(3, 0))
+        assert stm.raw == b"abcde"

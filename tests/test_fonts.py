@@ -1,0 +1,168 @@
+"""Font plane tests: CMap corrupt-range repair, width math, encodings.
+Mirrors the reference CMap byte-level unit checks
+(/root/reference/test/runtests.jl:443-476) on synthesized CMaps."""
+import numpy as np
+import pytest
+
+from pdfio_spark.cos.objects import HexStr, LitStr, Name, f32
+from pdfio_spark.pd import fonts
+
+
+def decode(barr: bytes, cmap) -> list[int]:
+    return fonts.cmap_decode(barr, cmap)
+
+
+GOOD_CMAP = b"""
+/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0003> <0020>
+<0004> <0041>
+endbfchar
+1 beginbfrange
+<0010> <001f> <0061>
+endbfrange
+endcmap
+"""
+
+
+class TestCMap:
+    def test_bfchar_bfrange(self):
+        cmap = fonts.read_cmap(GOOD_CMAP)
+        assert decode(b"\x00\x03", cmap) == [0x20]
+        assert decode(b"\x00\x04", cmap) == [0x41]
+        assert decode(b"\x00\x10", cmap) == [0x61]
+        assert decode(b"\x00\x1f", cmap) == [0x61 + 0xF]
+        assert decode(b"\x00\x02", cmap) == [0]  # unmapped -> U+0000
+
+    def test_one_byte_codespace(self):
+        cmap = fonts.read_cmap(b"""
+1 begincodespacerange
+<00> <ff>
+endcodespacerange
+1 beginbfrange
+<41> <5a> <0061>
+endbfrange
+""")
+        assert decode(b"AB", cmap) == [0x61, 0x62]
+
+    def test_corrupt_bfrange_repair(self):
+        """lo2 > hi2 splits into 3 ranges with offset arithmetic
+        (PDFonts.jl:419-434). Range <00FB>-<0108> -> <0106>:
+        [00 FB]=0106, [00 FF]=010A, [01 00]=010B, [01 08]=0113."""
+        cmap = fonts.read_cmap(b"""
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfrange
+<00fb> <0108> <0106>
+endbfrange
+""")
+        assert decode(b"\x00\xfb", cmap) == [0x0106]
+        assert decode(b"\x00\xff", cmap) == [0x010A]
+        assert decode(b"\x01\x00", cmap) == [0x010B]
+        assert decode(b"\x01\x08", cmap) == [0x0113]
+
+    def test_bfrange_array_form(self):
+        cmap = fonts.read_cmap(b"""
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfrange
+<0001> <0003> [<0058> <0059> <005a>]
+endbfrange
+""")
+        assert decode(b"\x00\x01\x00\x03", cmap) == [0x58, 0x5A]
+
+    def test_surrogate_pair_target(self):
+        cmap = fonts.read_cmap(b"""
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfchar
+<0001> <D835DC00>
+endbfchar
+""")
+        assert decode(b"\x00\x01", cmap) == [0x1D400]
+
+
+class TestWidths:
+    def test_afm_helvetica(self):
+        afm = fonts.read_afm("Helvetica")
+        assert fonts.get_character_width(ord(" "), afm) == f32(278.0)
+        assert fonts.get_character_width(ord("A"), afm) == f32(667.0)
+        assert fonts.get_character_width(999, afm) == f32(1000.0)
+
+    def test_afm_kerning(self):
+        afm = fonts.read_afm("Helvetica")
+        # 'A' 'V' kern pair -70 (Helvetica.afm KPX AV)
+        assert fonts.get_kern_width(ord("A"), ord("V"), afm) == f32(-70.0)
+        assert fonts.get_kern_width(ord("A"), ord("A"), afm) == f32(0.0)
+
+    def test_string_width_kern_applied_raw(self):
+        """Kern widths are added UNSCALED (PDFonts.jl:655-656)."""
+        afm = fonts.read_afm("Helvetica")
+        tfs = f32(10.0)
+        w_av = fonts.get_string_width(b"AV", afm, 0, tfs, f32(0), f32(0), f32(0))
+        w_a = fonts.get_string_width(b"A", afm, 0, tfs, f32(0), f32(0), f32(0))
+        w_v = fonts.get_string_width(b"V", afm, 0, tfs, f32(0), f32(0), f32(0))
+        assert w_av == pytest.approx(float(w_a + w_v) - 70.0, abs=1e-3)
+
+    def test_space_gets_tw(self):
+        afm = fonts.read_afm("Helvetica")
+        tw = f32(5.0)
+        w = fonts.get_string_width(b" ", afm, 0, f32(10.0), f32(0), f32(0), tw)
+        assert w == pytest.approx(278.0 * 10 / 1000 + 5.0, abs=1e-4)
+
+    def test_widths_vector_zero_default(self):
+        wv = np.zeros(256, dtype=np.float32)
+        wv[65] = 600
+        assert fonts.get_character_width(65, wv) == f32(600.0)
+        assert fonts.get_character_width(66, wv) == f32(1000.0)
+
+    def test_cid_width_interval(self):
+        cw = fonts.CIDWidth()
+        cw.imap.set(32, 126, f32(500.0))
+        assert fonts.get_character_width(65, cw) == f32(500.0)
+        assert fonts.get_character_width(20000, cw) == f32(1000.0)
+
+    def test_tj_kern_space_injection(self):
+        """TJ kern < -180 injects a space into text (PDFonts.jl:676-679)."""
+        afm = fonts.read_afm("Helvetica")
+
+        class FakeFont:
+            widths = afm
+            fum = {b: [b] for b in range(256)}
+        text, w, h = fonts.get_text_box(
+            [LitStr(b"ab"), -200, LitStr(b"cd")],
+            FakeFont(), f32(12.0), f32(0), f32(0), f32(1.0))
+        assert text == "ab cd"
+        text2, _, _ = fonts.get_text_box(
+            [LitStr(b"ab"), -100, LitStr(b"cd")],
+            FakeFont(), f32(12.0), f32(0), f32(0), f32(1.0))
+        assert text2 == "abcd"
+
+
+class TestGlyphNames:
+    def test_agl_uniXXXX(self):
+        assert fonts.get_agl_unicode("uni0041") == [0x41]
+        assert fonts.get_agl_unicode("u0042") == [0x42]
+        assert fonts.get_agl_unicode("u00410042") == [0x41, 0x42]
+
+    def test_ligature_split_and_suffix(self):
+        assert fonts.get_unicodes_from_glyph_name("f_i") == [0x66, 0x69]
+        assert fonts.get_unicodes_from_glyph_name("A.sc") == [0x41]
+
+    def test_standard_names(self):
+        assert fonts.get_agl_unicode("quotesingle") == [0x27]
+        assert fonts.get_agl_unicode("Alpha") == [0x391]
+        assert fonts.get_agl_unicode("nosuchglyphname") == [0]
+
+    def test_win_encoding_quirks(self):
+        # reference special cases (PDFontTables.jl:24-27)
+        assert fonts.WIN_TO_UNICODE[0xA0] == [0x3A]  # colon quirk
+        assert fonts.WIN_TO_UNICODE[0xAD] == [0xAD]  # sfthyphen
+        assert fonts.MAC_TO_UNICODE[0xCA] == [0x3A]

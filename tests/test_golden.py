@@ -1,0 +1,113 @@
+"""Golden end-to-end extraction tests — the dominant pattern of the
+reference suite (files_equal, /root/reference/test/debugIO.jl:65-70):
+exact byte equality of extracted text per fixture class."""
+import numpy as np
+import pytest
+
+from pdfio_spark.fixtures import (FIXTURE_CLASSES, build_fixture,
+                                  content_for_lines, make_pdf)
+from pdfio_spark.pd.extract import extract_doc
+
+LINES = ["Hello World", "Second line here"]
+# 12pt font at x=72 -> dominant height 12, xw=7.2f0 -> 9 leading spaces;
+# leading 14 with ht 12 -> exactly one newline between lines; page text
+# followed by '\n' (extract_text driver).
+EXPECTED = "         Hello World\n         Second line here\n"
+
+
+@pytest.mark.parametrize("cls", FIXTURE_CLASSES)
+def test_fixture_class_golden(cls):
+    r = extract_doc(build_fixture(cls, LINES))
+    assert r["status"] == "ok", r["err"]
+    assert r["text"] == EXPECTED
+
+
+def test_multipage_pages():
+    r = extract_doc(build_fixture("multipage", LINES), with_spans=True)
+    assert r["n_pages"] == 2
+    assert [p["page_no"] for p in r["pages"]] == [1, 2]
+    assert r["pages"][0]["text"] == "         Hello World"
+    assert r["pages"][0]["spans"][0]["text"] == "Hello World"
+    assert r["pages"][0]["spans"][0]["font"] == "F1"
+
+
+def test_leading_space_count_positions():
+    # x=144 -> floor-ish padding with f32 7.2 accumulation -> 20 spaces
+    r = extract_doc(make_pdf([content_for_lines(["abc"], x=144, y=700)]))
+    assert r["text"] == " " * 20 + "abc\n"
+    # larger font -> bigger xw -> fewer pads
+    r = extract_doc(make_pdf([content_for_lines(["abc"], fontsize=24)]))
+    assert r["text"] == " " * 4 + "abc\n"
+
+
+def test_two_sizes_dominant_height():
+    """Dominant height = mode of the h_profile by char count."""
+    c = (b"BT /F1 12 Tf 72 720 Td (twelve point dominant line) Tj "
+         b"0 -40 Td /F1 8 Tf (small) Tj ET\n")
+    r = extract_doc(make_pdf([c]))
+    # ht=12 -> small line at dy=40 emits newlines while y > lby+ht
+    assert r["status"] == "ok"
+    lines = r["text"].split("\n")
+    assert lines[0].strip() == "twelve point dominant line"
+    assert lines[-2].strip() == "small"
+
+
+def test_rotated_text_skipped_or_kept():
+    # 90-degree rotated run: width/height still positive; must not crash
+    c = b"BT /F1 12 Tf 0 1 -1 0 300 300 Tm (rot) Tj ET\n"
+    r = extract_doc(make_pdf([c]))
+    assert r["status"] == "ok"
+
+
+def test_reading_order_sort():
+    """Spans emitted out of order must be re-ordered top-down, left-right."""
+    c = (b"BT /F1 12 Tf 200 700 Td (right) Tj ET\n"
+         b"BT /F1 12 Tf 72 700 Td (left) Tj ET\n"
+         b"BT /F1 12 Tf 72 730 Td (top) Tj ET\n")
+    r = extract_doc(make_pdf([c]))
+    t = r["text"]
+    assert t.index("top") < t.index("left") < t.index("right")
+
+
+def test_artifact_suppressed():
+    r = extract_doc(build_fixture("marked_artifact", LINES))
+    assert "SUPPRESSED" not in r["text"]
+
+
+def test_q_Q_state_isolation():
+    """Tf inside q...Q must not leak (copy-on-save gstate)."""
+    c = (b"BT /F1 12 Tf 72 720 Td (a) Tj ET\n"
+         b"q BT /F1 24 Tf 72 600 Td (big) Tj ET Q\n"
+         b"BT /F1 12 Tf 72 500 Td (c) Tj ET\n")
+    r = extract_doc(make_pdf([c]))
+    assert r["status"] == "ok"
+    assert "a" in r["text"] and "big" in r["text"] and "c" in r["text"]
+
+
+def test_error_quarantine():
+    r = extract_doc(b"garbage not a pdf")
+    assert r["status"] == "error" and r["text"] == ""
+    r = extract_doc(b"")
+    assert r["status"] == "error"
+
+
+def test_cid_two_byte_iteration():
+    r = extract_doc(build_fixture("font_cid", ["AB"]))
+    assert "AB" in r["text"]
+
+
+def test_winansi_highbyte():
+    # 0xE9 'eacute' in WinAnsi
+    c = b"BT /F1 12 Tf 72 720 Td (caf\xe9) Tj ET\n"
+    r = extract_doc(make_pdf([c], font="winansi"))
+    assert "café" in r["text"]
+
+
+def test_tz_horizontal_scaling_affects_width():
+    c1 = b"BT /F1 12 Tf 72 720 Td (wide) Tj ET\n"
+    c2 = b"BT /F1 12 Tf 200 Tz 72 720 Td (wide) Tj ET\n"
+    r1 = extract_doc(make_pdf([c1]), with_spans=True)
+    r2 = extract_doc(make_pdf([c2]), with_spans=True)
+    w1 = r1["pages"][0]["spans"][0]["x1"] - r1["pages"][0]["spans"][0]["x0"]
+    w2 = r2["pages"][0]["spans"][0]["x1"] - r2["pages"][0]["spans"][0]["x0"]
+    assert w2 == pytest.approx(2 * w1, rel=1e-5)

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Run queries() against oracle_sql() via DuckDB the way the driver
+does: row count + sorted-column value hash, at sf0.01 by default.
+
+Usage: python3 tools/check_oracle.py [query ...]
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import duckdb  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v) -> str:
+    import math
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from pdfio_spark.pipeline.session import get_spark
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = sys.argv[1:] or list(qs)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    spark.sparkContext.setLogLevel("ERROR")
+    n_pass = n_fail = 0
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            srows = [tuple(r) for r in df.collect()]
+            scols = df.columns
+            if name not in oracles:
+                print(f"{name:28s} ROWS-ONLY rows={len(srows)}")
+                continue
+            rel = con.sql(oracles[name])
+            orows = rel.fetchall()
+            ocols = [d[0] for d in rel.description]
+            sh = table_hash(scols, srows)
+            oh = table_hash(ocols, orows)
+            ok = (len(srows) == len(orows)
+                  and sorted(scols) == sorted(ocols) and sh == oh)
+            n_pass += ok
+            n_fail += not ok
+            print(f"{name:28s} {'PASS' if ok else 'FAIL'} "
+                  f"rows={len(srows)}/{len(orows)} hash={sh}/{oh} "
+                  f"cols={sorted(scols) == sorted(ocols)}")
+            if not ok and len(srows) and len(orows):
+                sset = {tuple(norm_cell(v) for v in r) for r in
+                        ([tuple(r[scols.index(c)] for c in sorted(scols))
+                          for r in srows])}
+                oset = {tuple(norm_cell(v) for v in r) for r in
+                        ([tuple(r[ocols.index(c)] for c in sorted(ocols))
+                          for r in orows])}
+                only_s = list(sset - oset)[:2]
+                only_o = list(oset - sset)[:2]
+                print("  spark-only:", only_s)
+                print("  oracle-only:", only_o)
+        except Exception as e:
+            n_fail += 1
+            print(f"{name:28s} ERROR {type(e).__name__}: {e}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
