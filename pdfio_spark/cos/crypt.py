@@ -200,7 +200,16 @@ class StdSecHandler:
                 data = rc4(k2, data)
             user_pw = data
         key = self._algo2_with_pw_raw(user_pw)
-        return key
+        # validate the recovered key against /U (algorithm 6 after 7)
+        if self.r == 2:
+            ok = rc4(key, PAD) == self.u[:32]
+        else:
+            md = hashlib.md5(PAD + self.id0).digest()
+            x = rc4(key, md)
+            for i in range(1, 20):
+                x = rc4(bytes(b ^ i for b in key), x)
+            ok = x == self.u[:16]
+        return key if ok else None
 
     def _algo2_with_pw_raw(self, padded_pw: bytes) -> bytes:
         md = hashlib.md5()

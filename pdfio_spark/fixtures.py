@@ -198,6 +198,138 @@ def encode_filter(data: bytes, filt: str) -> bytes:
     raise ValueError(filt)
 
 
+# ------------------------------------------------------- encryption
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for idx, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[idx] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+_ENC_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+class _Rc4Encryptor:
+    """V2 R3 128-bit, empty user+owner password (spec algorithms 2/3/5)."""
+
+    def __init__(self, id0: bytes, p: int = -44):
+        self.v, self.r, self.length = 2, 3, 128
+        self.p = p & 0xFFFFFFFF
+        self.id0 = id0
+        # algorithm 3: /O from (empty) owner password
+        h = hashlib.md5(_ENC_PAD).digest()
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+        okey = h[:16]
+        o = _rc4(okey, _ENC_PAD)
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+        self.o = o
+        # algorithm 2: file key from (empty) user password
+        md = hashlib.md5()
+        md.update(_ENC_PAD)
+        md.update(self.o)
+        md.update(struct.pack("<I", self.p))
+        md.update(id0)
+        h = md.digest()
+        for _ in range(50):
+            h = hashlib.md5(h[:16]).digest()
+        self.key = h[:16]
+        # algorithm 5: /U
+        x = _rc4(self.key, hashlib.md5(_ENC_PAD + id0).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in self.key), x)
+        self.u = x + b"\x00" * 16
+
+    def enc_dict(self) -> dict:
+        return {"Filter": NameN("Standard"), "V": 2, "R": 3,
+                "Length": 128, "P": self.p - (1 << 32),
+                "O": HexN(self.o.hex()), "U": HexN(self.u.hex())}
+
+    def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        md = hashlib.md5()
+        md.update(self.key)
+        md.update(struct.pack("<I", num)[:3])
+        md.update(struct.pack("<I", gen)[:2])
+        n = min(len(self.key) + 5, 16)
+        return _rc4(md.digest()[:n], data)
+
+
+class _Aes256Encryptor:
+    """V5 R6 AES-256, empty passwords (spec 2.B KDF; deterministic
+    salts/keys so fixtures are byte-stable)."""
+
+    def __init__(self, p: int = -44):
+        from cryptography.hazmat.primitives.ciphers import (Cipher,
+                                                            algorithms,
+                                                            modes)
+        self._Cipher, self._algorithms, self._modes = (Cipher, algorithms,
+                                                       modes)
+        self.p = p & 0xFFFFFFFF
+        self.key = hashlib.sha256(b"pdfio-spark-fixture-filekey").digest()
+        uv, uk = b"UVALSALT", b"UKEYSALT"
+        ov, ok = b"OVALSALT", b"OKEYSALT"
+        pw = b""
+        uhash = self._hash_2b(pw, uv, b"")
+        ukey = self._hash_2b(pw, uk, b"")
+        self.u = uhash + uv + uk
+        self.ue = self._aes_cbc(ukey, b"\x00" * 16, self.key, True)
+        ohash = self._hash_2b(pw, ov, self.u[:48])
+        okey = self._hash_2b(pw, ok, self.u[:48])
+        self.o = ohash + ov + ok
+        self.oe = self._aes_cbc(okey, b"\x00" * 16, self.key, True)
+
+    def _aes_cbc(self, key, iv, data, enc):
+        c = self._Cipher(self._algorithms.AES(key), self._modes.CBC(iv))
+        x = c.encryptor() if enc else c.decryptor()
+        return x.update(data) + x.finalize()
+
+    def _hash_2b(self, password: bytes, salt: bytes, udata: bytes) -> bytes:
+        k = hashlib.sha256(password + salt + udata).digest()
+        i = 0
+        while True:
+            k1 = (password + k + udata) * 64
+            e = self._aes_cbc(k[:16], k[16:32], k1, True)
+            mod = sum(e[:16]) % 3
+            k = (hashlib.sha256(e).digest() if mod == 0 else
+                 hashlib.sha384(e).digest() if mod == 1 else
+                 hashlib.sha512(e).digest())
+            i += 1
+            if i >= 64 and e[-1] <= i - 32:
+                break
+        return k[:32]
+
+    def enc_dict(self) -> dict:
+        return {"Filter": NameN("Standard"), "V": 5, "R": 6,
+                "Length": 256, "P": self.p - (1 << 32),
+                "O": HexN(self.o.hex()), "U": HexN(self.u.hex()),
+                "OE": HexN(self.oe.hex()), "UE": HexN(self.ue.hex()),
+                "CF": {"StdCF": {"CFM": NameN("AESV3"), "Length": 32}},
+                "StmF": NameN("StdCF"), "StrF": NameN("StdCF")}
+
+    def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        # deterministic IV per object (fixtures must be byte-stable)
+        iv = hashlib.md5(f"{num}:{gen}".encode()).digest()
+        padn = 16 - (len(data) % 16)
+        return iv + self._aes_cbc(self.key, iv, data + bytes([padn]) * padn,
+                                  True)
+
+
 # ----------------------------------------------------- document builder
 
 HELV_FONT = {"Type": NameN("Font"), "Subtype": NameN("Type1"),
@@ -290,7 +422,8 @@ def make_pdf(page_contents: list[bytes],
              artifact_extra: bytes | None = None,
              info: dict | None = None,
              filter_chain: list[str] | None = None,
-             nested_pagetree: bool = False) -> bytes:
+             nested_pagetree: bool = False,
+             encrypt: str | None = None) -> bytes:
     """Assemble a complete PDF. One page per entry in page_contents."""
     counter = [0]
 
@@ -416,6 +549,33 @@ def make_pdf(page_contents: list[bytes],
         info_n = alloc()
         objs.append((info_n, info))
 
+    # ---------------- encryption setup
+    file_id = hashlib.md5(b"pdfio-spark-fixture-id").digest()
+    encryptor = None
+    encrypt_n = None
+    if encrypt == "rc4_128":
+        encryptor = _Rc4Encryptor(file_id)
+        encrypt_n = alloc()
+    elif encrypt == "aes256":
+        encryptor = _Aes256Encryptor()
+        encrypt_n = alloc()
+    elif encrypt is not None:
+        raise ValueError(encrypt)
+    if encryptor is not None:
+        objs.append((encrypt_n, encryptor.enc_dict()))
+
+    def enc_strings(o, num):
+        """Encrypt string values (emitted as hex strings)."""
+        if isinstance(o, str) and not isinstance(o, NameN):
+            return HexN(encryptor.encrypt(num, 0, o.encode("latin-1")).hex())
+        if isinstance(o, bytes):
+            return HexN(encryptor.encrypt(num, 0, o).hex())
+        if isinstance(o, dict):
+            return {k: enc_strings(v, num) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [enc_strings(v, num) for v in o]
+        return o
+
     # ---------------- serialize
     out = bytearray()
     out += header_junk
@@ -429,13 +589,20 @@ def make_pdf(page_contents: list[bytes],
         offsets[n] = len(out) - junk
         out.extend(f"{n} 0 obj\n".encode())
         if isinstance(o, StreamN):
+            data = o.data
+            if encryptor is not None:
+                data = encryptor.encrypt(n, 0, data)
             d = dict(o.d)
-            d["Length"] = len(o.data)
+            d["Length"] = len(data)
+            if encryptor is not None and n != encrypt_n:
+                d = enc_strings(d, n)
             out.extend(_ser(d))
             out.extend(b"\nstream\n")
-            out.extend(o.data)
+            out.extend(data)
             out.extend(b"\nendstream")
         else:
+            if encryptor is not None and n != encrypt_n:
+                o = enc_strings(o, n)
             out.extend(_ser(o))
         out.extend(b"\nendobj\n")
 
@@ -451,6 +618,9 @@ def make_pdf(page_contents: list[bytes],
         trailer = {"Size": maxn + 1, "Root": RefN(catalog_n)}
         if info_n:
             trailer["Info"] = RefN(info_n)
+        if encryptor is not None:
+            trailer["Encrypt"] = RefN(encrypt_n)
+            trailer["ID"] = [HexN(file_id.hex()), HexN(file_id.hex())]
         out.extend(b"trailer\n")
         out.extend(_ser(trailer))
         out.extend(f"\nstartxref\n{xref_pos}\n%%EOF\n".encode())
@@ -549,7 +719,7 @@ FIXTURE_CLASSES = [
     "filter_asciihex", "filter_ascii85", "filter_rle", "filter_lzw",
     "filter_chain", "contents_array", "header_offset", "multipage",
     "font_winansi", "font_cid", "xobject_form", "inline_image",
-    "marked_artifact",
+    "marked_artifact", "encrypt_rc4_128", "encrypt_aes256",
 ]
 
 
@@ -593,6 +763,10 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         return make_pdf([c], inline_image=True)
     if cls == "marked_artifact":
         return make_pdf([c], artifact_extra=b"BT /F1 12 Tf 72 100 Td (SUPPRESSED) Tj ET")
+    if cls == "encrypt_rc4_128":
+        return make_pdf([c], encrypt="rc4_128")
+    if cls == "encrypt_aes256":
+        return make_pdf([c], encrypt="aes256")
     raise ValueError(cls)
 
 

@@ -632,6 +632,8 @@ QUERIES = {
          "marked_artifact", "plain_uncompressed", "xref_stream",
          "filter_chain"]),
     "q_extract_multipage": _extract_query(["multipage"]),
+    "q_extract_encrypted": _extract_query(
+        ["encrypt_rc4_128", "encrypt_aes256"]),
     # pipeline plane
     "q_verify_join": q_verify_join,
     "q_extract_metrics": q_extract_metrics,
@@ -664,6 +666,7 @@ ORACLES = {
     "q_extract_xobject": _ORACLE_SINGLEPAGE,
     "q_extract_structure": _ORACLE_SINGLEPAGE,
     "q_extract_multipage": _ORACLE_MULTIPAGE,
+    "q_extract_encrypted": _ORACLE_SINGLEPAGE,
     "q_verify_join": ORACLE_VERIFY_JOIN,
     "q_extract_metrics": ORACLE_EXTRACT_METRICS,
     "q_resume_antijoin": ORACLE_RESUME_ANTIJOIN,

@@ -111,3 +111,21 @@ def test_tz_horizontal_scaling_affects_width():
     w1 = r1["pages"][0]["spans"][0]["x1"] - r1["pages"][0]["spans"][0]["x0"]
     w2 = r2["pages"][0]["spans"][0]["x1"] - r2["pages"][0]["spans"][0]["x0"]
     assert w2 == pytest.approx(2 * w1, rel=1e-5)
+
+
+def test_encrypted_extraction():
+    """RC4-128 R3 and AES-256 R6, empty user password."""
+    for cls in ("encrypt_rc4_128", "encrypt_aes256"):
+        r = extract_doc(build_fixture(cls, LINES))
+        assert r["status"] == "ok", (cls, r["err"])
+        assert r["text"] == EXPECTED
+
+
+def test_encrypted_wrong_password_quarantined():
+    pdf = build_fixture("encrypt_rc4_128", LINES)
+    # corrupt /U so the empty password fails validation
+    idx = pdf.find(b"/U <")
+    assert idx > 0
+    bad = pdf[:idx + 5] + b"00" + pdf[idx + 7:]
+    r = extract_doc(bad)
+    assert r["status"] == "unsupported_encryption"
