@@ -12,11 +12,21 @@ keyword start on hit, restored on miss).
 """
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from .objects import Comment, HexStr, LitStr, Name, Ref, f32
 
 __all__ = ["Buf", "ParseError"]
+
+# precompiled scanners for the hot paths (token runs, numbers, strings)
+_NAME_RUN = re.compile(rb"[^\x00\t\n\x0c\r ()<>{}\[\]%/]*")
+_NUM_RUN = re.compile(rb"[0-9+\-.]*")
+_UNUM_RUN = re.compile(rb"[0-9]*")
+_SPACE_RUN = re.compile(rb"[\x00\t\n\x0c\r ]*")
+_LIT_SPECIAL = re.compile(rb"[\\()]")
+_HEX_RUN = re.compile(rb"[0-9a-fA-F\x00\t\n\x0c\r ]*")
 
 
 class ParseError(Exception):
@@ -95,12 +105,12 @@ class Buf:
             self.pos += 1
 
     def chomp_space(self) -> int:
-        data, n0, ln = self.data, self.pos, len(self.data)
-        p = n0
-        while p < ln and data[p] in _SPACE:
-            p += 1
-        self.pos = p
-        return p - n0
+        data, p = self.data, self.pos
+        if p >= len(data) or data[p] not in _SPACE:
+            return 0
+        end = _SPACE_RUN.match(data, p).end()
+        self.pos = end
+        return end - p
 
     def chomp_eol(self) -> None:
         data, ln = self.data, len(self.data)
@@ -159,38 +169,38 @@ class Buf:
         return Comment(bytes(out))
 
     def parse_name(self) -> Name:
-        self.skipv(b"/")
-        out = bytearray()
-        while not self.eof():
-            c = self.peek()
-            if c in _SPACE or c in _DELIM:
-                break
-            if c == 0x23:  # '#' hex escape (CosReader.jl:61-71)
-                self.skip(1)
-                c1 = self.peek()
-                self.skip(1)
-                c2 = self.peek()
-                if c1 in _XDIGITS and c2 in _XDIGITS:
-                    c = int(chr(c1) + chr(c2), 16)
+        data = self.data
+        if self.pos >= len(data) or data[self.pos] != 0x2F:
+            raise ParseError(f"expected / at {self.pos}")
+        m = _NAME_RUN.match(data, self.pos + 1)
+        token = m.group()
+        self.pos = m.end()
+        if 0x23 in token:  # '#' hex escape (CosReader.jl:61-71)
+            out = bytearray()
+            i, ln = 0, len(token)
+            while i < ln:
+                c = token[i]
+                if c == 0x23:
+                    if i + 2 >= ln or not (token[i + 1] in _XDIGITS
+                                           and token[i + 2] in _XDIGITS):
+                        raise ParseError(f"bad #-escape in name at {self.pos}")
+                    out.append(int(token[i + 1:i + 3], 16))
+                    i += 3
                 else:
-                    raise ParseError(f"bad #-escape in name at {self.pos}")
-            self.skip(1)
-            out.append(c)
+                    out.append(c)
+                    i += 1
+            token = bytes(out)
         self.chomp_space()
-        return Name(out.decode("latin-1"))
+        return Name(token.decode("latin-1"))
 
     def parse_ops_or_const(self, parse_more=_default_parse_more):
         """Keyword tokenizer with the reference's exact cursor arithmetic
         (/root/reference/src/CosReader.jl:80-112): constants consume
         token+1 space; parse_more may claim fewer bytes than the token."""
         start = self.pos
-        token = bytearray()
-        while not self.eof():
-            c = self.peek()
-            if c in _SPACE or c in _DELIM:
-                break
-            self.skip(1)
-            token.append(c)
+        m = _NAME_RUN.match(self.data, self.pos)
+        token = m.group()
+        self.pos = m.end()
         ns = self.chomp_space()
         reset_marker = ns > 0 and not self.eof()
         tb = bytes(token)
@@ -241,51 +251,66 @@ class Buf:
         return n
 
     def parse_string(self) -> LitStr:
+        # chunk-scan: copy runs between \ ( ) wholesale
+        data = self.data
         out = bytearray()
-        self.skip(1)  # (
+        p = self.pos + 1  # past (
         paren = 0
         while True:
-            c = self.advance()
+            m = _LIT_SPECIAL.search(data, p)
+            if m is None:
+                raise ParseError("unterminated literal string")
+            out += data[p:m.start()]
+            p = m.start()
+            c = data[p]
+            p += 1
             if c == 0x5C:  # backslash
-                c = self.advance()
+                if p >= len(data):
+                    raise ParseError("unterminated escape")
+                c = data[p]
+                p += 1
                 if c in _ODIGITS:
+                    self.pos = p
                     out.append(self._read_octal_escape(c))
+                    p = self.pos
                 elif c in (0x0D, 0x0A):
+                    self.pos = p
                     self.chomp_space()
+                    p = self.pos
                 else:
                     e = _ESCAPES.get(c, 0)
                     if e == 0:
-                        raise ParseError(f"bad escape at {self.pos}")
+                        raise ParseError(f"bad escape at {p}")
                     out.append(e)
-                continue
             elif c == 0x28:
                 paren += 1
-            elif c == 0x29:
+                out.append(c)
+            else:  # 0x29
                 if paren > 0:
                     paren -= 1
+                    out.append(c)
                 else:
+                    self.pos = p
                     self.chomp_space()
                     return LitStr(bytes(out))
-            out.append(c)
 
     def parse_xstring(self):
-        out = bytearray()
-        self.skip(1)  # <
-        while True:
-            c = self.advance()
-            if c == 0x3C:
-                return self.parse_dict()
-            if c in _SPACE:
-                continue
-            if c in _XDIGITS:
-                out.append(c)
-            elif c == 0x3E:  # >
-                if len(out) % 2 != 0:
-                    out.append(0x30)  # pad '0' (CosReader.jl:197)
-                self.chomp_space()
-                return HexStr(bytes(out))
-            else:
-                raise ParseError(f"unexpected char in hex string at {self.pos}")
+        data = self.data
+        p = self.pos + 1  # past <
+        if p < len(data) and data[p] == 0x3C:
+            self.pos = p + 1
+            return self.parse_dict()
+        m = _HEX_RUN.match(data, p)
+        end = m.end()
+        if end >= len(data) or data[end] != 0x3E:
+            raise ParseError(f"unexpected char in hex string at {end}")
+        chunk = data[p:end]
+        out = chunk.translate(None, b"\x00\t\n\x0c\r ")
+        if len(out) % 2 != 0:
+            out += b"0"  # pad '0' (CosReader.jl:197)
+        self.pos = end + 1
+        self.chomp_space()
+        return HexStr(out)
 
     def parse_dict(self) -> dict:
         """Cursor must be just past '<<' (CosReader.jl:206-236)."""
@@ -311,47 +336,32 @@ class Buf:
 
     # ---- numbers (CosReader.jl:455-509) ----
     def parse_unsignednumber(self) -> int:
-        out = bytearray()
-        while not self.eof():
-            c = self.peek()
-            if c in _DIGITS:
-                out.append(c)
-                self.skip(1)
-            else:
-                break
-        self.chomp_space()
-        if not out:
+        m = _UNUM_RUN.match(self.data, self.pos)
+        token = m.group()
+        if not token:
             raise ParseError(f"bad number at {self.pos}")
-        return int(out.decode("ascii"))
+        self.pos = m.end()
+        self.chomp_space()
+        return int(token)
 
     def parse_number(self):
-        out = bytearray()
-        isint = True
-        while not self.eof():
-            c = self.peek()
-            if c in _DIGITS or c == 0x2D:
-                out.append(c)
-            elif c == 0x2B:
-                pass  # '+' ignored
-            elif c == 0x2E:
-                out.append(c)
-                isint = False
-            else:
-                break
-            self.skip(1)
+        m = _NUM_RUN.match(self.data, self.pos)
+        token = m.group()
+        self.pos = m.end()
         self.chomp_space()
-        s = out.decode("ascii")
-        if not s:
+        if 0x2B in token:
+            token = token.replace(b"+", b"")  # '+' ignored (ref)
+        if not token:
             raise ParseError(f"bad number at {self.pos}")
-        if isint:
+        if 0x2E in token:  # '.' -> float32
             try:
-                return int(s)
+                return f32(float(token))
             except ValueError:
-                raise ParseError(f"bad int {s!r} at {self.pos}")
+                raise ParseError(f"bad float {token!r} at {self.pos}")
         try:
-            return f32(float(s))
+            return int(token)
         except ValueError:
-            raise ParseError(f"bad float {s!r} at {self.pos}")
+            raise ParseError(f"bad int {token!r} at {self.pos}")
 
     # ---- indirect refs (CosReader.jl:370-419) ----
     def try_parse_indirect_reference(self):

@@ -423,7 +423,9 @@ def make_pdf(page_contents: list[bytes],
              info: dict | None = None,
              filter_chain: list[str] | None = None,
              nested_pagetree: bool = False,
-             encrypt: str | None = None) -> bytes:
+             encrypt: str | None = None,
+             page_labels: bool = False,
+             outline: bool = False) -> bytes:
     """Assemble a complete PDF. One page per entry in page_contents."""
     counter = [0]
 
@@ -542,8 +544,29 @@ def make_pdf(page_contents: list[bytes],
 
     objs.append((pages_n, {"Type": NameN("Pages"), "Kids": kids,
                            "Count": len(page_ns)}))
-    objs.append((catalog_n, {"Type": NameN("Catalog"),
-                             "Pages": RefN(pages_n)}))
+    catalog_d = {"Type": NameN("Catalog"), "Pages": RefN(pages_n)}
+    if page_labels:
+        # pages 1-2 lowercase roman, rest decimal with 'P-' prefix
+        pl_n = alloc()
+        objs.append((pl_n, {"Nums": [0, {"S": NameN("r")},
+                                     2, {"S": NameN("D"), "P": "P-"}]}))
+        catalog_d["PageLabels"] = RefN(pl_n)
+    if outline:
+        root_n = alloc()
+        item_ns = [alloc() for _ in page_ns]
+        for i, inum in enumerate(item_ns):
+            item = {"Title": f"Sec {i + 1}", "Parent": RefN(root_n)}
+            if i + 1 < len(item_ns):
+                item["Next"] = RefN(item_ns[i + 1])
+            if i > 0:
+                item["Prev"] = RefN(item_ns[i - 1])
+            objs.append((inum, item))
+        objs.append((root_n, {"Type": NameN("Outlines"),
+                              "First": RefN(item_ns[0]),
+                              "Last": RefN(item_ns[-1]),
+                              "Count": len(item_ns)}))
+        catalog_d["Outlines"] = RefN(root_n)
+    objs.append((catalog_n, catalog_d))
     info_n = None
     if info is not None:
         info_n = alloc()
@@ -720,6 +743,7 @@ FIXTURE_CLASSES = [
     "filter_chain", "contents_array", "header_offset", "multipage",
     "font_winansi", "font_cid", "xobject_form", "inline_image",
     "marked_artifact", "encrypt_rc4_128", "encrypt_aes256",
+    "multipage_labels", "outline_toc",
 ]
 
 
@@ -767,6 +791,12 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         return make_pdf([c], encrypt="rc4_128")
     if cls == "encrypt_aes256":
         return make_pdf([c], encrypt="aes256")
+    if cls == "multipage_labels":
+        per_page = [content_for_lines([ln]) for ln in lines]
+        return make_pdf(per_page, page_labels=True)
+    if cls == "outline_toc":
+        per_page = [content_for_lines([ln]) for ln in lines]
+        return make_pdf(per_page, outline=True)
     raise ValueError(cls)
 
 

@@ -72,7 +72,8 @@ ZAP_TO_UNICODE = _enc_to_unicode("ZAP", AGL_ZAP)
 
 class AdobeFontMetrics:
     __slots__ = ("cid_to_name", "name_to_wx", "kern_pairs", "has_kerning",
-                 "italic_angle", "is_fixed_pitch", "weight", "fontname")
+                 "italic_angle", "is_fixed_pitch", "weight", "fontname",
+                 "_wx256", "_kern256")
 
     def __init__(self, raw: dict):
         self.cid_to_name = {int(k): v for k, v in raw["cid_to_name"].items()}
@@ -84,6 +85,8 @@ class AdobeFontMetrics:
         self.is_fixed_pitch = raw["fixed"]
         self.weight = raw["weight"]
         self.fontname = raw["fontname"]
+        self._wx256 = None
+        self._kern256 = None
 
     def flags(self) -> int:
         res = 0
@@ -92,6 +95,33 @@ class AdobeFontMetrics:
         if self.is_fixed_pitch:
             res += 0x00000001
         return res
+
+    def wx256(self) -> np.ndarray:
+        """Dense cid->width vector (missing cid -> 1000, matching
+        get_character_width's fallback)."""
+        if self._wx256 is None:
+            v = np.full(256, 1000.0, dtype=np.float32)
+            for cid, name in self.cid_to_name.items():
+                if 0 <= cid < 256:
+                    v[cid] = self.name_to_wx.get(name, f32(1000.0))
+            self._wx256 = v
+        return self._wx256
+
+    def kern256(self) -> np.ndarray:
+        """Dense (prev, curr) kern matrix for vectorized lookups."""
+        if self._kern256 is None:
+            m = np.zeros((256, 256), dtype=np.float32)
+            if self.has_kerning:
+                name_to_cids: dict[str, list[int]] = {}
+                for cid, name in self.cid_to_name.items():
+                    if 0 <= cid < 256:
+                        name_to_cids.setdefault(name, []).append(cid)
+                for (n1, n2), kw in self.kern_pairs.items():
+                    for c1 in name_to_cids.get(n1, ()):
+                        for c2 in name_to_cids.get(n2, ()):
+                            m[c1, c2] = kw
+            self._kern256 = m
+        return self._kern256
 
 
 _AFM_CACHE: dict[str, AdobeFontMetrics] = {}
@@ -694,20 +724,43 @@ def _iter_codes(barr: bytes, widths):
 def get_string_width(barr: bytes, widths, pc: int, tfs, tj, tc, tw) -> np.float32:
     """Float32 width accumulation (PDFonts.jl:648-663):
     w = (w - tj)*tfs/1000 + (space ? tw : tc); w += kern; tj first char
-    only. Op order preserved for byte-identical layout."""
-    totalw = f32(0.0)
+    only. Vectorized over the string; np.add.accumulate keeps the
+    scalar loop's SEQUENTIAL f32 summation order (ufunc.accumulate is
+    defined sequentially, unlike pairwise np.sum)."""
+    if len(barr) == 0:
+        return f32(0.0)
     sc = space_code(widths)
     thousand = f32(1000.0)
-    tj = f32(tj)
-    for c in _iter_codes(barr, widths):
-        w = get_character_width(c, widths)
-        kw = get_kern_width(pc, c, widths)
-        w = (w - tj) * tfs / thousand + (tw if c == sc else tc)
+    if isinstance(widths, CIDWidth):
+        totalw = f32(0.0)
+        tj = f32(tj)
+        for c in _iter_codes(barr, widths):
+            w = get_character_width(c, widths)
+            w = (w - tj) * tfs / thousand + (tw if c == sc else tc)
+            pc = c
+            tj = f32(0.0)
+            totalw = totalw + w
+        return totalw
+    codes = np.frombuffer(barr, dtype=np.uint8)
+    if isinstance(widths, AdobeFontMetrics):
+        wx = widths.wx256()[codes]
+        kern = widths.kern256()
+        prev = np.empty_like(codes)
+        prev[0] = pc & 0xFF if 0 <= pc < 256 else 0
+        prev[1:] = codes[:-1]
+        kw = kern[prev, codes]
+    else:
+        base = np.asarray(widths, dtype=np.float32)
+        eff = np.where(base == 0, np.float32(1000.0), base)
+        wx = eff[codes]
+        kw = None
+    tjv = np.zeros(len(codes), dtype=np.float32)
+    tjv[0] = f32(tj)
+    w = (wx - tjv) * f32(tfs) / thousand + np.where(
+        codes == sc, f32(tw), f32(tc)).astype(np.float32)
+    if kw is not None:
         w = w + kw
-        pc = c
-        tj = f32(0.0)
-        totalw = totalw + w
-    return totalw
+    return np.add.accumulate(w)[-1]
 
 
 def get_text_box(ss: list, pdfont, tfs, tc, tw, th):

@@ -1,0 +1,141 @@
+"""Navigation plane: name/number trees, page labels, outlines.
+
+Mirrors the reference's tree queries and metadata operators:
+ - lazy number/name-tree lookup with Limits range pruning
+   (createTreeNode /root/reference/src/CosObject.jl:486-518,
+   find_ntree /root/reference/src/CosDoc.jl:521-543);
+ - page labels with D/R/r/A/a styles, prefix and start
+   (find_label_for_pageno, CosDoc.jl:648-686);
+ - outline walk over First/Next sibling chains
+   (PDOutline.jl:90-123,241-260).
+"""
+from __future__ import annotations
+
+from ..cos.objects import Name, Ref
+
+__all__ = ["get_page_label", "get_page_labels", "get_outline",
+           "to_roman", "to_alpha"]
+
+_ROMAN = [(1000, "m"), (900, "cm"), (500, "d"), (400, "cd"),
+          (100, "c"), (90, "xc"), (50, "l"), (40, "xl"),
+          (10, "x"), (9, "ix"), (5, "v"), (4, "iv"), (1, "i")]
+
+
+def to_roman(n: int, lower: bool = True) -> str:
+    out = []
+    for v, s in _ROMAN:
+        while n >= v:
+            out.append(s)
+            n -= v
+    r = "".join(out)
+    return r if lower else r.upper()
+
+
+def to_alpha(n: int, lower: bool = True) -> str:
+    """AlphaNumeral style: A..Z, AA..ZZ, AAA... (1-based)."""
+    q, r = divmod(n - 1, 26)
+    ch = chr(ord("a") + r)
+    s = ch * (q + 1)
+    return s if lower else s.upper()
+
+
+def _collect_number_tree(doc, node, out: list, depth: int = 0) -> None:
+    """Flatten a number tree's (key, value) pairs in key order —
+    equivalent to the reference's lazy walk for the doc sizes we see
+    per row (trees are tiny; pruning buys nothing inside a UDF)."""
+    if node is None or depth > 32:
+        return
+    nums = doc.get(node, Name("Nums"))
+    if isinstance(nums, list):
+        for i in range(0, len(nums) - 1, 2):
+            key = doc.get_object(nums[i])
+            out.append((int(key), nums[i + 1]))
+    kids = doc.get(node, Name("Kids"))
+    if isinstance(kids, list):
+        for kid in kids:
+            _collect_number_tree(doc, doc.get_object(kid), out, depth + 1)
+
+
+def _format_label(doc, pl_dict, num: int) -> str:
+    s = doc.get(pl_dict, Name("S"))
+    p = doc.get(pl_dict, Name("P"))
+    st = doc.get(pl_dict, Name("St"))
+    start = int(st) if st is not None else 1
+    pfx = ""
+    if p is not None and isinstance(p, (bytes,)):
+        from .fonts import pdf_doc_decode
+        pfx = pdf_doc_decode(p)
+    elif isinstance(p, str) and not isinstance(p, Name):
+        pfx = p
+    if s is None:
+        return pfx
+    n = num
+    if s == Name("D"):
+        return f"{pfx}{n}"
+    if s == Name("R"):
+        return pfx + to_roman(n, lower=False)
+    if s == Name("r"):
+        return pfx + to_roman(n, lower=True)
+    if s == Name("A"):
+        return pfx + to_alpha(n, lower=False)
+    if s == Name("a"):
+        return pfx + to_alpha(n, lower=True)
+    raise ValueError(f"invalid page label style {s}")
+
+
+def get_page_label(doc, pageno: int) -> str | None:
+    """1-based pageno -> label (find_label_for_pageno semantics)."""
+    ref = doc.cos.get(doc.catalog, Name("PageLabels"))
+    if ref is None:
+        return None
+    pairs: list = []
+    _collect_number_tree(doc.cos, ref, pairs)
+    pairs.sort(key=lambda kv: kv[0])
+    key = pageno - 1
+    # last entry with start <= key
+    chosen = None
+    for start_page, obj in pairs:
+        if start_page <= key:
+            chosen = (start_page, obj)
+        else:
+            break
+    if chosen is None:
+        return None
+    start_page, obj = chosen
+    pl = doc.cos.get_object(obj)
+    st = doc.cos.get(pl, Name("St"))
+    start = int(st) if st is not None else 1
+    return _format_label(doc.cos, pl, key - start_page + start)
+
+
+def get_page_labels(doc) -> list[str | None]:
+    return [get_page_label(doc, i + 1) for i in range(doc.page_count())]
+
+
+def get_outline(doc, max_items: int = 1000) -> list[dict]:
+    """Flattened outline: [{title, level}] via First/Next walk with
+    visited-set (the reference validates the doubly-linked chain;
+    corrupt chains here just truncate)."""
+    from .fonts import pdf_doc_decode
+    root = doc.cos.get(doc.catalog, Name("Outlines"))
+    if root is None:
+        return []
+    out: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(item, level: int) -> None:
+        while item is not None and len(out) < max_items:
+            if id(item) in seen:
+                return
+            seen.add(id(item))
+            title = doc.cos.get(item, Name("Title"))
+            if isinstance(title, bytes):
+                out.append({"title": pdf_doc_decode(title), "level": level})
+            first = doc.cos.get(item, Name("First"))
+            if first is not None:
+                walk(first, level + 1)
+            item = doc.cos.get(item, Name("Next"))
+
+    first = doc.cos.get(root, Name("First"))
+    walk(first, 0)
+    return out

@@ -306,6 +306,87 @@ FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
 """
 
 
+def q_page_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-label number-tree lookup (SURVEY T1-T4): roman pages 1-2,
+    'P-<n>' decimal after — predicted in closed form by the oracle."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["multipage_labels"])
+
+    def labels(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import get_page_labels
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o_url, o_pg, o_lab = [], [], []
+            for url, html in zip(urls, htmls):
+                try:
+                    doc = PDDoc(html)
+                    for i, lab in enumerate(get_page_labels(doc)):
+                        o_url.append(url)
+                        o_pg.append(i + 1)
+                        o_lab.append(lab)
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_url, pa.string()), pa.array(o_pg, pa.int32()),
+                 pa.array(o_lab, pa.string())],
+                names=["url", "page_no", "label"])
+
+    return (corpus.mapInArrow(labels,
+                              "url string, page_no int, label string")
+            .orderBy("url", "page_no"))
+
+
+ORACLE_PAGE_LABELS = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url,
+       cast(i AS int) AS page_no,
+       CASE WHEN i = 1 THEN 'i' WHEN i = 2 THEN 'ii'
+            ELSE 'P-' || (i - 2) END AS label
+FROM l ORDER BY url, page_no
+"""
+
+
+def q_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outline walk (SURVEY N1-N3): one 'Sec <i>' item per page."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["outline_toc"])
+
+    def outlines(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import get_outline
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o_url, o_lvl, o_title = [], [], []
+            for url, html in zip(urls, htmls):
+                try:
+                    doc = PDDoc(html)
+                    for item in get_outline(doc):
+                        o_url.append(url)
+                        o_lvl.append(item["level"])
+                        o_title.append(item["title"])
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_url, pa.string()), pa.array(o_lvl, pa.int32()),
+                 pa.array(o_title, pa.string())],
+                names=["url", "level", "title"])
+
+    return (corpus.mapInArrow(outlines, "url string, level int, title string")
+            .orderBy("url", "title"))
+
+
+ORACLE_OUTLINE = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url, 0 AS level, 'Sec ' || i AS title
+FROM l ORDER BY url, title
+"""
+
+
 # ---------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------
@@ -634,6 +715,8 @@ QUERIES = {
     "q_extract_multipage": _extract_query(["multipage"]),
     "q_extract_encrypted": _extract_query(
         ["encrypt_rc4_128", "encrypt_aes256"]),
+    "q_page_labels": q_page_labels,
+    "q_outline": q_outline,
     # pipeline plane
     "q_verify_join": q_verify_join,
     "q_extract_metrics": q_extract_metrics,
@@ -667,6 +750,8 @@ ORACLES = {
     "q_extract_structure": _ORACLE_SINGLEPAGE,
     "q_extract_multipage": _ORACLE_MULTIPAGE,
     "q_extract_encrypted": _ORACLE_SINGLEPAGE,
+    "q_page_labels": ORACLE_PAGE_LABELS,
+    "q_outline": ORACLE_OUTLINE,
     "q_verify_join": ORACLE_VERIFY_JOIN,
     "q_extract_metrics": ORACLE_EXTRACT_METRICS,
     "q_resume_antijoin": ORACLE_RESUME_ANTIJOIN,

@@ -29,9 +29,12 @@ def get_spark(cpus: int | None = None, app: str = "pdfio_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # bound Arrow batches: a batch of large PDFs must fit in the
-        # Python worker (SURVEY §4.2 memory control)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # bound Arrow batches: rows for throughput, bytes for memory —
+        # a batch of large PDFs must fit in the Python worker
+        # (SURVEY §4.2 memory control)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -166,3 +166,63 @@ class TestGlyphNames:
         assert fonts.WIN_TO_UNICODE[0xA0] == [0x3A]  # colon quirk
         assert fonts.WIN_TO_UNICODE[0xAD] == [0xAD]  # sfthyphen
         assert fonts.MAC_TO_UNICODE[0xCA] == [0x3A]
+
+
+class TestNavigation:
+    def test_roman_alpha(self):
+        from pdfio_spark.pd.navigation import to_roman, to_alpha
+        assert to_roman(4) == "iv" and to_roman(1987) == "mcmlxxxvii"
+        assert to_roman(9, lower=False) == "IX"
+        assert to_alpha(1) == "a" and to_alpha(26) == "z"
+        assert to_alpha(27) == "aa" and to_alpha(28, lower=False) == "BB"
+
+    def test_page_labels(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import get_page_labels
+        pdf = build_fixture("multipage_labels", ["a", "b", "c", "d"])
+        labels = get_page_labels(PDDoc(pdf))
+        assert labels == ["i", "ii", "P-1", "P-2"]
+
+    def test_outline(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import get_outline
+        pdf = build_fixture("outline_toc", ["a", "b", "c"])
+        items = get_outline(PDDoc(pdf))
+        assert [i["title"] for i in items] == ["Sec 1", "Sec 2", "Sec 3"]
+        assert all(i["level"] == 0 for i in items)
+
+
+class TestCDDate:
+    def test_parse_show(self):
+        from pdfio_spark.pd.dates import CDDate
+        assert repr(CDDate("D:199812231952-08'30 ")) == \
+            "D:19981223195200-08'30"
+
+    def test_invalid(self):
+        from pdfio_spark.pd.dates import CDDate
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            CDDate("not a date")
+        with _pt.raises(ValueError):
+            CDDate("D:209")
+
+    def test_partial_defaults(self):
+        from pdfio_spark.pd.dates import CDDate
+        assert CDDate("D:2009") == CDDate("D:20090101000000Z")
+        assert CDDate("D:200902") == CDDate("D:20090201000000+00")
+        assert CDDate("D:20090202010203") == CDDate("D:20090202010203+00'00")
+
+    def test_tz_ordering(self):
+        from pdfio_spark.pd.dates import CDDate
+        assert CDDate("D:20090202010202+00'01") < CDDate("D:20090202010202")
+        assert CDDate("D:20090202010202") < CDDate("D:20090202010203")
+        assert CDDate("D:20090202-01'01") > CDDate("D:20090202-00'01")
+        assert CDDate("D:2009020208+06") < CDDate("D:2009020204+01")
+        assert CDDate("D:2009020208+06") == CDDate("D:2009020204+02")
+
+    def test_utc(self):
+        from pdfio_spark.pd.dates import CDDate
+        d = CDDate("D:20190425173659+05'30")
+        assert repr(CDDate(d.utc())) == "D:20190425120659Z"

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence for the north rule: run the identical
+extraction job at two parallelism levels (local[8] vs local[32]) on the
+same input and report throughput at both plus efficiency
+= (T_32 / T_8) / (32/8). Results go to BENCH/BASELINE.md.
+
+Each level runs in its own process (one JVM per SparkContext).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+CHILD = r"""
+import json, os, sys, time
+# pin to exactly `cpus` cores: a real N-executor cluster gives each
+# executor dedicated cores; without pinning, the local[8] JVM borrows
+# the box's idle cores for shuffle/arrow work and inflates the baseline
+os.sched_setaffinity(0, set(range(int(sys.argv[1]))))
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from pdfio_spark.pipeline.session import get_spark
+from pdfio_spark.pipeline.job import extract_pdfs, gen_pdf_corpus
+from bench import replicate_corpus
+
+cpus = int(sys.argv[1])
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+k = int(os.environ.get("BENCH_REPLICATE", "4"))
+spark = get_spark(cpus=cpus, shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+docs = replicate_corpus(spark, sf_dir, k)
+corpus = gen_pdf_corpus(docs).cache()
+n = corpus.count()
+# warm-up pass (JIT/codegen/Python worker pool), then 2 timed passes
+best = None
+for it in range(3):
+    t0 = time.perf_counter()
+    ext = extract_pdfs(corpus)
+    ok = ext.filter("status = 'ok'").count()
+    dt = time.perf_counter() - t0
+    if it > 0:
+        best = dt if best is None else min(best, dt)
+print(json.dumps({"cpus": cpus, "n_pdfs": n, "ok": ok,
+                  "sec": round(best, 3),
+                  "pdfs_per_sec": round(n / best, 2)}))
+spark.stop()
+"""
+
+
+def run(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cpus)],
+        capture_output=True, text=True, timeout=1200,
+        cwd="/root/repo")
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(out.stdout[-2000:] + out.stderr[-2000:])
+
+
+def main() -> None:
+    # interleave A/B/A/B and keep the best per level — the sandbox VM
+    # shows double-digit run-to-run variance
+    runs = {8: [], 32: []}
+    for _ in range(2):
+        for cpus in (8, 32):
+            r = run(cpus)
+            print(json.dumps(r))
+            runs[cpus].append(r)
+    lo = max(runs[8], key=lambda r: r["pdfs_per_sec"])
+    hi = max(runs[32], key=lambda r: r["pdfs_per_sec"])
+    eff = (hi["pdfs_per_sec"] / lo["pdfs_per_sec"]) / (32 / 8)
+    result = {"local8": lo, "local32": hi,
+              "all_runs": runs[8] + runs[32],
+              "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result, indent=2))
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/scaling.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
