@@ -696,6 +696,187 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------
+# similarity: LSH-bucketed ANN (the scale path next to brute force)
+# ---------------------------------------------------------------------
+
+def _hyperplanes(n: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes embedded as literals in
+    BOTH the Spark plan and the DuckDB oracle (seed-free arithmetic)."""
+    out = []
+    for j in range(n):
+        row = []
+        for i in range(dim):
+            v = ((j * dim + i + 1) * 2654435761) % 1000003
+            row.append(round(v / 1000003 * 2 - 1, 6))
+        out.append(row)
+    return out
+
+
+_HP = _hyperplanes()
+
+
+def _dot_lit(col, vec):
+    arr = F.array(*[F.lit(float(v)) for v in vec])
+    return F.aggregate(
+        F.zip_with(col, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _bucket_expr(col):
+    b = None
+    for j, hp in enumerate(_HP):
+        bit = F.when(_dot_lit(col, hp) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        b = bit if b is None else b + bit
+    return b.cast("int")
+
+
+def _bucket_sql(col: str) -> str:
+    terms = []
+    for j, hp in enumerate(_HP):
+        lits = ",".join(repr(v) for v in hp)
+        terms.append(
+            f"CASE WHEN list_dot_product({col}::DOUBLE[], [{lits}]) >= 0 "
+            f"THEN {1 << j} ELSE 0 END")
+    return "cast(" + " + ".join(terms) + " AS int)"
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment — sign bits of 8
+    deterministic hyperplane dot products (JVM-side expressions)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (emb.select("vec_id", _bucket_expr(F.col("embedding"))
+                       .alias("bucket"))
+            .orderBy("vec_id"))
+
+
+ORACLE_LSH_BUCKETS = f"""
+SELECT vec_id, {_bucket_sql('embedding')} AS bucket
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via LSH candidate pruning: exact cosine only WITHIN buckets,
+    top-3 per vector — the 100 TB-scale alternative to the brute-force
+    cross join (candidates shrink ~256x with 8 bits)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.select("vec_id", "embedding",
+                   _bucket_expr(F.col("embedding")).alias("bucket"))
+    left = b.alias("a")
+    right = b.alias("c")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    sim = F.round(dot / (nrm(F.col("a.embedding"))
+                         * nrm(F.col("c.embedding"))), 6)
+    pairs = (left.join(right, (F.col("a.bucket") == F.col("c.bucket"))
+                       & (F.col("a.vec_id") != F.col("c.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_id"),
+                     F.col("c.vec_id").alias("nn_id"),
+                     sim.alias("cos_sim")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
+                                             F.asc("nn_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .orderBy("vec_id", "rk"))
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id, c.vec_id AS nn_id,
+         round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                        a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]))), 6)
+             AS cos_sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+), ranked AS (
+  SELECT vec_id, nn_id, cos_sim,
+         cast(row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, nn_id ASC) AS int)
+             AS rk
+  FROM pairs
+)
+SELECT vec_id, nn_id, cos_sim, rk FROM ranked WHERE rk <= 3
+ORDER BY vec_id, rk
+"""
+
+
+# ---------------------------------------------------------------------
+# multimodal plane (binary containers + typed metadata)
+# ---------------------------------------------------------------------
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary container header parsing in an Arrow UDF; the oracle
+    recomputes the header fields from their generating formulas."""
+    from .multimodal import gen_media_corpus, media_metadata
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return media_metadata(gen_media_corpus(emb)).orderBy("media_id")
+
+
+ORACLE_MEDIA_METADATA = """
+SELECT vec_id AS media_id,
+       cast(vec_id % 3 AS int) AS kind,
+       cast(64 + (vec_id * 7) % 512 AS int) AS width,
+       cast(64 + (vec_id * 13) % 512 AS int) AS height,
+       cast((vec_id * 31) % 60000 AS bigint) AS dur_ms,
+       cast(vec_id % 4 AS int) AS codec,
+       cast(256 + (vec_id * 11) % 1024 AS bigint) AS body_bytes
+FROM embeddings ORDER BY media_id
+"""
+
+
+def q_media_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail geometry (integer resize math; pixel decode stubbed)."""
+    from .multimodal import gen_media_corpus, media_thumbnail
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (media_thumbnail(gen_media_corpus(emb))
+            .select("media_id", "out_w", "out_h")
+            .orderBy("media_id"))
+
+
+ORACLE_MEDIA_THUMBNAIL = """
+WITH m AS (
+  SELECT vec_id AS media_id,
+         cast(64 + (vec_id * 7) % 512 AS int) AS w,
+         cast(64 + (vec_id * 13) % 512 AS int) AS h
+  FROM embeddings WHERE vec_id % 3 = 0
+)
+SELECT media_id,
+       cast(CASE WHEN greatest(w, h) <= 128 THEN w
+            ELSE greatest(1, (w * 128) // greatest(w, h)) END AS int)
+           AS out_w,
+       cast(CASE WHEN greatest(w, h) <= 128 THEN h
+            ELSE greatest(1, (h * 128) // greatest(w, h)) END AS int)
+           AS out_h
+FROM m ORDER BY media_id
+"""
+
+
+def q_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one frame per second incl. t=0."""
+    from .multimodal import gen_media_corpus, media_frame_sample
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (media_frame_sample(gen_media_corpus(emb))
+            .orderBy("media_id"))
+
+
+ORACLE_MEDIA_FRAMESAMPLE = """
+SELECT vec_id AS media_id,
+       cast((vec_id * 31) % 60000 // 1000 + 1 AS int) AS n_frames
+FROM embeddings WHERE vec_id % 3 = 2 ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------
 
@@ -738,6 +919,12 @@ QUERIES = {
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_lsh_buckets": q_lsh_buckets,
+    "q_ann_lsh_topk": q_ann_lsh_topk,
+    # multimodal plane
+    "q_media_metadata": q_media_metadata,
+    "q_media_thumbnail": q_media_thumbnail,
+    "q_media_framesample": q_media_framesample,
 }
 
 ORACLES = {
@@ -768,5 +955,10 @@ ORACLES = {
     "q_fingerprint": ORACLE_FINGERPRINT,
     "q_ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "q_lsh_buckets": ORACLE_LSH_BUCKETS,
+    "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "q_media_metadata": ORACLE_MEDIA_METADATA,
+    "q_media_thumbnail": ORACLE_MEDIA_THUMBNAIL,
+    "q_media_framesample": ORACLE_MEDIA_FRAMESAMPLE,
     # q_dedup_minhash / q_dedup_simhash: hash-seed-dependent -> rows-only
 }
