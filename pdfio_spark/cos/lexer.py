@@ -160,8 +160,8 @@ class Buf:
     def parse_comment(self) -> Comment:
         self.skip(1)
         out = bytearray()
-        while True:
-            c = self.advance()
+        while not self.eof():  # EOF-tolerant: truncated streams may end
+            c = self.advance()  # mid-comment (corrupt-flate fixtures)
             if c in (0x0D, 0x0A):
                 break
             out.append(c)

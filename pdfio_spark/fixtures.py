@@ -735,6 +735,139 @@ def make_pdf(page_contents: list[bytes],
     return bytes(out)
 
 
+def make_hybrid_pdf(lines: list[str]) -> bytes:
+    """Hybrid xref (reference test A1947-15.pdf): the classic table
+    lists only catalog+pages (others free), /XRefStm supplements the
+    rest; first-seen entry wins."""
+    body = content_for_lines(lines)
+    comp = zlib.compress(body)
+    out = bytearray(b"%PDF-1.5\n%\xc2\xb5\xc2\xb6\n")
+    offs = {}
+
+    def emit(n, raw):
+        offs[n] = len(out)
+        out.extend(f"{n} 0 obj\n".encode() + raw + b"\nendobj\n")
+
+    emit(1, _ser({"Type": NameN("Catalog"), "Pages": RefN(2)}))
+    emit(2, _ser({"Type": NameN("Pages"), "Kids": [RefN(3)], "Count": 1}))
+    emit(3, _ser({"Type": NameN("Page"), "Parent": RefN(2),
+                  "MediaBox": [0, 0, 612, 792],
+                  "Resources": {"Font": {"F1": RefN(5)}},
+                  "Contents": RefN(4)}))
+    offs[4] = len(out)
+    out.extend(b"4 0 obj\n" + _ser({"Filter": NameN("FlateDecode"),
+                                    "Length": len(comp)}))
+    out.extend(b"\nstream\n" + comp + b"\nendstream\nendobj\n")
+    emit(5, _ser(HELV_FONT))
+
+    # xref STREAM covering objects 3-6 (page, contents, font, itself)
+    xstm_n = 6
+    rows = [(1, offs[3], 0), (1, offs[4], 0), (1, offs[5], 0), (1, 0, 0)]
+    xstm_pos = len(out)
+    rows[3] = (1, xstm_pos, 0)
+    raw = b"".join(bytes([t]) + struct.pack(">I", a) + struct.pack(">H", c)
+                   for t, a, c in rows)
+    xd = {"Type": NameN("XRef"), "Size": 7, "Index": [3, 4],
+          "W": [1, 4, 2], "Root": RefN(1), "Length": len(raw)}
+    out.extend(f"{xstm_n} 0 obj\n".encode() + _ser(xd))
+    out.extend(b"\nstream\n" + raw + b"\nendstream\nendobj\n")
+
+    # classic table: 0 free, 1-2 in use, 3-6 marked free (XRefStm has them)
+    xref_pos = len(out)
+    out.extend(b"xref\n0 7\n")
+    out.extend(b"0000000000 65535 f \n")
+    out.extend(f"{offs[1]:010d} 00000 n \n".encode())
+    out.extend(f"{offs[2]:010d} 00000 n \n".encode())
+    for _ in range(4):
+        out.extend(b"0000000000 00000 f \n")
+    out.extend(b"trailer\n")
+    out.extend(_ser({"Size": 7, "Root": RefN(1), "XRefStm": xstm_pos}))
+    out.extend(f"\nstartxref\n{xref_pos}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def make_incremental_pdf(lines_v1: list[str], lines_v2: list[str]) -> bytes:
+    """Incremental update (Prev chain): v2 appends a replacement content
+    stream; first-seen (newest revision) wins (CosDoc.jl:510)."""
+    base = make_pdf([content_for_lines(lines_v1)])
+    # locate the content stream object number: it's the first StreamN
+    # emitted — find "N 0 obj" preceding "stream"
+    sidx = base.find(b"\nstream\n")
+    oidx = base.rfind(b" 0 obj", 0, sidx)
+    nidx = base.rfind(b"\n", 0, oidx)
+    objn = int(base[nidx + 1:oidx])
+    old_startxref = int(base[base.rfind(b"startxref") + 9:
+                             base.rfind(b"%%EOF")].strip())
+    old_size = base.count(b" 0 obj") + 1
+
+    body = content_for_lines(lines_v2)
+    comp = zlib.compress(body)
+    out = bytearray(base)
+    new_off = len(out)
+    out.extend(f"{objn} 0 obj\n".encode())
+    out.extend(_ser({"Filter": NameN("FlateDecode"), "Length": len(comp)}))
+    out.extend(b"\nstream\n" + comp + b"\nendstream\nendobj\n")
+    xref_pos = len(out)
+    out.extend(f"xref\n{objn} 1\n{new_off:010d} 00000 n \n".encode())
+    out.extend(b"trailer\n")
+    # Root must resolve from the NEW trailer too
+    root_n = 1 if b"/Type /Catalog" in base[:200] else None
+    # find catalog object number in base
+    cidx = base.find(b"/Type /Catalog")
+    coidx = base.rfind(b" 0 obj", 0, cidx)
+    cnidx = base.rfind(b"\n", 0, coidx)
+    catn = int(base[cnidx + 1:coidx])
+    out.extend(_ser({"Size": old_size, "Root": RefN(catn),
+                     "Prev": old_startxref}))
+    out.extend(f"\nstartxref\n{xref_pos}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def make_corrupt_flate_pdf(lines: list[str], cut: int = 6) -> bytes:
+    """Corrupt deflate tail (reference test 00007.pdf): a comment pad
+    absorbs the truncation so the text itself survives; the decoder must
+    keep partial output rather than fail."""
+    # incompressible pad: deflate emits it near-verbatim, so a small
+    # tail cut only loses pad bytes, never the text
+    pad = bytearray()
+    c = 0
+    while len(pad) < 2048:
+        pad += hashlib.sha256(b"pad" + c.to_bytes(4, "big")).hexdigest().encode()
+        c += 1
+    body = content_for_lines(lines) + b"% " + bytes(pad) + b"\n"
+    comp = zlib.compress(body, 1)[:-cut]
+    return _rebuild_with_content(comp)
+
+
+def _rebuild_with_content(comp: bytes) -> bytes:
+    """Minimal classic-xref PDF around a pre-encoded content payload."""
+    out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
+    offs = {}
+
+    def emit(n, raw):
+        offs[n] = len(out)
+        out.extend(f"{n} 0 obj\n".encode() + raw + b"\nendobj\n")
+
+    emit(1, _ser({"Type": NameN("Catalog"), "Pages": RefN(2)}))
+    emit(2, _ser({"Type": NameN("Pages"), "Kids": [RefN(3)], "Count": 1}))
+    emit(3, _ser({"Type": NameN("Page"), "Parent": RefN(2),
+                  "MediaBox": [0, 0, 612, 792],
+                  "Resources": {"Font": {"F1": RefN(5)}},
+                  "Contents": RefN(4)}))
+    offs[4] = len(out)
+    out.extend(b"4 0 obj\n" + _ser({"Filter": NameN("FlateDecode"),
+                                    "Length": len(comp)}))
+    out.extend(b"\nstream\n" + comp + b"\nendstream\nendobj\n")
+    emit(5, _ser(HELV_FONT))
+    xref_pos = len(out)
+    out.extend(b"xref\n0 6\n0000000000 65535 f \n")
+    for n in range(1, 6):
+        out.extend(f"{offs[n]:010d} 00000 n \n".encode())
+    out.extend(b"trailer\n" + _ser({"Size": 6, "Root": RefN(1)}))
+    out.extend(f"\nstartxref\n{xref_pos}\n%%EOF\n".encode())
+    return bytes(out)
+
+
 # --------------------------------------------------- per-doc dispatcher
 
 FIXTURE_CLASSES = [
@@ -744,6 +877,7 @@ FIXTURE_CLASSES = [
     "font_winansi", "font_cid", "xobject_form", "inline_image",
     "marked_artifact", "encrypt_rc4_128", "encrypt_aes256",
     "multipage_labels", "outline_toc",
+    "xref_hybrid", "flate_corrupt", "incremental", "with_info",
 ]
 
 
@@ -797,6 +931,16 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
     if cls == "outline_toc":
         per_page = [content_for_lines([ln]) for ln in lines]
         return make_pdf(per_page, outline=True)
+    if cls == "with_info":
+        return make_pdf([c], info={"Producer": "pdfio-spark",
+                                   "Title": lines[0][:24]})
+    if cls == "xref_hybrid":
+        return make_hybrid_pdf(lines)
+    if cls == "flate_corrupt":
+        return make_corrupt_flate_pdf(lines)
+    if cls == "incremental":
+        # v1 content is superseded; expected text is `lines` (v2)
+        return make_incremental_pdf(["OLD CONTENT SUPERSEDED"], lines)
     raise ValueError(cls)
 
 

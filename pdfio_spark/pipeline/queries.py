@@ -349,6 +349,46 @@ FROM l ORDER BY url, page_no
 """
 
 
+def q_doc_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/Info dict -> metadata columns (SURVEY D8): Producer + Title
+    decoded via PDFDocEncoding."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["with_info"])
+
+    def info(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o_url, o_prod, o_title = [], [], []
+            for url, html in zip(urls, htmls):
+                try:
+                    d = PDDoc(html).get_info()
+                    o_url.append(url)
+                    o_prod.append(d.get("Producer"))
+                    o_title.append(d.get("Title"))
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_url, pa.string()), pa.array(o_prod, pa.string()),
+                 pa.array(o_title, pa.string())],
+                names=["url", "producer", "title"])
+
+    return (corpus.mapInArrow(
+        info, "url string, producer string, title string")
+        .orderBy("url"))
+
+
+ORACLE_DOC_INFO = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url,
+       'pdfio-spark' AS producer,
+       substr(min(line) FILTER (WHERE i = 1), 1, 24) AS title
+FROM l GROUP BY doc_id ORDER BY url
+"""
+
+
 def q_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outline walk (SURVEY N1-N3): one 'Sec <i>' item per page."""
     import pyarrow as pa
@@ -892,12 +932,13 @@ QUERIES = {
     "q_extract_structure": _extract_query(
         ["contents_array", "header_offset", "inline_image",
          "marked_artifact", "plain_uncompressed", "xref_stream",
-         "filter_chain"]),
+         "filter_chain", "xref_hybrid", "flate_corrupt", "incremental"]),
     "q_extract_multipage": _extract_query(["multipage"]),
     "q_extract_encrypted": _extract_query(
         ["encrypt_rc4_128", "encrypt_aes256"]),
     "q_page_labels": q_page_labels,
     "q_outline": q_outline,
+    "q_doc_info": q_doc_info,
     # pipeline plane
     "q_verify_join": q_verify_join,
     "q_extract_metrics": q_extract_metrics,
@@ -939,6 +980,7 @@ ORACLES = {
     "q_extract_encrypted": _ORACLE_SINGLEPAGE,
     "q_page_labels": ORACLE_PAGE_LABELS,
     "q_outline": ORACLE_OUTLINE,
+    "q_doc_info": ORACLE_DOC_INFO,
     "q_verify_join": ORACLE_VERIFY_JOIN,
     "q_extract_metrics": ORACLE_EXTRACT_METRICS,
     "q_resume_antijoin": ORACLE_RESUME_ANTIJOIN,

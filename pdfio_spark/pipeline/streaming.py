@@ -1,0 +1,66 @@
+"""Structured Streaming ingestion — the continuous-crawl mode.
+
+The reference is a batch library; the north rule's resumability is
+covered by the checkpoint/anti-join plane (job.py). This module adds
+the genuinely streaming variant for crawl-as-it-arrives deployments:
+
+    readStream(file source of (url, html) parquet)
+      -> mapInArrow(extraction UDF)          [same kernel as batch]
+      -> writeStream(parquet sink, checkpointed, exactly-once)
+
+plus a watermarked windowed metrics stream (late-data tolerant), the
+standard Structured Streaming shapes (SURVEY §2.12 streaming).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .job import _EXTRACT_DDL, _extract_batches
+
+__all__ = ["stream_extract", "stream_metrics"]
+
+
+def stream_extract(spark: SparkSession, input_dir: str,
+                   checkpoint_dir: str, output_dir: str,
+                   available_now: bool = True):
+    """File-source stream of (url, html[, nbytes]) parquet -> extraction
+    -> parquet sink. Exactly-once via the streaming checkpoint; resume
+    is free (restart with the same checkpoint dir).
+
+    Returns the StreamingQuery (already started)."""
+    src = (spark.readStream
+           .schema("url string, html binary, nbytes long")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    extracted = (src.select("url", "html")
+                 .mapInArrow(_extract_batches, _EXTRACT_DDL))
+    writer = (extracted.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_metrics(spark: SparkSession, input_dir: str,
+                   checkpoint_dir: str,
+                   window: str = "1 minute",
+                   watermark: str = "5 minutes"):
+    """Watermarked windowed counts over a stream of extraction events
+    (ts, status, nbytes): the late-data-tolerant metrics rollup.
+    Sinks to an in-memory table named 'stream_metrics'."""
+    src = (spark.readStream
+           .schema("ts timestamp, status string, nbytes long")
+           .parquet(input_dir))
+    agg = (src.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"), "status")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("nbytes").alias("sum_bytes")))
+    return (agg.writeStream
+            .format("memory")
+            .queryName("stream_metrics")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start())

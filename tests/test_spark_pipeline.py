@@ -1,0 +1,70 @@
+"""Spark-plane integration tests: extraction job, resume anti-join,
+streaming ingestion. One shared local session (slow-marked but part of
+the gate — the driver's pytest run is the correctness check)."""
+import os
+import shutil
+import tempfile
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pdfio_spark.pipeline.job import (extract_pdfs, extraction_metrics,
+                                      gen_pdf_corpus, resume_filter)
+from pdfio_spark.pipeline.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cpus=4, app="pdfio_spark_tests", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(60)
+    c = gen_pdf_corpus(docs).cache()
+    c.count()
+    return c
+
+
+def test_extraction_all_ok(spark, corpus):
+    ext = extract_pdfs(corpus)
+    rows = ext.groupBy("status").count().collect()
+    assert {r["status"] for r in rows} == {"ok"}
+
+
+def test_extraction_metrics(spark, corpus):
+    m = extraction_metrics(extract_pdfs(corpus)).collect()
+    assert sum(r["n_docs"] for r in m) == 60
+    assert all(r["n_ok"] == r["n_docs"] for r in m)
+
+
+def test_resume_antijoin(spark, corpus):
+    done = corpus.select("url").limit(20)
+    remaining = resume_filter(corpus, done)
+    assert remaining.count() == 40
+
+
+def test_streaming_extract(spark, corpus):
+    from pdfio_spark.pipeline.streaming import stream_extract
+    tmp = tempfile.mkdtemp(prefix="pdfio_stream_")
+    try:
+        inp, chk, outp = (os.path.join(tmp, d) for d in
+                          ("in", "chk", "out"))
+        corpus.write.parquet(inp)
+        q = stream_extract(spark, inp, chk, outp)
+        q.awaitTermination(120)
+        out = spark.read.parquet(outp)
+        assert out.count() == 60
+        assert out.filter("status = 'ok'").count() == 60
+        # exactly-once resume: restarting with the same checkpoint
+        # processes nothing new
+        q2 = stream_extract(spark, inp, chk, outp)
+        q2.awaitTermination(60)
+        assert spark.read.parquet(outp).count() == 60
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
