@@ -96,6 +96,17 @@ def main() -> None:
         "cpus": cpus,
         "extract_sec": round(t_extract, 3),
     }
+    # attach the latest pinned local[8]/local[32] study if present
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling"] = {
+            "local8_pdfs_per_sec": sc["local8"]["pdfs_per_sec"],
+            "local32_pdfs_per_sec": sc["local32"]["pdfs_per_sec"],
+            "efficiency_8_to_32": sc["scaling_efficiency"],
+        }
     spark.stop()
     print(json.dumps(out))
 

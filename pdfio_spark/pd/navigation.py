@@ -112,6 +112,76 @@ def get_page_labels(doc) -> list[str | None]:
     return [get_page_label(doc, i + 1) for i in range(doc.page_count())]
 
 
+def from_roman(s: str) -> int | None:
+    vals = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500, "m": 1000}
+    s = s.lower()
+    if not s or any(c not in vals for c in s):
+        return None
+    total = 0
+    for i, c in enumerate(s):
+        v = vals[c]
+        if i + 1 < len(s) and vals[s[i + 1]] > v:
+            total -= v
+        else:
+            total += v
+    return total
+
+
+def from_alpha(s: str) -> int | None:
+    if not s:
+        return None
+    sl = s.lower()
+    c = sl[0]
+    if not ("a" <= c <= "z") or any(ch != c for ch in sl):
+        return None
+    return (len(sl) - 1) * 26 + (ord(c) - ord("a") + 1)
+
+
+def find_page_for_label(doc, label: str) -> tuple[int, int] | None:
+    """Inverse lookup: label -> (first_page, n_pages), 1-based
+    (find_page_for_label, /root/reference/src/CosDoc.jl:553-615).
+    PDF allows the same label on multiple pages, hence a range."""
+    ref = doc.cos.get(doc.catalog, Name("PageLabels"))
+    if ref is None:
+        return None
+    pairs: list = []
+    _collect_number_tree(doc.cos, ref, pairs)
+    pairs.sort(key=lambda kv: kv[0])
+    n_pages = doc.page_count()
+    for idx, (seg_start, obj) in enumerate(pairs):
+        seg_end = (pairs[idx + 1][0] if idx + 1 < len(pairs)
+                   else n_pages) - 1
+        pl = doc.cos.get_object(obj)
+        s = doc.cos.get(pl, Name("S"))
+        p = doc.cos.get(pl, Name("P"))
+        st = doc.cos.get(pl, Name("St"))
+        start = int(st) if st is not None else 1
+        pfx = ""
+        if isinstance(p, bytes):
+            from .fonts import pdf_doc_decode
+            pfx = pdf_doc_decode(p)
+        if s is None:
+            if label == pfx:
+                return (seg_start + 1, seg_end - seg_start + 1)
+            continue
+        if pfx and not label.startswith(pfx):
+            continue
+        body = label[len(pfx):]
+        n = None
+        if s == Name("D"):
+            n = int(body) if body.isdigit() else None
+        elif s in (Name("R"), Name("r")):
+            n = from_roman(body)
+        elif s in (Name("A"), Name("a")):
+            n = from_alpha(body)
+        if n is None or n < start:
+            continue
+        page = seg_start + 1 + (n - start)
+        if page <= seg_end + 1:
+            return (page, 1)
+    return None
+
+
 def get_outline(doc, max_items: int = 1000) -> list[dict]:
     """Flattened outline: [{title, level}] via First/Next walk with
     visited-set (the reference validates the doubly-linked chain;

@@ -735,6 +735,142 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_label_to_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse page-label lookup (SURVEY T4): find the page whose label
+    is 'P-1' (decimal segment, page 3 for docs with >= 3 pages)."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["multipage_labels"])
+
+    def lookup(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import find_page_for_label
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o_url, o_page = [], []
+            for url, html in zip(urls, htmls):
+                try:
+                    r = find_page_for_label(PDDoc(html), "P-1")
+                    if r is not None:
+                        o_url.append(url)
+                        o_page.append(r[0])
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_url, pa.string()), pa.array(o_page, pa.int32())],
+                names=["url", "page_no"])
+
+    return (corpus.mapInArrow(lookup, "url string, page_no int")
+            .orderBy("url"))
+
+
+ORACLE_LABEL_TO_PAGE = _LINES_CTE + """
+, np AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id)
+SELECT 'doc://' || doc_id AS url, 3 AS page_no
+FROM np WHERE n >= 3 ORDER BY url
+"""
+
+
+def q_page_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaBox via inheritable-attribute lookup (SURVEY D6)."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["multipage"])
+
+    def geom(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.cos.objects import Name
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            out = {k: [] for k in ("url", "page_no", "x0", "y0", "x1", "y1")}
+            for url, html in zip(urls, htmls):
+                try:
+                    doc = PDDoc(html)
+                    for i in range(1, doc.page_count() + 1):
+                        box = doc.get_page(i).find_attribute(Name("MediaBox"))
+                        if not isinstance(box, list) or len(box) != 4:
+                            continue
+                        out["url"].append(url)
+                        out["page_no"].append(i)
+                        for k, v in zip(("x0", "y0", "x1", "y1"), box):
+                            out[k].append(float(v))
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["url"], pa.string()),
+                 pa.array(out["page_no"], pa.int32()),
+                 pa.array(out["x0"], pa.float64()),
+                 pa.array(out["y0"], pa.float64()),
+                 pa.array(out["x1"], pa.float64()),
+                 pa.array(out["y1"], pa.float64())],
+                names=["url", "page_no", "x0", "y0", "x1", "y1"])
+
+    return (corpus.mapInArrow(
+        geom, "url string, page_no int, x0 double, y0 double, "
+              "x1 double, y1 double")
+        .orderBy("url", "page_no"))
+
+
+ORACLE_PAGE_GEOMETRY = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url, cast(i AS int) AS page_no,
+       cast(0 AS double) AS x0, cast(0 AS double) AS y0,
+       cast(612 AS double) AS x1, cast(792 AS double) AS y1
+FROM l ORDER BY url, page_no
+"""
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full output schema incl. per-span geometry (FIXTURES.md §5).
+    Span x1 depends on AFM width sums (kerning) — not SQL-expressible,
+    so this is a rows-only check; values are covered by unit tests."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["flate_simple"])
+
+    def spans(batches):
+        from pdfio_spark.pd.extract import extract_doc
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            out = {k: [] for k in ("url", "page_no", "x0", "y0", "x1", "y1",
+                                   "stext", "font", "flags")}
+            for url, html in zip(urls, htmls):
+                r = extract_doc(html, with_spans=True)
+                for p in r["pages"]:
+                    for s in p.get("spans", []):
+                        out["url"].append(url)
+                        out["page_no"].append(p["page_no"])
+                        out["x0"].append(s["x0"])
+                        out["y0"].append(s["y0"])
+                        out["x1"].append(s["x1"])
+                        out["y1"].append(s["y1"])
+                        out["stext"].append(s["text"])
+                        out["font"].append(s["font"])
+                        out["flags"].append(s["flags"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["url"], pa.string()),
+                 pa.array(out["page_no"], pa.int32()),
+                 pa.array(out["x0"], pa.float64()),
+                 pa.array(out["y0"], pa.float64()),
+                 pa.array(out["x1"], pa.float64()),
+                 pa.array(out["y1"], pa.float64()),
+                 pa.array(out["stext"], pa.string()),
+                 pa.array(out["font"], pa.string()),
+                 pa.array(out["flags"], pa.int64())],
+                names=["url", "page_no", "x0", "y0", "x1", "y1",
+                       "stext", "font", "flags"])
+
+    return (corpus.mapInArrow(
+        spans, "url string, page_no int, x0 double, y0 double, x1 double, "
+               "y1 double, stext string, font string, flags long")
+        .orderBy("url", "page_no", "y0"))
+
+
 # ---------------------------------------------------------------------
 # similarity: LSH-bucketed ANN (the scale path next to brute force)
 # ---------------------------------------------------------------------
@@ -939,6 +1075,9 @@ QUERIES = {
     "q_page_labels": q_page_labels,
     "q_outline": q_outline,
     "q_doc_info": q_doc_info,
+    "q_label_to_page": q_label_to_page,
+    "q_page_geometry": q_page_geometry,
+    "q_extract_spans": q_extract_spans,
     # pipeline plane
     "q_verify_join": q_verify_join,
     "q_extract_metrics": q_extract_metrics,
@@ -981,6 +1120,10 @@ ORACLES = {
     "q_page_labels": ORACLE_PAGE_LABELS,
     "q_outline": ORACLE_OUTLINE,
     "q_doc_info": ORACLE_DOC_INFO,
+    "q_label_to_page": ORACLE_LABEL_TO_PAGE,
+    "q_page_geometry": ORACLE_PAGE_GEOMETRY,
+    # q_extract_spans: span widths depend on AFM kerning sums ->
+    # rows-only driver check (unit-tested in tests/test_golden.py)
     "q_verify_join": ORACLE_VERIFY_JOIN,
     "q_extract_metrics": ORACLE_EXTRACT_METRICS,
     "q_resume_antijoin": ORACLE_RESUME_ANTIJOIN,

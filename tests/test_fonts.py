@@ -226,3 +226,20 @@ class TestCDDate:
         from pdfio_spark.pd.dates import CDDate
         d = CDDate("D:20190425173659+05'30")
         assert repr(CDDate(d.utc())) == "D:20190425120659Z"
+
+    def test_label_inverse(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import (find_page_for_label,
+                                               from_alpha, from_roman)
+        assert from_roman("iv") == 4 and from_roman("MCMXC") == 1990
+        assert from_roman("xyz") is None
+        assert from_alpha("a") == 1 and from_alpha("aa") == 27
+        assert from_alpha("ab") is None
+        pdf = build_fixture("multipage_labels", ["a", "b", "c", "d", "e"])
+        doc = PDDoc(pdf)
+        assert find_page_for_label(doc, "i") == (1, 1)
+        assert find_page_for_label(doc, "ii") == (2, 1)
+        assert find_page_for_label(doc, "P-1") == (3, 1)
+        assert find_page_for_label(doc, "P-3") == (5, 1)
+        assert find_page_for_label(doc, "nosuch") is None
