@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis): COS value round-trips, filter
+round-trips, and crash-freedom of the extractor under byte mutation.
+The reference has no randomized testing (SURVEY §5) — web-crawl input
+demands it."""
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pdfio_spark.cos import Buf, HexStr, LitStr, Name, Ref
+from pdfio_spark.cos.filters import (decode_ascii85, decode_asciihex,
+                                     decode_flate, decode_lzw, decode_rle)
+from pdfio_spark.fixtures import (ascii85_encode, build_fixture, lzw_encode,
+                                  rle_encode)
+from pdfio_spark.pd.extract import extract_doc
+
+# ---- COS value serializer for round-trip fuzz (strings as hex: always
+# lexer-safe regardless of content) ----
+
+_name_chars = st.text(
+    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E,
+                           exclude_characters="()<>{}[]%/# "),
+    min_size=1, max_size=12)
+
+_scalar = st.one_of(
+    st.integers(min_value=-2**31, max_value=2**31),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              width=32).map(np.float32),
+    st.booleans(),
+    st.none(),
+    _name_chars.map(Name),
+    st.binary(max_size=32).map(lambda b: HexStr(b.hex().encode())),
+)
+
+_value = st.recursive(
+    _scalar,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=5),
+        st.dictionaries(_name_chars.map(Name), inner, max_size=4)),
+    max_leaves=12)
+
+
+def _ser(v) -> bytes:
+    if v is None:
+        return b"null"
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if isinstance(v, Name):
+        return b"/" + str(v).encode("latin-1")
+    if isinstance(v, HexStr):
+        return b"<" + bytes(v) + b">"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v)).encode()
+    if isinstance(v, np.floating):
+        # PDF numbers have no exponent syntax; shortest positional
+        # decimal that round-trips the float32
+        return np.format_float_positional(
+            np.float32(v), unique=True, trim="0").encode()
+    if isinstance(v, list):
+        return b"[ " + b" ".join(_ser(x) for x in v) + b" ]"
+    if isinstance(v, dict):
+        return (b"<< " + b" ".join(b"/" + str(k).encode("latin-1") + b" "
+                                   + _ser(x) for k, x in v.items())
+                + b" >>")
+    raise TypeError(type(v))
+
+
+def _norm(v):
+    """Null dict values are deleted by the parser (reference semantics);
+    floats compare via float32."""
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, np.floating):
+        return float(np.float32(v))
+    if isinstance(v, HexStr):
+        return v.binary
+    if isinstance(v, LitStr):
+        return bytes(v)
+    return v
+
+
+@given(_value)
+@settings(max_examples=200, deadline=None)
+def test_cos_value_roundtrip(v):
+    data = _ser(v) + b" "
+    parsed = Buf(data).parse_value()
+    assert _norm(parsed) == _norm(v)
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=100, deadline=None)
+def test_filter_roundtrips(payload):
+    import zlib
+    assert decode_flate(zlib.compress(payload)) == payload
+    assert decode_rle(rle_encode(payload)) == payload
+    assert decode_lzw(lzw_encode(payload)) == payload
+    assert decode_asciihex(payload.hex().encode()) == payload
+    padded = payload + b" " * (-len(payload) % 4)
+    assert decode_ascii85(ascii85_encode(padded)) == padded
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_extract_never_crashes_on_mutation(data):
+    """Bit-flipped PDFs must produce a status row, never an exception
+    (row-level quarantine is the scale contract)."""
+    pdf = bytearray(build_fixture("flate_simple", ["fuzz me"]))
+    n_flips = data.draw(st.integers(min_value=1, max_value=8))
+    for _ in range(n_flips):
+        i = data.draw(st.integers(min_value=0, max_value=len(pdf) - 1))
+        pdf[i] = data.draw(st.integers(min_value=0, max_value=255))
+    r = extract_doc(bytes(pdf))
+    assert r["status"] in ("ok", "partial", "error", "empty",
+                           "unsupported_encryption")
+    assert isinstance(r["text"], str)
+
+
+@given(st.binary(min_size=0, max_size=2048))
+@settings(max_examples=60, deadline=None)
+def test_extract_never_crashes_on_garbage(blob):
+    r = extract_doc(blob)
+    assert r["status"] in ("ok", "partial", "error", "empty")
