@@ -27,6 +27,8 @@ _XREF = b"xref"
 _TRAILER = b"trailer"
 
 _HEADER_RE = re.compile(rb"%(PDF|FDF)-(\d)\.(\d)")
+_POW10_10 = np.array([10 ** (9 - i) for i in range(10)], dtype=np.int64)
+_POW10_5 = np.array([10 ** (4 - i) for i in range(5)], dtype=np.int64)
 
 
 class PDFError(Exception):
@@ -179,7 +181,8 @@ class CosDoc:
 
     def _read_xref_table(self, b: Buf) -> None:
         """Classic 20-byte-record xref section (CosDoc.jl:490-519);
-        first-seen entry wins across incremental updates."""
+        first-seen entry wins across incremental updates. Sections are
+        decoded with numpy (real PDFs carry thousands of records)."""
         b.skipv(_XREF)
         b.chomp_eol()
         while True:
@@ -187,15 +190,19 @@ class CosDoc:
                 break
             oid = b.parse_unsignednumber()
             n_entry = b.parse_unsignednumber()
-            for _ in range(n_entry):
-                rec = b.read(20)
-                if len(rec) < 20:
-                    raise PDFError("short xref record")
-                if rec[17] != 0x66:  # not 'f' -> in-use
-                    ref = Ref(oid, int(rec[11:16]))
-                    if ref not in self.xref:
-                        self.xref[ref] = _ObjectLoc(int(rec[0:10]))
-                oid += 1
+            raw = b.read(20 * n_entry)
+            if len(raw) < 20 * n_entry:
+                raise PDFError("short xref record")
+            arr = np.frombuffer(raw, dtype=np.uint8).reshape(n_entry, 20)
+            digs = arr[:, 0:10].astype(np.int64) - 0x30
+            offsets = digs @ _POW10_10
+            gens = (arr[:, 11:16].astype(np.int64) - 0x30) @ _POW10_5
+            in_use = arr[:, 17] != 0x66  # 'f'
+            xref = self.xref
+            for i in np.nonzero(in_use)[0]:
+                ref = Ref(oid + int(i), int(gens[i]))
+                if ref not in xref:
+                    xref[ref] = _ObjectLoc(int(offsets[i]))
 
     def _read_xref_stream(self, stm: Stream) -> None:
         """Binary W-field records of an xref stream

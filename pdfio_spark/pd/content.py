@@ -260,23 +260,29 @@ def _mat(a, b, c, d, e, fv) -> np.ndarray:
                     dtype=np.float32)
 
 
+def _translate(m: np.ndarray, tx, ty) -> np.ndarray:
+    """[1 0 0; 0 1 0; tx ty 1] @ m — only row 2 changes; same f32
+    3-term sequential arithmetic as the full matmul."""
+    out = m.copy()
+    out[2] = tx * m[0] + ty * m[1] + m[2]
+    return out
+
+
 def _set_text_pos(tx, ty, state: GState) -> None:
     """(PDPageElement.jl:788-798)."""
-    tmul = _mat(1.0, 0.0, 0.0, 1.0, tx, ty)
     tlm = state.get("Tlm")
     if tlm is None:
         tlm = _ident3()
-    tlm = tmul @ tlm
+    tlm = _translate(tlm, tx, ty)
     state["Tm"] = tlm.copy()
     state["Tlm"] = tlm
 
 
 def _offset_text_pos(tx, ty, state: GState) -> None:
-    tmul = _mat(1.0, 0.0, 0.0, 1.0, tx, ty)
     tm = state.get("Tm")
     if tm is None:
         tm = _ident3()
-    state["Tm"] = tmul @ tm
+    state["Tm"] = _translate(tm, tx, ty)
 
 
 def _offset_text_leading(state: GState) -> None:

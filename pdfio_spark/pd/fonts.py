@@ -602,7 +602,7 @@ class PDFont:
     """Bundle: unicode mapping + widths + glyph<->cid + flags + name
     (PDFonts.jl:498-519). Cached per document."""
     __slots__ = ("obj", "widths", "fum", "glyph_name_to_cid",
-                 "cid_to_glyph_name", "flags", "fontname")
+                 "cid_to_glyph_name", "flags", "fontname", "_strtable")
 
     def __init__(self, doc, cosfont: dict):
         self.obj = cosfont
@@ -612,6 +612,45 @@ class PDFont:
             get_glyph_id_mapping(doc, cosfont)
         self.flags = _font_flags(doc, cosfont, self.widths)
         self.fontname = _font_name(doc, cosfont, self.widths)
+        self._strtable = None
+
+    def strtable(self) -> list[str] | None:
+        """byte -> decoded-string table for simple-font fums (one dict
+        lookup per byte becomes one list index)."""
+        if not isinstance(self.fum, dict):
+            return None
+        if self._strtable is None:
+            self._strtable = [
+                "".join(map(chr, self.fum.get(b, [0])))
+                if self.fum.get(b) is not None else "\x00"
+                for b in range(256)]
+        return self._strtable
+
+
+# Global cache for "simple" fonts (std-14 base font + named encoding,
+# no ToUnicode/Widths/Differences/Descriptor): the PDFont is then a pure
+# function of (Subtype, BaseFont, Encoding) — one construction per
+# worker process instead of one per document.
+_SIMPLE_FONT_CACHE: dict[tuple, "PDFont"] = {}
+
+
+def get_pdfont_cached(doc, cosfont: dict) -> "PDFont":
+    sig = None
+    if isinstance(cosfont, dict):
+        enc = cosfont.get(Name("Encoding"))
+        if (isinstance(enc, (Name, type(None)))
+                and Name("ToUnicode") not in cosfont
+                and Name("Widths") not in cosfont
+                and Name("FontDescriptor") not in cosfont):
+            sig = (cosfont.get(Name("Subtype")),
+                   cosfont.get(Name("BaseFont")), enc)
+            hit = _SIMPLE_FONT_CACHE.get(sig)
+            if hit is not None:
+                return hit
+    font = PDFont(doc, cosfont)
+    if sig is not None and len(_SIMPLE_FONT_CACHE) < 256:
+        _SIMPLE_FONT_CACHE[sig] = font
+    return font
 
 
 def _font_flags(doc, cosfont, widths) -> int:
@@ -676,15 +715,17 @@ def get_encoded_string(s, pdfont) -> str:
         return pdf_doc_decode(s)
     fum = pdfont.fum
     if isinstance(fum, CMap):
-        cps = cmap_decode(barr, fum)
-    else:
-        cps = []
-        for b in barr:
-            v = fum.get(b)
-            if v is None:
-                cps.append(0)
-            else:
-                cps.extend(v)
+        return "".join(map(chr, cmap_decode(barr, fum)))
+    table = pdfont.strtable() if hasattr(pdfont, "strtable") else None
+    if table is not None:
+        return "".join(table[b] for b in barr)
+    cps = []
+    for b in barr:
+        v = fum.get(b)
+        if v is None:
+            cps.append(0)
+        else:
+            cps.extend(v)
     return "".join(map(chr, cps))
 
 

@@ -98,7 +98,8 @@ class PDDoc:
         key = id(cosfont)
         font = self.fonts.get(key)
         if font is None:
-            font = PDFont(self.cos, cosfont)
+            from .fonts import get_pdfont_cached
+            font = get_pdfont_cached(self.cos, cosfont)
             self.fonts[key] = font
         return font
 
