@@ -20,8 +20,13 @@ EXTRACT_STATUS = ("ok", "partial", "error", "unsupported_encryption", "empty")
 
 
 def extract_doc(data: bytes, with_spans: bool = False,
-                max_pages: int = 10000) -> dict:
-    """PDF bytes -> {n_pages, text, pages[], status, err}."""
+                max_pages: int = 10000,
+                first_page: int = 1,
+                last_page: int | None = None) -> dict:
+    """PDF bytes -> {n_pages, text, pages[], status, err}.
+
+    first_page/last_page (1-based, inclusive) support page-sharded
+    extraction of huge documents (pipeline.job.extract_pdfs_sharded)."""
     pages_out: list[dict] = []
     try:
         doc = PDDoc(data)
@@ -33,9 +38,11 @@ def extract_doc(data: bytes, with_spans: bool = False,
                 "status": "error", "err": _fmt_err(e)}
 
     n = min(doc.page_count(), max_pages)
+    if last_page is not None:
+        n = min(n, last_page)
     texts: list[str] = []
     errs: list[str] = []
-    for i in range(1, n + 1):
+    for i in range(max(1, first_page), n + 1):
         try:
             page = doc.get_page(i)
             if page.is_empty():

@@ -177,6 +177,108 @@ def extract_pdfs(corpus: DataFrame, skew_partitions: int | None = None,
     return small.unionByName(big)
 
 
+def extract_pdfs_sharded(corpus: DataFrame, pages_per_shard: int = 4,
+                         shard_partitions: int | None = None) -> DataFrame:
+    """Page-level sharding for pathological documents (SURVEY R5): a
+    10k-page PDF must not monopolize one core for minutes.
+
+        probe (cheap page count)            [UDF: xref + page tree only]
+          -> explode page ranges            [SQL: sequence + explode]
+          -> repartition(url, shard)        [shuffle: doc bytes x shards]
+          -> extract page range             [UDF]
+          -> applyInPandas ordered reassembly per url
+
+    Tradeoff: the shuffle duplicates the doc bytes per shard, so this is
+    the path for the page-heavy tail only — route docs here by a page
+    count or size threshold, everything else through extract_pdfs.
+    """
+    import pandas as pd
+
+    if shard_partitions is None:
+        sc = corpus.sparkSession.sparkContext
+        shard_partitions = max(sc.defaultParallelism, 8)
+
+    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..pd.pagetree import PDDoc
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o_n = []
+            for html in htmls:
+                try:
+                    o_n.append(PDDoc(html or b"").page_count())
+                except Exception:
+                    o_n.append(0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("url"), batch.column("html"),
+                 pa.array(o_n, pa.int32())],
+                names=["url", "html", "n_pages"])
+
+    probed = corpus.select("url", "html").mapInArrow(
+        probe, "url string, html binary, n_pages int")
+    shards = probed.select(
+        "url", "html", "n_pages",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.greatest(F.ceil(F.col("n_pages") / pages_per_shard) - 1,
+                       F.lit(0)))).alias("shard_id"))
+    shards = shards.repartition(shard_partitions, "url", "shard_id")
+
+    def extract_range(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..pd.extract import extract_doc
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            nps = batch.column("n_pages").to_pylist()
+            sids = batch.column("shard_id").to_pylist()
+            out = {k: [] for k in ("url", "shard_id", "n_pages", "text",
+                                   "status", "err")}
+            for url, html, np_, sid in zip(urls, htmls, nps, sids):
+                first = sid * pages_per_shard + 1
+                last = min((sid + 1) * pages_per_shard, np_)
+                r = extract_doc(html or b"", first_page=first,
+                                last_page=last)
+                out["url"].append(url)
+                out["shard_id"].append(sid)
+                out["n_pages"].append(np_)
+                out["text"].append(r["text"])
+                out["status"].append(r["status"])
+                out["err"].append(r["err"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["url"], pa.string()),
+                 pa.array(out["shard_id"], pa.int32()),
+                 pa.array(out["n_pages"], pa.int32()),
+                 pa.array(out["text"], pa.string()),
+                 pa.array(out["status"], pa.string()),
+                 pa.array(out["err"], pa.string())],
+                names=["url", "shard_id", "n_pages", "text", "status",
+                       "err"])
+
+    parts = shards.mapInArrow(
+        extract_range,
+        "url string, shard_id int, n_pages int, text string, "
+        "status string, err string")
+
+    def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("shard_id")
+        status = "ok"
+        if (pdf["status"] == "error").all():
+            status = "error"
+        elif (pdf["status"] != "ok").any():
+            status = "partial"
+        return pd.DataFrame({
+            "url": [pdf["url"].iloc[0]],
+            "n_pages": [int(pdf["n_pages"].iloc[0])],
+            "text": ["".join(pdf["text"])],
+            "status": [status],
+            "err": ["; ".join(e for e in pdf["err"] if e)[:2000]],
+        })
+
+    return parts.groupBy("url").applyInPandas(
+        reassemble,
+        "url string, n_pages int, text string, status string, err string")
+
+
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics rows — the checkpoint payload
     (SURVEY §2.1 S10). Written per batch to the metrics table; resume

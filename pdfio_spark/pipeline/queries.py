@@ -735,6 +735,18 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_extract_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-sharded extraction of multipage docs (SURVEY R5): probe ->
+    explode ranges -> range-extract -> applyInPandas ordered reassembly.
+    Must reproduce the unsharded byte-identical text, so it shares the
+    multipage oracle."""
+    from .job import extract_pdfs_sharded
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["multipage"])
+    return (extract_pdfs_sharded(corpus, pages_per_shard=3)
+            .select("url", "n_pages", "text", "status"))
+
+
 def q_label_to_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse page-label lookup (SURVEY T4): find the page whose label
     is 'P-1' (decimal segment, page 3 for docs with >= 3 pages)."""
@@ -1070,6 +1082,7 @@ QUERIES = {
          "marked_artifact", "plain_uncompressed", "xref_stream",
          "filter_chain", "xref_hybrid", "flate_corrupt", "incremental"]),
     "q_extract_multipage": _extract_query(["multipage"]),
+    "q_extract_sharded": q_extract_sharded,
     "q_extract_encrypted": _extract_query(
         ["encrypt_rc4_128", "encrypt_aes256"]),
     "q_page_labels": q_page_labels,
@@ -1116,6 +1129,7 @@ ORACLES = {
     "q_extract_xobject": _ORACLE_SINGLEPAGE,
     "q_extract_structure": _ORACLE_SINGLEPAGE,
     "q_extract_multipage": _ORACLE_MULTIPAGE,
+    "q_extract_sharded": _ORACLE_MULTIPAGE,
     "q_extract_encrypted": _ORACLE_SINGLEPAGE,
     "q_page_labels": ORACLE_PAGE_LABELS,
     "q_outline": ORACLE_OUTLINE,

@@ -129,3 +129,14 @@ def test_encrypted_wrong_password_quarantined():
     bad = pdf[:idx + 5] + b"00" + pdf[idx + 7:]
     r = extract_doc(bad)
     assert r["status"] == "unsupported_encryption"
+
+
+def test_page_range_extraction():
+    """first/last_page drive page-sharded extraction; concatenating
+    shard texts must reproduce the full-doc text."""
+    pdf = build_fixture("multipage", ["p1", "p2", "p3", "p4", "p5"])
+    full = extract_doc(pdf)
+    parts = [extract_doc(pdf, first_page=a, last_page=b)
+             for a, b in ((1, 2), (3, 4), (5, 5))]
+    assert "".join(p["text"] for p in parts) == full["text"]
+    assert full["n_pages"] == 5
