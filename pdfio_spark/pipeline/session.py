@@ -15,7 +15,12 @@ __all__ = ["get_spark"]
 
 
 def get_spark(cpus: int | None = None, app: str = "pdfio_spark",
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              iceberg_warehouse: str | None = None) -> SparkSession:
+    """iceberg_warehouse: when set (and the iceberg-spark runtime jar is
+    on the classpath — not in this sandbox), registers a hadoop catalog
+    `pdfio` so production jobs read/append Iceberg tables with snapshot
+    isolation + exactly-once appends (SURVEY §4.2)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -41,4 +46,14 @@ def get_spark(cpus: int | None = None, app: str = "pdfio_spark",
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
+    if iceberg_warehouse:
+        builder = (builder
+                   .config("spark.sql.extensions",
+                           "org.apache.iceberg.spark.extensions."
+                           "IcebergSparkSessionExtensions")
+                   .config("spark.sql.catalog.pdfio",
+                           "org.apache.iceberg.spark.SparkCatalog")
+                   .config("spark.sql.catalog.pdfio.type", "hadoop")
+                   .config("spark.sql.catalog.pdfio.warehouse",
+                           iceberg_warehouse))
     return builder.getOrCreate()
