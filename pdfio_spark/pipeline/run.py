@@ -1,0 +1,94 @@
+"""Batch job entrypoint — the spark-submit surface.
+
+    spark-submit --py-files pdfio_spark.zip pdfio_spark/pipeline/run.py \
+        --input  <parquet/iceberg of (url, warc_ts, html, text, lang)> \
+        --output <results dir/table> --metrics <metrics dir/table> \
+        [--resume] [--cpus N]
+
+Input is the Common-Crawl-style table of the north rule (the binary
+`html` column carries PDF bytes). The job:
+  1. scans with column pruning (url, html only),
+  2. resumes by anti-joining urls already present in the output,
+  3. extracts via the split-path skew topology (job.extract_pdfs),
+  4. appends results + per-partition lineage metrics.
+
+Idempotent: re-running with --resume after a crash processes only the
+missing urls (exactly-once overall via append + anti-join; on Iceberg
+the append itself is atomic per snapshot).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def make_cc_table(docs, classes=None):
+    """documents(doc_id, text, lang, ...) -> the input_hint schema
+    (url string, warc_ts timestamp, html binary, text string,
+    lang string) with synthetic PDF bytes in `html`."""
+    from pyspark.sql import functions as F
+    from .job import gen_pdf_corpus
+    corpus = gen_pdf_corpus(docs, classes=classes)
+    meta = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.col("text"), F.col("lang"))
+    return (corpus.join(meta, "url")
+            .select("url", "warc_ts", "html", "text", "lang"))
+
+
+def run_job(spark, input_path: str, output_path: str,
+            metrics_path: str | None = None, resume: bool = False) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+    from .job import extract_pdfs, extraction_metrics
+
+    src = spark.read.parquet(input_path)
+    corpus = src.select("url", "html")  # column pruning reaches the scan
+
+    if resume:
+        try:
+            done = spark.read.parquet(output_path).select("url")
+            corpus = corpus.join(F.broadcast(done), "url", "left_anti")
+        except AnalysisException:
+            pass  # no prior output -> fresh run
+
+    extracted = extract_pdfs(corpus).cache()
+    t0 = time.perf_counter()
+    # materialize the cache BEFORE appending: the resume anti-join scans
+    # output_path lazily, so any post-append recomputation would see the
+    # job's own freshly written rows and anti-join them away
+    stats = {r["status"]: r["count"] for r in
+             extracted.groupBy("status").count().collect()}
+    if metrics_path:
+        extraction_metrics(extracted).withColumn(
+            "ts", F.current_timestamp()).write.mode("append") \
+            .parquet(metrics_path)
+    extracted.write.mode("append").parquet(output_path)
+    wall = time.perf_counter() - t0
+    extracted.unpersist()
+    return {"written": sum(stats.values()), "by_status": stats,
+            "wall_sec": round(wall, 2)}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="pdfio-spark extraction job")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+    spark = get_spark(cpus=args.cpus, app="pdfio_spark_job")
+    spark.sparkContext.setLogLevel("WARN")
+    out = run_job(spark, args.input, args.output, args.metrics, args.resume)
+    print(out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

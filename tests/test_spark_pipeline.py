@@ -68,3 +68,35 @@ def test_streaming_extract(spark, corpus):
         assert spark.read.parquet(outp).count() == 60
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cc_table_schema(spark):
+    """Input-hint schema (url, warc_ts, html, text, lang) end-to-end."""
+    from pdfio_spark.pipeline.run import make_cc_table
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(20)
+    cc = make_cc_table(docs, classes=["flate_simple"])
+    assert [f.name for f in cc.schema.fields] == \
+        ["url", "warc_ts", "html", "text", "lang"]
+    from pdfio_spark.pipeline.job import extract_pdfs
+    ext = extract_pdfs(cc.select("url", "html"))
+    assert ext.filter("status = 'ok'").count() == 20
+
+
+def test_run_job_resume(spark, corpus, tmp_path):
+    """Crash-resume: second run with --resume writes only missing urls."""
+    from pdfio_spark.pipeline.run import run_job
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    met = str(tmp_path / "metrics")
+    corpus.select("url", "html").write.parquet(inp)
+    # simulate a partial first run: only 25 of 60 urls written
+    first = spark.read.parquet(inp).limit(25)
+    from pdfio_spark.pipeline.job import extract_pdfs
+    extract_pdfs(first).write.parquet(outp)
+    r = run_job(spark, inp, outp, met, resume=True)
+    assert r["written"] == 35
+    out = spark.read.parquet(outp)
+    assert out.count() == 60
+    assert out.select("url").distinct().count() == 60
+    assert spark.read.parquet(met).count() > 0
