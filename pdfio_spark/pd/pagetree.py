@@ -92,6 +92,10 @@ class PDDoc:
                     out[str(k)] = str(v)
         return out
 
+    def get_names_dict(self):
+        """pdDocGetNamesDict (/root/reference/src/PDDoc.jl:345-346)."""
+        return self.cos.get(self.catalog, Name("Names"))
+
     def get_pd_font(self, cosfont) -> PDFont | None:
         if cosfont is None:
             return None

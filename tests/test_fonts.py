@@ -243,3 +243,63 @@ class TestCDDate:
         assert find_page_for_label(doc, "P-1") == (3, 1)
         assert find_page_for_label(doc, "P-3") == (5, 1)
         assert find_page_for_label(doc, "nosuch") is None
+
+
+class TestReferenceFidelity:
+    def test_symbol_font_decode(self):
+        """Symbol base font -> SYM encoding (PDFonts.jl:139-150):
+        'a' -> alpha, 'b' -> beta, 'G' -> Gamma."""
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.fixtures import make_pdf, content_for_lines, NameN
+        pdf = make_pdf([content_for_lines(["abG"])])
+        # patch BaseFont to Symbol, SAME length so xref offsets hold
+        pdf = pdf.replace(b"/BaseFont /Helvetica",
+                          b"/BaseFont /Symbol   ", 1)
+        from pdfio_spark.pd.extract import extract_doc
+        r = extract_doc(pdf)
+        assert "αβΓ" in r["text"]
+
+    def test_cid_w_array_form(self):
+        """Type0 /W 'c [w1 w2 ...]' form (PDFontMetrics.jl:200-206)."""
+        class FakeDoc:
+            def get(self, d, k, default=None):
+                v = d.get(k, default)
+                return v
+            def get_object(self, v):
+                return v
+        from pdfio_spark.cos.objects import Name
+        font = {Name("Subtype"): Name("Type0"),
+                Name("Encoding"): Name("Identity-H"),
+                Name("DescendantFonts"): [
+                    {Name("W"): [65, [100.0, 200.0, 300.0]],
+                     Name("DW"): 750}]}
+        w = fonts.get_font_widths(FakeDoc(), font)
+        assert fonts.get_character_width(65, w) == f32(100.0)
+        assert fonts.get_character_width(66, w) == f32(200.0)
+        assert fonts.get_character_width(67, w) == f32(300.0)
+        assert fonts.get_character_width(68, w) == f32(750.0)
+
+    def test_doc_without_info(self):
+        """Doc without /Info: get_info returns {} (runtests.jl:314-327)."""
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        doc = PDDoc(build_fixture("flate_simple", ["x"]))
+        assert doc.get_info() == {}
+        assert doc.get_names_dict() is None
+
+    def test_info_with_trapped_name(self):
+        """Name values in /Info survive as strings (empty-property test,
+        runtests.jl:329-347)."""
+        from pdfio_spark.fixtures import make_pdf, content_for_lines, NameN
+        from pdfio_spark.pd.pagetree import PDDoc
+        pdf = make_pdf([content_for_lines(["x"])],
+                       info={"Trapped": NameN("False"), "Title": "T1"})
+        info = PDDoc(pdf).get_info()
+        assert info["Trapped"] == "False"
+        assert info["Title"] == "T1"
+
+    def test_utf16_metadata_string(self):
+        from pdfio_spark.cos.objects import HexStr
+        from pdfio_spark.pd.fonts import pdf_doc_decode
+        # FEFF BOM + 'Hé' in UTF-16BE
+        assert pdf_doc_decode(HexStr(b"feff004800e9")) == "Hé"
