@@ -13,7 +13,7 @@ import re
 import numpy as np
 
 from .lexer import Buf, ParseError
-from .objects import HexStr, IndirectObject, LitStr, Name, ObjStm, Ref, Stream
+from .objects import IndirectObject, Name, ObjStm, Ref, Stream
 
 __all__ = ["CosDoc", "PDFError"]
 

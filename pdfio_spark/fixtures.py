@@ -934,6 +934,12 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
     if cls == "with_info":
         return make_pdf([c], info={"Producer": "pdfio-spark",
                                    "Title": lines[0][:24]})
+    if cls == "with_dates":
+        # doc_id is recoverable from the canonical "Doc <id>: " prefix
+        did = int(lines[0][4:lines[0].index(":")])
+        cdate = f"D:20{did % 100:02d}0315143000+05'30"
+        return make_pdf([c], info={"Producer": "pdfio-spark",
+                                   "CreationDate": cdate})
     if cls == "xref_hybrid":
         return make_hybrid_pdf(lines)
     if cls == "flate_corrupt":

@@ -26,7 +26,7 @@ import re
 import numpy as np
 
 from ..cos.lexer import Buf, ParseError
-from ..cos.objects import HexStr, LitStr, Name, Ref, Stream, f32
+from ..cos.objects import HexStr, LitStr, Name, Stream, f32
 
 _DATA = os.path.join(os.path.dirname(__file__), "..", "data")
 

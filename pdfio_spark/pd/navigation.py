@@ -11,7 +11,7 @@ Mirrors the reference's tree queries and metadata operators:
 """
 from __future__ import annotations
 
-from ..cos.objects import Name, Ref
+from ..cos.objects import Name
 
 __all__ = ["get_page_label", "get_page_labels", "get_outline",
            "to_roman", "to_alpha"]

@@ -10,7 +10,7 @@ import numpy as np
 
 from ..cos.doc import CosDoc
 from ..cos.lexer import Buf
-from ..cos.objects import Name, Ref, Stream, f32
+from ..cos.objects import Name, Stream, f32
 from .content import Group, eval_content, load_objects, new_state
 from .fonts import PDFont
 from .layout import show_text_layout

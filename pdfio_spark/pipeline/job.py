@@ -24,7 +24,7 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+from pyspark.sql.types import (IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from ..fixtures import FIXTURE_CLASSES, build_fixture, chunk_text, sanitize

@@ -735,6 +735,50 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDDate plane (SURVEY §2.12): parse /Info CreationDate
+    (D:YYYYMMDDHHmmSS+HH'mm) and normalize to UTC."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["with_dates"])
+
+    def dates(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.dates import CDDate
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o_url, o_raw, o_utc = [], [], []
+            for url, html in zip(urls, htmls):
+                try:
+                    info = PDDoc(html).get_info()
+                    raw = info.get("CreationDate")
+                    d = CDDate(raw)
+                    o_url.append(url)
+                    o_raw.append(raw)
+                    o_utc.append(d.utc().strftime("%Y-%m-%d %H:%M:%S"))
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_url, pa.string()), pa.array(o_raw, pa.string()),
+                 pa.array(o_utc, pa.string())],
+                names=["url", "raw_date", "utc"])
+
+    return (corpus.mapInArrow(
+        dates, "url string, raw_date string, utc string").orderBy("url"))
+
+
+ORACLE_DATES = """
+SELECT 'doc://' || doc_id AS url,
+       'D:20' || lpad(cast(doc_id % 100 AS varchar), 2, '0')
+           || '0315143000+05''30' AS raw_date,
+       '20' || lpad(cast(doc_id % 100 AS varchar), 2, '0')
+           || '-03-15 09:00:00' AS utc
+FROM documents ORDER BY url
+"""
+
+
 def q_extract_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-sharded extraction of multipage docs (SURVEY R5): probe ->
     explode ranges -> range-extract -> applyInPandas ordered reassembly.
@@ -1091,6 +1135,7 @@ QUERIES = {
     "q_label_to_page": q_label_to_page,
     "q_page_geometry": q_page_geometry,
     "q_extract_spans": q_extract_spans,
+    "q_dates": q_dates,
     # pipeline plane
     "q_verify_join": q_verify_join,
     "q_extract_metrics": q_extract_metrics,
@@ -1136,6 +1181,7 @@ ORACLES = {
     "q_doc_info": ORACLE_DOC_INFO,
     "q_label_to_page": ORACLE_LABEL_TO_PAGE,
     "q_page_geometry": ORACLE_PAGE_GEOMETRY,
+    "q_dates": ORACLE_DATES,
     # q_extract_spans: span widths depend on AFM kerning sums ->
     # rows-only driver check (unit-tested in tests/test_golden.py)
     "q_verify_join": ORACLE_VERIFY_JOIN,

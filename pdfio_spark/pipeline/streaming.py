@@ -13,7 +13,7 @@ standard Structured Streaming shapes (SURVEY §2.12 streaming).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from .job import _EXTRACT_DDL, _extract_batches
 
