@@ -735,6 +735,32 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_extract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level failure isolation end-to-end: every 10th doc is
+    truncated to 80 bytes (header survives, xref gone) and must come
+    back status='error' with empty text while the rest extract clean —
+    one query proving a poisoned corpus cannot fail the job."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["flate_simple"])
+    doc_id = F.regexp_extract("url", r"doc://(\d+)", 1).cast("long")
+    corrupted = corpus.withColumn(
+        "html",
+        F.when(doc_id % 10 == 0,
+               F.expr("substring(html, 1, 80)")).otherwise(F.col("html")))
+    ext = extract_pdfs(corrupted)
+    return (ext.select("url", "status",
+                       (F.length("text") > 0).alias("has_text"))
+            .orderBy("url"))
+
+
+ORACLE_EXTRACT_QUARANTINE = """
+SELECT 'doc://' || doc_id AS url,
+       CASE WHEN doc_id % 10 = 0 THEN 'error' ELSE 'ok' END AS status,
+       doc_id % 10 <> 0 AS has_text
+FROM documents ORDER BY url
+"""
+
+
 def q_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDDate plane (SURVEY §2.12): parse /Info CreationDate
     (D:YYYYMMDDHHmmSS+HH'mm) and normalize to UTC."""
@@ -1136,6 +1162,7 @@ QUERIES = {
     "q_page_geometry": q_page_geometry,
     "q_extract_spans": q_extract_spans,
     "q_dates": q_dates,
+    "q_extract_quarantine": q_extract_quarantine,
     # pipeline plane
     "q_verify_join": q_verify_join,
     "q_extract_metrics": q_extract_metrics,
@@ -1182,6 +1209,7 @@ ORACLES = {
     "q_label_to_page": ORACLE_LABEL_TO_PAGE,
     "q_page_geometry": ORACLE_PAGE_GEOMETRY,
     "q_dates": ORACLE_DATES,
+    "q_extract_quarantine": ORACLE_EXTRACT_QUARANTINE,
     # q_extract_spans: span widths depend on AFM kerning sums ->
     # rows-only driver check (unit-tested in tests/test_golden.py)
     "q_verify_join": ORACLE_VERIFY_JOIN,
