@@ -169,11 +169,15 @@ class _IntervalList:
 
 
 class CMap:
-    __slots__ = ("code_space", "range_map")
+    __slots__ = ("code_space", "range_map", "cache")
 
     def __init__(self):
         self.code_space = _IntervalList()
         self.range_map = _IntervalList()
+        # first-byte decode cache: b1 -> ("1", chars) one-byte code,
+        # ("2", subtree, {b2: chars}) two-byte code. Real text repeats
+        # few distinct codes — interval scans happen once per code.
+        self.cache: dict = {}
 
 
 def _xstr_bytes(v) -> bytes:
@@ -313,43 +317,56 @@ def _unicode_chars_for(b: int, lo: int, v) -> list[int]:
     return [0]
 
 
+def _cmap_first_byte(cmap: CMap, b1: int) -> tuple:
+    """Classify b1 per the reference decision tree (PDFonts.jl:331-377)
+    and memoize: one-byte codes carry their chars; two-byte codes carry
+    the second-byte interval list + a per-b2 cache."""
+    cs, rm = cmap.code_space, cmap.range_map
+    xs = cs.intersect(b1)
+    if not xs:
+        return ("1", [0])
+    itree = xs[0][2]
+    itv = rm.intersect(b1)
+    if itree is None:
+        if itv:
+            return ("1", _unicode_chars_for(b1, itv[0][0], itv[0][2]))
+        return ("1", [0])
+    if not itv:
+        return ("1", [0])
+    payload = itv[0][2]
+    if not isinstance(payload, _IntervalList):
+        return ("1", _unicode_chars_for(b1, itv[0][0], payload))
+    return ("2", payload, {})
+
+
 def cmap_decode(barr: bytes, cmap: CMap) -> list[int]:
     """get_encoded_string(barr, cmap) (PDFonts.jl:331-381)."""
-    cs, rm = cmap.code_space, cmap.range_map
+    cache = cmap.cache
     out: list[int] = []
     i, ln = 0, len(barr)
     while i < ln:
         b1 = barr[i]
         i += 1
-        xs = cs.intersect(b1)
-        if not xs:
-            out.append(0)
+        e = cache.get(b1)
+        if e is None:
+            e = _cmap_first_byte(cmap, b1)
+            cache[b1] = e
+        if e[0] == "1":
+            out.extend(e[1])
             continue
-        itree = xs[0][2]
-        itv = rm.intersect(b1)
-        if itree is None:
-            if itv:
-                out.extend(_unicode_chars_for(b1, itv[0][0], itv[0][2]))
-            else:
-                out.append(0)
-        else:
-            if not itv:
-                out.append(0)
-                continue
-            payload = itv[0][2]
-            if not isinstance(payload, _IntervalList):
-                out.extend(_unicode_chars_for(b1, itv[0][0], payload))
-            else:
-                if i >= ln:
-                    out.append(0)
-                    break
-                b2 = barr[i]
-                i += 1
-                itv2 = payload.intersect(b2)
-                if itv2:
-                    out.extend(_unicode_chars_for(b2, itv2[0][0], itv2[0][2]))
-                else:
-                    out.append(0)
+        if i >= ln:
+            out.append(0)
+            break
+        b2 = barr[i]
+        i += 1
+        sub = e[2]
+        chars = sub.get(b2)
+        if chars is None:
+            itv2 = e[1].intersect(b2)
+            chars = (_unicode_chars_for(b2, itv2[0][0], itv2[0][2])
+                     if itv2 else [0])
+            sub[b2] = chars
+        out.extend(chars)
     return out
 
 
@@ -505,11 +522,12 @@ def get_glyph_id_mapping(doc, font) -> tuple[dict, dict]:
 
 class CIDWidth:
     """Type0 /W interval widths + /DW default (PDFonts.jl:489-496)."""
-    __slots__ = ("imap", "dw")
+    __slots__ = ("imap", "dw", "cache")
 
     def __init__(self, imap=None, dw=f32(1000.0)):
         self.imap = imap if imap is not None else _IntervalList()
         self.dw = f32(dw)
+        self.cache: dict = {}
 
 
 def get_font_widths(doc, font):
@@ -575,8 +593,13 @@ def _get_cid_font_widths(doc, font) -> CIDWidth:
 
 def get_character_width(c, widths) -> np.float32:
     if isinstance(widths, CIDWidth):
-        itv = widths.imap.intersect(int(c))
-        return itv[0][2] if itv else widths.dw
+        c = int(c)
+        w = widths.cache.get(c)
+        if w is None:
+            itv = widths.imap.intersect(c)
+            w = itv[0][2] if itv else widths.dw
+            widths.cache[c] = w
+        return w
     if isinstance(widths, AdobeFontMetrics):
         n = widths.cid_to_name.get(int(c))
         if n is None:
@@ -810,16 +833,23 @@ def get_text_box(ss: list, pdfont, tfs, tc, tw, th):
     (text, w*th, tfs)."""
     totalw = f32(0.0)
     tj = f32(0.0)
-    text = ""
+    parts: list[str] = []
+    nchars = 0
+    last_char = ""
     widths = pdfont.widths if pdfont is not None else np.zeros(256, np.float32)
     for s in ss:
         if isinstance(s, (HexStr, LitStr)):
             prev_char = init_code(widths)
             t = get_encoded_string(s, pdfont)
             if (-tj) > 180 and len(t) > 0 and t[0] != " " and \
-                    len(text) > 0 and text[-1] != " ":
-                text += " "
-            text += t
+                    nchars > 0 and last_char != " ":
+                parts.append(" ")
+                nchars += 1
+                last_char = " "
+            if t:
+                parts.append(t)
+                nchars += len(t)
+                last_char = t[-1]
             barr = s.binary if isinstance(s, HexStr) else bytes(s)
             totalw = totalw + get_string_width(
                 barr, widths, prev_char, tfs, tj, tc, tw)
@@ -828,4 +858,4 @@ def get_text_box(ss: list, pdfont, tfs, tc, tw, th):
                 not isinstance(s, bool):
             tj = f32(s)
     totalw = totalw * th
-    return text, totalw, tfs
+    return "".join(parts), totalw, tfs
