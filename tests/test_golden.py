@@ -140,3 +140,28 @@ def test_page_range_extraction():
              for a, b in ((1, 2), (3, 4), (5, 5))]
     assert "".join(p["text"] for p in parts) == full["text"]
     assert full["n_pages"] == 5
+
+
+def test_inline_image_ei_in_data():
+    """'EI' bytes inside image data must not terminate the scan unless
+    followed by PDF whitespace (PDPageElement.jl:249-281)."""
+    img = b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x45\x49\x58EIX\x00EI "
+    c = img + b"\nBT /F1 12 Tf 72 720 Td (after image) Tj ET\n"
+    r = extract_doc(make_pdf([c]))
+    assert r["status"] == "ok"
+    assert "after image" in r["text"]
+
+
+def test_fuzz_campaign_summary():
+    """Spot-check of the offline 12k-mutation campaign: a handful of
+    deterministic mutations per class must never raise."""
+    import random
+    rng = random.Random(99)
+    for cls in FIXTURE_CLASSES:
+        base = bytearray(build_fixture(cls, LINES))
+        for _ in range(3):
+            pdf = bytearray(base)
+            for _ in range(6):
+                pdf[rng.randrange(len(pdf))] = rng.randrange(256)
+            r = extract_doc(bytes(pdf))
+            assert "status" in r
