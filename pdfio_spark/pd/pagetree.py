@@ -96,6 +96,33 @@ class PDDoc:
         """pdDocGetNamesDict (/root/reference/src/PDDoc.jl:345-346)."""
         return self.cos.get(self.catalog, Name("Names"))
 
+    def has_signature(self) -> bool:
+        """pdDocHasSignature: AcroForm field walk detecting /FT /Sig
+        (/root/reference/src/PDDocImpl.jl:141-153). Detection only —
+        cryptographic validation is out of scope v1."""
+        acro = self.cos.get(self.catalog, Name("AcroForm"))
+        if acro is None:
+            return False
+        fields = self.cos.get(acro, Name("Fields"))
+        seen: set[int] = set()
+
+        def walk(flds, depth: int) -> bool:
+            if not isinstance(flds, list) or depth > 16:
+                return False
+            for fobj in flds:
+                fld = self.cos.get_object(fobj)
+                if not isinstance(fld, dict) or id(fld) in seen:
+                    continue
+                seen.add(id(fld))
+                if self.cos.get(fld, Name("FT")) == Name("Sig"):
+                    return True
+                kids = self.cos.get(fld, Name("Kids"))
+                if kids is not None and walk(kids, depth + 1):
+                    return True
+            return False
+
+        return walk(fields, 0)
+
     def get_pd_font(self, cosfont) -> PDFont | None:
         if cosfont is None:
             return None

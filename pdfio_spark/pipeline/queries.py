@@ -70,6 +70,9 @@ def _extract_query(classes: list[str]):
         corpus = gen_pdf_corpus(docs, classes=classes)
         return (extract_pdfs(corpus)
                 .select("url", "n_pages", "text", "status"))
+    q.__doc__ = ("Full parse stack over fixture class(es) "
+                 f"{', '.join(classes)}; text predicted in closed form "
+                 "by the oracle.")
     return q
 
 

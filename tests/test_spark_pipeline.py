@@ -100,3 +100,20 @@ def test_run_job_resume(spark, corpus, tmp_path):
     assert out.count() == 60
     assert out.select("url").distinct().count() == 60
     assert spark.read.parquet(met).count() > 0
+
+
+def test_stream_metrics_watermark(spark, tmp_path):
+    """Watermarked windowed rollup over an event stream."""
+    import datetime as dt
+    from pdfio_spark.pipeline.streaming import stream_metrics
+    inp = str(tmp_path / "events_in")
+    rows = [(dt.datetime(2026, 1, 1, 0, i % 5, (30 * i) % 60, 0), s, 100 + i)
+            for i, s in enumerate(["ok", "ok", "error", "ok", "ok",
+                                   "error", "ok", "ok", "ok", "ok"])]
+    spark.createDataFrame(rows, "ts timestamp, status string, nbytes long") \
+        .write.parquet(inp)
+    q = stream_metrics(spark, inp, str(tmp_path / "chk"))
+    q.awaitTermination(120)
+    out = spark.sql("select * from stream_metrics").collect()
+    assert sum(r["n_docs"] for r in out) == 10
+    assert {r["status"] for r in out} == {"ok", "error"}
