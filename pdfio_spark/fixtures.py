@@ -332,6 +332,13 @@ class _Aes256Encryptor:
 
 # ----------------------------------------------------- document builder
 
+# Courier for oracled text fixtures: zero kern pairs, so the
+# reference's unscaled-kern quirk (PDFonts.jl:655-656, kw added in
+# 1000-unit scale) can never drive a short line's width negative and
+# drop it from the layout — Helvetica kerns occasionally do, which no
+# SQL oracle can predict. Helvetica stays covered by unit tests.
+COURIER_FONT = {"Type": NameN("Font"), "Subtype": NameN("Type1"),
+                "BaseFont": NameN("Courier")}
 HELV_FONT = {"Type": NameN("Font"), "Subtype": NameN("Type1"),
              "BaseFont": NameN("Helvetica")}
 
@@ -441,7 +448,7 @@ def make_pdf(page_contents: list[bytes],
     # font
     if font == "helvetica":
         font_n = alloc()
-        objs.append((font_n, HELV_FONT))
+        objs.append((font_n, COURIER_FONT))  # see COURIER_FONT note
         font_ref = RefN(font_n)
     elif font == "winansi":
         font_n = alloc()
@@ -758,7 +765,7 @@ def make_hybrid_pdf(lines: list[str]) -> bytes:
     out.extend(b"4 0 obj\n" + _ser({"Filter": NameN("FlateDecode"),
                                     "Length": len(comp)}))
     out.extend(b"\nstream\n" + comp + b"\nendstream\nendobj\n")
-    emit(5, _ser(HELV_FONT))
+    emit(5, _ser(COURIER_FONT))
 
     # xref STREAM covering objects 3-6 (page, contents, font, itself)
     xstm_n = 6
@@ -858,7 +865,7 @@ def _rebuild_with_content(comp: bytes) -> bytes:
     out.extend(b"4 0 obj\n" + _ser({"Filter": NameN("FlateDecode"),
                                     "Length": len(comp)}))
     out.extend(b"\nstream\n" + comp + b"\nendstream\nendobj\n")
-    emit(5, _ser(HELV_FONT))
+    emit(5, _ser(COURIER_FONT))
     xref_pos = len(out)
     out.extend(b"xref\n0 6\n0000000000 65535 f \n")
     for n in range(1, 6):

@@ -253,8 +253,8 @@ class TestReferenceFidelity:
         from pdfio_spark.fixtures import make_pdf, content_for_lines, NameN
         pdf = make_pdf([content_for_lines(["abG"])])
         # patch BaseFont to Symbol, SAME length so xref offsets hold
-        pdf = pdf.replace(b"/BaseFont /Helvetica",
-                          b"/BaseFont /Symbol   ", 1)
+        pdf = pdf.replace(b"/BaseFont /Courier",
+                          b"/BaseFont /Symbol ", 1)
         from pdfio_spark.pd.extract import extract_doc
         r = extract_doc(pdf)
         assert "αβΓ" in r["text"]
