@@ -28,12 +28,13 @@ import numpy as np
 from ..cos.lexer import Buf, ParseError
 from ..cos.objects import HexStr, LitStr, Name, Stream, f32
 
-_DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+# importlib.resources is zip-aware: the package may ship inside a
+# --py-files pdfio_spark.zip where plain open() cannot reach the data
+from importlib.resources import files as _res_files
 
-with open(os.path.join(_DATA, "encodings.json")) as _f:
-    _ENC = json.load(_f)
-with open(os.path.join(_DATA, "afm.json")) as _f:
-    _AFM_RAW = json.load(_f)
+_DATA_PKG = _res_files("pdfio_spark.data")
+_ENC = json.loads((_DATA_PKG / "encodings.json").read_text())
+_AFM_RAW = json.loads((_DATA_PKG / "afm.json").read_text())
 
 # byte -> glyphname maps
 _E2G = {k: {int(b): g for b, g in _ENC[k].items()}

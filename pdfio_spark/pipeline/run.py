@@ -90,5 +90,14 @@ def main(argv=None) -> None:
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, ".")
-    main()
+    if __package__ in (None, ""):
+        # spark-submit runs this file as a bare script: re-enter through
+        # the package (provided by --py-files or the repo checkout) so
+        # relative imports resolve
+        import os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        from pdfio_spark.pipeline.run import main as _pkg_main
+        _pkg_main()
+    else:
+        main()
