@@ -20,7 +20,6 @@ Mirrors the decode-to-unicode plane of the reference
 from __future__ import annotations
 
 import json
-import os
 import re
 
 import numpy as np

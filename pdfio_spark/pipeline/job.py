@@ -103,8 +103,37 @@ def gen_pdf_corpus(docs: DataFrame, classes: list[str] | None = None) -> DataFra
     return docs.mapInArrow(gen, "url string, html binary, nbytes long")
 
 
-def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+# per-row wall-clock budget (SURVEY R3): cycle guards and page caps
+# bound most adversarial inputs, but a CPU bomb (pathological content
+# streams) must not stall a task indefinitely
+ROW_TIMEOUT_SEC = float(__import__("os").environ.get(
+    "PDFIO_ROW_TIMEOUT_SEC", "120"))
+
+
+def _extract_with_timeout(html: bytes, timeout_sec: float) -> dict:
     from ..pd.extract import extract_doc
+    if timeout_sec <= 0:
+        return extract_doc(html)
+    import signal
+    try:
+        def _on_alarm(signum, frame):
+            raise TimeoutError("row extraction budget exceeded")
+        old = signal.signal(signal.SIGALRM, _on_alarm)
+    except ValueError:
+        # not the worker's main thread -> no alarm available
+        return extract_doc(html)
+    signal.setitimer(signal.ITIMER_REAL, timeout_sec)
+    try:
+        return extract_doc(html)
+    except TimeoutError as e:
+        return {"n_pages": 0, "text": "", "pages": [],
+                "status": "timeout", "err": str(e)}
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in batches:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
@@ -112,7 +141,7 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                                "nbytes", "dur_us")}
         for url, html in zip(urls, htmls):
             t0 = time.perf_counter_ns()
-            r = extract_doc(html or b"")
+            r = _extract_with_timeout(html or b"", ROW_TIMEOUT_SEC)
             dur = (time.perf_counter_ns() - t0) // 1000
             out["url"].append(url)
             out["n_pages"].append(r["n_pages"])

@@ -117,3 +117,26 @@ def test_stream_metrics_watermark(spark, tmp_path):
     out = spark.sql("select * from stream_metrics").collect()
     assert sum(r["n_docs"] for r in out) == 10
     assert {r["status"] for r in out} == {"ok", "error"}
+
+
+def test_row_timeout_mechanism(monkeypatch):
+    """SIGALRM row budget: a hanging extraction yields status='timeout'
+    instead of stalling the task."""
+    import time as _time
+    from pdfio_spark.pipeline import job
+
+    def slow_extract(html, **kw):
+        _time.sleep(5)
+        return {"n_pages": 1, "text": "x", "pages": [],
+                "status": "ok", "err": ""}
+
+    import pdfio_spark.pd.extract as ex
+    monkeypatch.setattr(ex, "extract_doc", slow_extract)
+    r = job._extract_with_timeout(b"xx", 0.3)
+    assert r["status"] == "timeout"
+    # and a fast row under the same budget is unaffected
+    monkeypatch.setattr(ex, "extract_doc",
+                        lambda html, **kw: {"n_pages": 1, "text": "y",
+                                            "pages": [], "status": "ok",
+                                            "err": ""})
+    assert job._extract_with_timeout(b"xx", 5.0)["status"] == "ok"
