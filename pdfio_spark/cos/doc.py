@@ -66,8 +66,10 @@ class CosDoc:
         self.sec_handler = None
 
         self._read_header()
-        if self.header in ("PDF", "FDF"):
-            self.is_pdf = True
+        # reference: only %PDF headers get the xref machinery; %FDF
+        # documents skip it (cosDocOpen isPDF gate, CosDoc.jl:140-141)
+        self.is_pdf = self.header == "PDF"
+        if self.is_pdf:
             self._read_trailers()
         enc_ref = self.trailer.get(Name("Encrypt")) if self.trailer else None
         if enc_ref is not None:

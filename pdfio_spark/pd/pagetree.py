@@ -271,6 +271,25 @@ class PDPage:
             depth += 1
         return None
 
+    def get_fonts(self) -> dict:
+        """pdPageGetFonts (PDPage.jl:134-141): ALL fonts visible to the
+        page, merging /Resources/Font dicts up the Parent chain."""
+        cos = self.doc.cos
+        merged: dict = {}
+        pgnode = self.cospage
+        depth = 0
+        while pgnode is not None and depth < _MAX_DEPTH:
+            resources = cos.get(pgnode, Name("Resources"))
+            if resources is not None:
+                fonts = cos.get(resources, Name("Font"))
+                if isinstance(fonts, dict):
+                    for k, v in fonts.items():
+                        merged.setdefault(k, v)
+            pgnode = cos.get(pgnode, Name("Parent"))
+            depth += 1
+        return {Name(str(k)): self.doc.get_pd_font(cos.get_object(v))
+                for k, v in merged.items()}
+
     def find_attribute(self, resname: Name):
         """Inheritable attribute up the parent chain (PDPage.jl:322-333)."""
         cos = self.doc.cos

@@ -351,3 +351,12 @@ class TestReferenceFidelity:
         assert "signed doc" in __import__("pdfio_spark.pd.extract",
                                           fromlist=["x"]).extract_doc(
                                               bytes(out))["text"]
+
+    def test_page_get_fonts(self):
+        """pdPageGetFonts merge semantics (PDPage.jl:134-141)."""
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        doc = PDDoc(build_fixture("flate_simple", ["x"]))
+        fonts_map = doc.get_page(1).get_fonts()
+        assert list(fonts_map) == ["F1"]
+        assert fonts_map["F1"].fontname == "Courier"
