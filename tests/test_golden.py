@@ -165,3 +165,11 @@ def test_fuzz_campaign_summary():
                 pdf[rng.randrange(len(pdf))] = rng.randrange(256)
             r = extract_doc(bytes(pdf))
             assert "status" in r
+
+
+def test_max_pages_cap():
+    """Page-count budget: extraction stops at max_pages (scale guard)."""
+    pdf = build_fixture("multipage", [f"line {i}" for i in range(8)])
+    r = extract_doc(pdf, max_pages=3)
+    assert r["n_pages"] == 8  # true count reported
+    assert r["text"].count("\n") == 3  # but only 3 pages extracted
