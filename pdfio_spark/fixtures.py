@@ -561,8 +561,17 @@ def make_pdf(page_contents: list[bytes],
     if outline:
         root_n = alloc()
         item_ns = [alloc() for _ in page_ns]
+        dest_names = []
         for i, inum in enumerate(item_ns):
             item = {"Title": f"Sec {i + 1}", "Parent": RefN(root_n)}
+            if i % 2 == 0:
+                # direct destination array
+                item["Dest"] = [RefN(page_ns[i]), NameN("Fit")]
+            else:
+                # named destination resolved via the /Names/Dests name
+                # tree (exercises string-key tree search, SURVEY T2/N2)
+                item["Dest"] = f"sec{i + 1}"
+                dest_names.append((f"sec{i + 1}", page_ns[i]))
             if i + 1 < len(item_ns):
                 item["Next"] = RefN(item_ns[i + 1])
             if i > 0:
@@ -573,6 +582,26 @@ def make_pdf(page_contents: list[bytes],
                               "Last": RefN(item_ns[-1]),
                               "Count": len(item_ns)}))
         catalog_d["Outlines"] = RefN(root_n)
+        if dest_names:
+            # two-level name tree: root with Kids, leaves with Limits
+            dest_names.sort()
+            half = max(1, len(dest_names) // 2)
+            leaves = [dest_names[:half], dest_names[half:]]
+            leaves = [lf for lf in leaves if lf]
+            kid_ns = []
+            for lf in leaves:
+                kn = alloc()
+                names_arr = []
+                for nm, pg in lf:
+                    names_arr.extend([nm, [RefN(pg), NameN("Fit")]])
+                objs.append((kn, {"Limits": [lf[0][0], lf[-1][0]],
+                                  "Names": names_arr}))
+                kid_ns.append(kn)
+            dests_n = alloc()
+            objs.append((dests_n, {"Kids": [RefN(k) for k in kid_ns]}))
+            names_n = alloc()
+            objs.append((names_n, {"Dests": RefN(dests_n)}))
+            catalog_d["Names"] = RefN(names_n)
     objs.append((catalog_n, catalog_d))
     info_n = None
     if info is not None:

@@ -182,16 +182,87 @@ def find_page_for_label(doc, label: str) -> tuple[int, int] | None:
     return None
 
 
+def _find_name_tree(doc, node, key: str, depth: int = 0):
+    """String-key name-tree search with Limits pruning — find_ntree
+    (/root/reference/src/CosDoc.jl:521-543) over /Names nodes."""
+    if node is None or depth > 32:
+        return None
+    limits = doc.get(node, Name("Limits"))
+    if isinstance(limits, list) and len(limits) == 2:
+        from .fonts import pdf_doc_decode
+        lo = pdf_doc_decode(limits[0]) if isinstance(limits[0], bytes) \
+            else str(limits[0])
+        hi = pdf_doc_decode(limits[1]) if isinstance(limits[1], bytes) \
+            else str(limits[1])
+        if key < lo or key > hi:
+            return None
+    names = doc.get(node, Name("Names"))
+    if isinstance(names, list):
+        from .fonts import pdf_doc_decode
+        for i in range(0, len(names) - 1, 2):
+            k = names[i]
+            ks = pdf_doc_decode(k) if isinstance(k, bytes) else str(k)
+            if ks == key:
+                return doc.get_object(names[i + 1])
+    kids = doc.get(node, Name("Kids"))
+    if isinstance(kids, list):
+        for kid in kids:
+            hit = _find_name_tree(doc, doc.get_object(kid), key, depth + 1)
+            if hit is not None:
+                return hit
+    return None
+
+
+def _resolve_dest_page(doc, dest) -> int | None:
+    """PDDestination resolution (PDOutline.jl:32-67,159-230): direct
+    [page /Fit...] arrays, or named destinations through the
+    /Names/Dests name tree; returns the 1-based page number."""
+    from ..cos.objects import LitStr, HexStr
+    cos = doc.cos
+    if isinstance(dest, (LitStr, HexStr, bytes)) or (
+            isinstance(dest, Name)):
+        from .fonts import pdf_doc_decode
+        key = str(dest) if isinstance(dest, Name) else pdf_doc_decode(dest)
+        names = cos.get(doc.catalog, Name("Names"))
+        if names is None:
+            return None
+        dests = cos.get(names, Name("Dests"))
+        dest = _find_name_tree(cos, dests, key)
+        if isinstance(dest, dict):  # <</D [...]>> form
+            dest = cos.get(dest, Name("D"))
+    if isinstance(dest, list) and dest:
+        page_obj = cos.get_object(dest[0])
+        for i, pref in enumerate(doc.pagerefs):
+            if pref is page_obj:
+                return i + 1
+    return None
+
+
 def get_outline(doc, max_items: int = 1000) -> list[dict]:
-    """Flattened outline: [{title, level}] via First/Next walk with
-    visited-set (the reference validates the doubly-linked chain;
-    corrupt chains here just truncate)."""
+    """Flattened outline: [{title, level, page_no}] via First/Next walk
+    with visited-set (the reference validates the doubly-linked chain;
+    corrupt chains here just truncate). Destinations resolved from
+    /Dest arrays or named destinations (GoTo /A actions likewise)."""
     from .fonts import pdf_doc_decode
     root = doc.cos.get(doc.catalog, Name("Outlines"))
     if root is None:
         return []
     out: list[dict] = []
     seen: set[int] = set()
+
+    def dest_of(item):
+        dest = doc.cos.get(item, Name("Dest"))
+        if dest is None:
+            act = doc.cos.get(item, Name("A"))
+            if isinstance(act, dict) and \
+                    doc.cos.get(act, Name("S")) == Name("GoTo"):
+                dest = doc.cos.get(act, Name("D"))
+        if dest is None:
+            return None
+        try:
+            return _resolve_dest_page(doc, dest)
+        except Exception:
+            return None
 
     def walk(item, level: int) -> None:
         while item is not None and len(out) < max_items:
@@ -200,7 +271,8 @@ def get_outline(doc, max_items: int = 1000) -> list[dict]:
             seen.add(id(item))
             title = doc.cos.get(item, Name("Title"))
             if isinstance(title, bytes):
-                out.append({"title": pdf_doc_decode(title), "level": level})
+                out.append({"title": pdf_doc_decode(title), "level": level,
+                            "page_no": dest_of(item)})
             first = doc.cos.get(item, Name("First"))
             if first is not None:
                 walk(first, level + 1)

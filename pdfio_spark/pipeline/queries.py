@@ -393,7 +393,9 @@ FROM l GROUP BY doc_id ORDER BY url
 
 
 def q_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outline walk (SURVEY N1-N3): one 'Sec <i>' item per page."""
+    """Outline walk (SURVEY N1-N3): one 'Sec <i>' item per page, with
+    destinations resolved through direct arrays (even items) and the
+    /Names/Dests name tree (odd items — SURVEY T2 string keys)."""
     import pyarrow as pa
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -405,7 +407,7 @@ def q_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
-            o_url, o_lvl, o_title = [], [], []
+            o_url, o_lvl, o_title, o_page = [], [], [], []
             for url, html in zip(urls, htmls):
                 try:
                     doc = PDDoc(html)
@@ -413,19 +415,23 @@ def q_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
                         o_url.append(url)
                         o_lvl.append(item["level"])
                         o_title.append(item["title"])
+                        o_page.append(item["page_no"])
                 except Exception:
                     pass
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_url, pa.string()), pa.array(o_lvl, pa.int32()),
-                 pa.array(o_title, pa.string())],
-                names=["url", "level", "title"])
+                 pa.array(o_title, pa.string()),
+                 pa.array(o_page, pa.int32())],
+                names=["url", "level", "title", "page_no"])
 
-    return (corpus.mapInArrow(outlines, "url string, level int, title string")
-            .orderBy("url", "title"))
+    return (corpus.mapInArrow(
+        outlines, "url string, level int, title string, page_no int")
+        .orderBy("url", "title"))
 
 
 ORACLE_OUTLINE = _LINES_CTE + """
-SELECT 'doc://' || doc_id AS url, 0 AS level, 'Sec ' || i AS title
+SELECT 'doc://' || doc_id AS url, 0 AS level, 'Sec ' || i AS title,
+       cast(i AS int) AS page_no
 FROM l ORDER BY url, title
 """
 
