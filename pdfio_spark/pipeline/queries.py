@@ -666,6 +666,77 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with md5-string min hashing: engine-portable, so the
+    FULL candidate-pair output is oracle-verified (the xxhash64 variant
+    q_dedup_minhash is the faster production path). 16 minhashes,
+    4 bands of 4, band-bucket equi-join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    d = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
+    sh = (d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("w") - 3),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3))))).alias("sh")))
+    aggs = [F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{i}"))))
+            .alias(f"h{i}") for i in range(16)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = []
+    for b in range(4):
+        cols = [F.col(f"h{b * 4 + j}") for j in range(4)]
+        bands.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    left, right = allb.alias("a"), allb.alias("c")
+    return (left.join(right, (F.col("a.band") == F.col("c.band"))
+                      & (F.col("a.bucket") == F.col("c.bucket"))
+                      & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("c.doc_id").alias("doc_b"))
+            .distinct()
+            .orderBy("doc_a", "doc_b"))
+
+
+def _minhash_md5_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(md5(sh || ':{i}')) AS h{i}" for i in range(16))
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        f"md5(h{b*4} || '|' || h{b*4+1} || '|' || h{b*4+2} || '|' || h{b*4+3})"
+        f" AS bucket FROM sig" for b in range(4))
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text,''))), '\s+') AS w
+  FROM documents
+), dd AS (
+  SELECT doc_id, w FROM d WHERE len(w) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i+2), ' ') AS sh
+  FROM dd CROSS JOIN generate_series(1, 600) t(i)
+  WHERE i + 2 <= len(w)
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+), bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM bands a JOIN bands c
+  ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_DEDUP_MINHASH_MD5 = _minhash_md5_oracle()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) per doc: token hash bit-vote, JVM expressions
     only. Rows-only check (bit arithmetic differs across engines)."""
@@ -1191,6 +1262,7 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_minhash_md5": q_dedup_minhash_md5,
     "q_dedup_simhash": q_dedup_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_lsh_buckets": q_lsh_buckets,
@@ -1237,6 +1309,7 @@ ORACLES = {
     "q_fingerprint": ORACLE_FINGERPRINT,
     "q_ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "q_dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
     "q_lsh_buckets": ORACLE_LSH_BUCKETS,
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "q_media_metadata": ORACLE_MEDIA_METADATA,
