@@ -436,6 +436,43 @@ FROM l ORDER BY url, title
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets plane: ROLLUP(priority, status) revenue totals."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (orders.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n"))
+            .orderBy(F.col("o_orderpriority").asc_nulls_first(),
+                     F.col("o_orderstatus").asc_nulls_first()))
+
+
+ORACLE_ROLLUP_REVENUE = """
+SELECT o_orderpriority, o_orderstatus,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def q_distinct_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-url sanity counts (SURVEY §2.12): exact count_distinct
+    (the approx_count_distinct HLL variant is engine-specific, so the
+    oracled check uses the exact form)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.count_distinct("doc_id").alias("n_ids"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"))
+
+
+ORACLE_DISTINCT_SANITY = """
+SELECT count(DISTINCT doc_id) AS n_ids,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------
@@ -1254,6 +1291,8 @@ QUERIES = {
     "q_order_priority_window": q_order_priority_window,
     "q_regression_except": q_regression_except,
     "q_events_sessionize": q_events_sessionize,
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_distinct_sanity": q_distinct_sanity,
     # training-data ops
     "q_dedup_exact": q_dedup_exact,
     "q_token_stats": q_token_stats,
@@ -1302,6 +1341,8 @@ ORACLES = {
     "q_order_priority_window": ORACLE_ORDER_PRIORITY_WINDOW,
     "q_regression_except": ORACLE_REGRESSION_EXCEPT,
     "q_events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "q_rollup_revenue": ORACLE_ROLLUP_REVENUE,
+    "q_distinct_sanity": ORACLE_DISTINCT_SANITY,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_quality_score": ORACLE_QUALITY_SCORE,

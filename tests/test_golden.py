@@ -173,3 +173,75 @@ def test_max_pages_cap():
     r = extract_doc(pdf, max_pages=3)
     assert r["n_pages"] == 8  # true count reported
     assert r["text"].count("\n") == 3  # but only 3 pages extracted
+
+
+def test_quote_operators():
+    """' and \" show-text operators: next-line + show (PDPageElement.jl
+    :833-840); \" also sets Tw/Tc."""
+    c = (b"BT /F1 12 Tf 14 TL 72 720 Td (first) Tj\n"
+         b"(second) '\n"
+         b"1 0.5 (third) \" ET\n")
+    r = extract_doc(make_pdf([c]))
+    assert r["status"] == "ok"
+    lines = [ln.strip() for ln in r["text"].splitlines() if ln.strip()]
+    assert lines == ["first", "second", "third"]
+
+
+def test_tstar_operator():
+    c = (b"BT /F1 12 Tf 14 TL 72 720 Td (one) Tj T* (two) Tj ET\n")
+    r = extract_doc(make_pdf([c]))
+    lines = [ln.strip() for ln in r["text"].splitlines() if ln.strip()]
+    assert lines == ["one", "two"]
+
+
+def test_tj_array_layout():
+    """TJ with interleaved kerns end-to-end (space injection < -180)."""
+    c = b"BT /F1 12 Tf 72 720 Td [(alpha) -250 (beta) -50 (gamma)] TJ ET\n"
+    r = extract_doc(make_pdf([c]))
+    assert "alpha betagamma" in r["text"]
+
+
+def test_type3_font_nuances():
+    """Type3: fum ignores /Differences (reference PDFonts.jl:171-174)
+    but the glyph-id map applies them; /Widths drive metrics."""
+    import zlib
+    from pdfio_spark.fixtures import _ser, NameN, RefN
+    body = b"BT /F1 12 Tf 72 720 Td (AB) Tj ET\n"
+    comp = zlib.compress(body)
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+
+    def emit(n, raw):
+        offs[n] = len(out)
+        out.extend(f"{n} 0 obj\n".encode() + raw + b"\nendobj\n")
+
+    emit(1, _ser({"Type": NameN("Catalog"), "Pages": RefN(2)}))
+    emit(2, _ser({"Type": NameN("Pages"), "Kids": [RefN(3)], "Count": 1}))
+    emit(3, _ser({"Type": NameN("Page"), "Parent": RefN(2),
+                  "MediaBox": [0, 0, 612, 792],
+                  "Resources": {"Font": {"F1": RefN(5)}},
+                  "Contents": RefN(4)}))
+    offs[4] = len(out)
+    out.extend(b"4 0 obj\n" + _ser({"Filter": NameN("FlateDecode"),
+                                    "Length": len(comp)}))
+    out.extend(b"\nstream\n" + comp + b"\nendstream\nendobj\n")
+    emit(5, _ser({"Type": NameN("Font"), "Subtype": NameN("Type3"),
+                  "Name": NameN("T3F"),
+                  "FontMatrix": [0.001, 0, 0, 0.001, 0, 0],
+                  "CharProcs": {}, "FirstChar": 65, "LastChar": 66,
+                  "Widths": [500, 500],
+                  "Encoding": {"Type": NameN("Encoding"),
+                               "Differences": [65, NameN("zeta"),
+                                               NameN("eta")]}}))
+    xref_pos = len(out)
+    out.extend(b"xref\n0 6\n0000000000 65535 f \n")
+    for n in range(1, 6):
+        out.extend(f"{offs[n]:010d} 00000 n \n".encode())
+    out.extend(b"trailer\n" + _ser({"Size": 6, "Root": RefN(1)}))
+    out.extend(f"\nstartxref\n{xref_pos}\n%%EOF\n".encode())
+    r = extract_doc(bytes(out))
+    # fum skipped Differences for Type3 -> text decodes via the base
+    # (Std) encoding, NOT as zeta/eta (reference behavior)
+    assert r["status"] == "ok"
+    assert "AB" in r["text"]
+    assert "ζ" not in r["text"]
