@@ -436,6 +436,84 @@ FROM l ORDER BY url, title
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — a custom operator Spark lacks, built scalably as
+    union + sorted window with last(ignorenulls) (no per-row Python, one
+    shuffle on the key): each event picks the latest order of the same
+    user with o_orderdate <= ts (tie-break: max o_orderkey)."""
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("user_id").isNotNull())
+          .select(F.col("user_id").alias("k"), F.col("ts").alias("t"),
+                  "event_id",
+                  F.lit(None).cast("long").alias("o_orderkey"),
+                  F.lit(1).alias("is_event")))
+    od = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .select(F.col("o_custkey").alias("k"),
+                  F.col("o_orderdate").alias("t"),
+                  F.lit(None).cast("long").alias("event_id"),
+                  "o_orderkey", F.lit(0).alias("is_event")))
+    u = ev.unionByName(od)
+    w = (Window.partitionBy("k")
+         .orderBy(F.col("t").asc(), F.col("is_event").asc(),
+                  F.col("o_orderkey").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (u.withColumn("asof_orderkey",
+                         F.last("o_orderkey", ignorenulls=True).over(w))
+            .filter(F.col("is_event") == 1)
+            .select(F.col("event_id"), F.col("k").alias("user_id"),
+                    "asof_orderkey")
+            .orderBy("event_id"))
+
+
+ORACLE_ASOF_JOIN = """
+WITH latest AS (
+  SELECT e.event_id, e.user_id,
+         (SELECT max(o.o_orderkey) FROM orders o
+          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+                                 WHERE o2.o_custkey = e.user_id
+                                   AND o2.o_orderdate <= e.ts))
+             AS asof_orderkey
+  FROM events e WHERE e.user_id IS NOT NULL
+)
+SELECT event_id, user_id, asof_orderkey FROM latest ORDER BY event_id
+"""
+
+
+def q_semijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one order > 200k."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .filter(F.col("o_totalprice") > 200000)
+           .select("o_custkey"))
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey"))
+
+
+ORACLE_SEMIJOIN_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+ORDER BY c_custkey
+"""
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable deterministic sampling (training-data splits must be
+    reproducible across engines): md5-bucket of the stable key, ~1/8."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (docs.filter(bucket.isin("0", "1"))
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+ORACLE_DETERMINISTIC_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(cast(doc_id AS varchar)), 1, 1) IN ('0', '1')
+ORDER BY doc_id
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets plane: ROLLUP(priority, status) revenue totals."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1291,6 +1369,9 @@ QUERIES = {
     "q_order_priority_window": q_order_priority_window,
     "q_regression_except": q_regression_except,
     "q_events_sessionize": q_events_sessionize,
+    "q_asof_join": q_asof_join,
+    "q_semijoin_customers": q_semijoin_customers,
+    "q_deterministic_sample": q_deterministic_sample,
     "q_rollup_revenue": q_rollup_revenue,
     "q_distinct_sanity": q_distinct_sanity,
     # training-data ops
@@ -1341,6 +1422,9 @@ ORACLES = {
     "q_order_priority_window": ORACLE_ORDER_PRIORITY_WINDOW,
     "q_regression_except": ORACLE_REGRESSION_EXCEPT,
     "q_events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "q_asof_join": ORACLE_ASOF_JOIN,
+    "q_semijoin_customers": ORACLE_SEMIJOIN_CUSTOMERS,
+    "q_deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
     "q_rollup_revenue": ORACLE_ROLLUP_REVENUE,
     "q_distinct_sanity": ORACLE_DISTINCT_SANITY,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
