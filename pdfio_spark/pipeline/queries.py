@@ -480,6 +480,55 @@ SELECT event_id, user_id, asof_orderkey FROM latest ORDER BY event_id
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitem quantities joined into [lo, hi] bands via an
+    actual interval-condition join (broadcast nested loop on the tiny
+    band dim — the plan shape that scales; a CASE would hide it)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 9.0), ("mid", 10.0, 39.0), ("high", 40.0, 1e9)],
+        "band string, lo double, hi double")
+    return (li.join(F.broadcast(bands),
+                    (F.col("l_quantity") >= F.col("lo"))
+                    & (F.col("l_quantity") <= F.col("hi")))
+            .groupBy("band")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+            .orderBy("band"))
+
+
+ORACLE_RANGE_JOIN = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 9.0), ('mid', 10.0, 39.0), ('high', 40.0, 1e9)
+)
+SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY band ORDER BY band
+"""
+
+
+def q_events_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user running sum of value over the
+    trailing hour (value-based frame, not row-based)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-3600, 0))
+    return (ev.select("event_id", "user_id",
+                      F.round(F.sum("value").over(w), 4)
+                      .alias("hour_sum"))
+            .orderBy("event_id"))
+
+
+ORACLE_EVENTS_RUNNING_WINDOW = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY cast(epoch(ts) AS bigint)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+FROM events ORDER BY event_id
+"""
+
+
 def q_semijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join: customers having at least one order > 200k."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1370,6 +1419,8 @@ QUERIES = {
     "q_regression_except": q_regression_except,
     "q_events_sessionize": q_events_sessionize,
     "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+    "q_events_running_window": q_events_running_window,
     "q_semijoin_customers": q_semijoin_customers,
     "q_deterministic_sample": q_deterministic_sample,
     "q_rollup_revenue": q_rollup_revenue,
@@ -1423,6 +1474,8 @@ ORACLES = {
     "q_regression_except": ORACLE_REGRESSION_EXCEPT,
     "q_events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "q_asof_join": ORACLE_ASOF_JOIN,
+    "q_range_join": ORACLE_RANGE_JOIN,
+    "q_events_running_window": ORACLE_EVENTS_RUNNING_WINDOW,
     "q_semijoin_customers": ORACLE_SEMIJOIN_CUSTOMERS,
     "q_deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
     "q_rollup_revenue": ORACLE_ROLLUP_REVENUE,
