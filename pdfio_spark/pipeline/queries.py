@@ -1312,6 +1312,76 @@ ORDER BY vec_id, rk
 """
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: events into 5-minute buckets
+    x event_type (continuous-aggregate shape; at scale this is the
+    incremental materialized rollup over the ingest stream)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").cast("string").alias("bucket"),
+                    "event_type", "n", "sum_value")
+            .orderBy("bucket", "event_type"))
+
+
+ORACLE_TIME_ROLLUP = """
+SELECT cast(time_bucket(INTERVAL 5 MINUTE, ts) AS varchar) AS bucket,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucketed candidates filtered by
+    a cosine threshold — the vector-dedup stage of a training pipeline.
+    (Threshold 0.35 keeps the check non-trivial on the synthetic
+    embeddings, whose max within-bucket cosine is ~0.46.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.select("vec_id", "embedding",
+                   _bucket_expr(F.col("embedding")).alias("bucket"))
+    left, right = b.alias("a"), b.alias("c")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    sim = F.round(dot / (nrm(F.col("a.embedding"))
+                         * nrm(F.col("c.embedding"))), 6)
+    return (left.join(right, (F.col("a.bucket") == F.col("c.bucket"))
+                      & (F.col("a.vec_id") < F.col("c.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("c.vec_id").alias("vec_b"),
+                    sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.35)
+            .orderBy("vec_a", "vec_b"))
+
+
+ORACLE_EMBEDDING_NEARDUP = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                      a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]))), 6)
+           AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                     a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                       c.embedding::DOUBLE[]))), 6) >= 0.35
+ORDER BY vec_a, vec_b
+"""
+
+
+
 # ---------------------------------------------------------------------
 # multimodal plane (binary containers + typed metadata)
 # ---------------------------------------------------------------------
@@ -1424,6 +1494,8 @@ QUERIES = {
     "q_semijoin_customers": q_semijoin_customers,
     "q_deterministic_sample": q_deterministic_sample,
     "q_rollup_revenue": q_rollup_revenue,
+    "q_time_rollup": q_time_rollup,
+    "q_embedding_neardup": q_embedding_neardup,
     "q_distinct_sanity": q_distinct_sanity,
     # training-data ops
     "q_dedup_exact": q_dedup_exact,
@@ -1479,6 +1551,8 @@ ORACLES = {
     "q_semijoin_customers": ORACLE_SEMIJOIN_CUSTOMERS,
     "q_deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
     "q_rollup_revenue": ORACLE_ROLLUP_REVENUE,
+    "q_time_rollup": ORACLE_TIME_ROLLUP,
+    "q_embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "q_distinct_sanity": ORACLE_DISTINCT_SANITY,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_token_stats": ORACLE_TOKEN_STATS,
