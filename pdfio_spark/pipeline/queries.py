@@ -1382,6 +1382,65 @@ ORDER BY vec_a, vec_b
 
 
 
+def q_extract_pages_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page extraction through a real Python UDTF (1 doc row -> N
+    page rows via LATERAL) — the UDTF surface of SURVEY §2.12. The
+    Arrow mapInArrow path remains the throughput route; this covers the
+    table-function API."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="page_no int, page_text string")
+    class ExtractPages:
+        def eval(self, html):
+            from pdfio_spark.pd.extract import extract_doc
+            r = extract_doc(bytes(html) if html is not None else b"")
+            for p in r["pages"]:
+                yield p["page_no"], p["text"]
+
+    spark.udtf.register("extract_pages", ExtractPages)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 100))
+    corpus = gen_pdf_corpus(docs, classes=["multipage"])
+    corpus.createOrReplaceTempView("udtf_corpus")
+    return spark.sql(
+        "SELECT c.url, p.page_no, p.page_text "
+        "FROM udtf_corpus c, LATERAL extract_pages(c.html) p "
+        "ORDER BY c.url, p.page_no")
+
+
+ORACLE_EXTRACT_PAGES_UDTF = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url, cast(i AS int) AS page_no,
+       repeat(' ', 9) || line AS page_text
+FROM l WHERE doc_id < 100 ORDER BY url, page_no
+"""
+
+
+def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-agg UDAF: per-lang median of n_chars (the UDAF
+    surface; built-in percentile_approx would be the JVM route)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # type hints into strings, which pandas_udf cannot introspect
+    @pandas_udf("double", functionType=PandasUDFType.GROUPED_AGG)
+    def pd_median(v):
+        return float(v.median())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg
+    med = docs.groupBy("lang").agg(
+        pd_median("n_chars").alias("median_chars"))
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    return med.join(cnt, "lang").orderBy("lang")
+
+
+ORACLE_UDAF_MEDIAN = """
+SELECT lang, median(n_chars) AS median_chars, count(*) AS n
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------
 # multimodal plane (binary containers + typed metadata)
 # ---------------------------------------------------------------------
@@ -1511,6 +1570,8 @@ QUERIES = {
     "q_lsh_buckets": q_lsh_buckets,
     "q_ann_lsh_topk": q_ann_lsh_topk,
     # multimodal plane
+    "q_extract_pages_udtf": q_extract_pages_udtf,
+    "q_udaf_median": q_udaf_median,
     "q_media_metadata": q_media_metadata,
     "q_media_thumbnail": q_media_thumbnail,
     "q_media_framesample": q_media_framesample,
@@ -1564,6 +1625,8 @@ ORACLES = {
     "q_dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
     "q_lsh_buckets": ORACLE_LSH_BUCKETS,
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "q_extract_pages_udtf": ORACLE_EXTRACT_PAGES_UDTF,
+    "q_udaf_median": ORACLE_UDAF_MEDIAN,
     "q_media_metadata": ORACLE_MEDIA_METADATA,
     "q_media_thumbnail": ORACLE_MEDIA_THUMBNAIL,
     "q_media_framesample": ORACLE_MEDIA_FRAMESAMPLE,

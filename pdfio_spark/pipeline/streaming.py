@@ -17,7 +17,48 @@ from pyspark.sql import SparkSession, functions as F
 
 from .job import _EXTRACT_DDL, _extract_batches
 
-__all__ = ["stream_extract", "stream_metrics"]
+__all__ = ["stream_extract", "stream_metrics", "stream_dedup"]
+
+
+def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
+                 output_dir: str):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    exactly-once URL dedup across micro-batches — the streaming twin of
+    the batch resume anti-join. State = one GroupState per url; only the
+    first arrival is emitted, replays and duplicates are dropped."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (spark.readStream
+           .schema("url string, html binary, nbytes long")
+           .parquet(input_dir))
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            return iter(())  # already emitted this url
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                first = pdf.iloc[:1]
+        if first is None:
+            return iter(())
+        state.update((1,))
+        return iter([pd.DataFrame({"url": [key[0]],
+                                   "nbytes": [int(first["nbytes"].iloc[0])]})])
+
+    deduped = (src.groupBy("url").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="url string, nbytes long",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    return (deduped.writeStream
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
 
 
 def stream_extract(spark: SparkSession, input_dir: str,

@@ -140,3 +140,27 @@ def test_row_timeout_mechanism(monkeypatch):
                                             "pages": [], "status": "ok",
                                             "err": ""})
     assert job._extract_with_timeout(b"xx", 5.0)["status"] == "ok"
+
+
+def test_stream_stateful_dedup(spark, corpus, tmp_path):
+    """applyInPandasWithState: url-dedup across micro-batches with
+    checkpointed state (duplicates in later batches are dropped)."""
+    from pdfio_spark.pipeline.streaming import stream_dedup
+    inp = str(tmp_path / "dd_in")
+    chk = str(tmp_path / "dd_chk")
+    outp = str(tmp_path / "dd_out")
+    # batch 1: 30 docs; batch 2: same 30 again + 10 new (file source
+    # picks up both in one availableNow run as separate micro-batches)
+    base = corpus.limit(40).cache()
+    base.count()
+    base.limit(30).write.parquet(inp)
+    q = stream_dedup(spark, inp, chk, outp)
+    q.awaitTermination(120)
+    assert spark.read.parquet(outp).count() == 30
+    # append duplicates + new rows, re-run with the same checkpoint
+    base.write.mode("append").parquet(inp)
+    q2 = stream_dedup(spark, inp, chk, outp)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    assert out.select("url").distinct().count() == 40
+    assert out.count() == 40  # zero duplicate emissions
