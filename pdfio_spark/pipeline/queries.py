@@ -921,6 +921,51 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable SimHash (16-bit, md5-derived token hashes) so the
+    fingerprints themselves are oracle-verified; q_dedup_simhash stays
+    the fast 32-bit xxhash64 production variant."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    tok = docs.select("doc_id", F.explode(words).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int")
+    tok = tok.withColumn("h", h)
+    bit_cols = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{i}")
+        for i in range(16)]
+    votes = tok.groupBy("doc_id").agg(*bit_cols)
+    sim = None
+    for i in range(16):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return (votes.select("doc_id", sim.cast("int").alias("simhash16"))
+            .orderBy("doc_id"))
+
+
+def _simhash_md5_oracle() -> str:
+    nib = ("(strpos('0123456789abcdef', substr(md5(w), {p}, 1)) - 1)")
+    hexpr = " + ".join(
+        f"{nib.format(p=p)} * {16 ** (4 - p)}" for p in (1, 2, 3, 4))
+    bits = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(
+             lower(trim(coalesce(text,''))), '\s+')) AS w
+  FROM documents
+), hashed AS (
+  SELECT doc_id, cast({hexpr} AS int) AS h FROM tok
+)
+SELECT doc_id, cast({bits} AS int) AS simhash16
+FROM hashed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE_DEDUP_SIMHASH_MD5 = _simhash_md5_oracle()
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for a bounded candidate set (doc_id < 60):
     explode 3-shingles, self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|).
@@ -1566,6 +1611,7 @@ QUERIES = {
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_minhash_md5": q_dedup_minhash_md5,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_simhash_md5": q_dedup_simhash_md5,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_lsh_buckets": q_lsh_buckets,
     "q_ann_lsh_topk": q_ann_lsh_topk,
@@ -1623,6 +1669,7 @@ ORACLES = {
     "q_ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
+    "q_dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
     "q_lsh_buckets": ORACLE_LSH_BUCKETS,
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "q_extract_pages_udtf": ORACLE_EXTRACT_PAGES_UDTF,
