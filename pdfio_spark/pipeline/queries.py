@@ -293,7 +293,7 @@ ORACLE_EVENTS_SESSIONIZE = """
 WITH t AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -508,24 +508,30 @@ GROUP BY band ORDER BY band
 
 
 def q_events_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame window: per-user running sum of value over the
-    trailing hour (value-based frame, not row-based)."""
+    """RANGE-frame window: per-user running totals over the trailing
+    hour (value-based frame, not row-based). The summed measure is
+    floor-cents (integer) — double summation ORDER inside a frame is
+    engine-specific, so a float sum cannot be value-hash compared."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = (Window.partitionBy("user_id")
          .orderBy(F.unix_timestamp("ts"))
          .rangeBetween(-3600, 0))
-    return (ev.select("event_id", "user_id",
-                      F.round(F.sum("value").over(w), 4)
-                      .alias("hour_sum"))
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return (ev.withColumn("cents", cents)
+            .select("event_id", "user_id",
+                    F.sum("cents").over(w).alias("hour_cents"),
+                    F.count("*").over(w).alias("hour_n"))
             .orderBy("event_id"))
 
 
 ORACLE_EVENTS_RUNNING_WINDOW = """
 SELECT event_id, user_id,
-       round(sum(value) OVER (
-           PARTITION BY user_id ORDER BY cast(epoch(ts) AS bigint)
-           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum
-FROM events ORDER BY event_id
+       sum(cast(floor(value * 100) AS bigint)) OVER w AS hour_cents,
+       count(*) OVER w AS hour_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY cast(floor(epoch(ts)) AS bigint)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
 """
 
 
