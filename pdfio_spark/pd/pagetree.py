@@ -271,6 +271,20 @@ class PDPage:
             depth += 1
         return None
 
+    def get_media_box(self) -> tuple | None:
+        """pdPageGetMediaBox (PDPage.jl:76-79): inheritable, floats."""
+        box = self.find_attribute(Name("MediaBox"))
+        if isinstance(box, list) and len(box) == 4:
+            return tuple(float(v) for v in box)
+        return None
+
+    def get_crop_box(self) -> tuple | None:
+        """pdPageGetCropBox (PDPage.jl:81-84): defaults to MediaBox."""
+        box = self.find_attribute(Name("CropBox"))
+        if isinstance(box, list) and len(box) == 4:
+            return tuple(float(v) for v in box)
+        return self.get_media_box()
+
     def get_fonts(self) -> dict:
         """pdPageGetFonts (PDPage.jl:134-141): ALL fonts visible to the
         page, merging /Resources/Font dicts up the Parent chain."""

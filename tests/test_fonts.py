@@ -360,3 +360,11 @@ class TestReferenceFidelity:
         fonts_map = doc.get_page(1).get_fonts()
         assert list(fonts_map) == ["F1"]
         assert fonts_map["F1"].fontname == "Courier"
+
+    def test_page_boxes(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        page = PDDoc(build_fixture("flate_simple", ["x"])).get_page(1)
+        assert page.get_media_box() == (0.0, 0.0, 612.0, 792.0)
+        # no CropBox -> defaults to MediaBox (PDPage.jl:81-84)
+        assert page.get_crop_box() == page.get_media_box()
