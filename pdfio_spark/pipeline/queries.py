@@ -273,7 +273,9 @@ ORDER BY o_orderkey
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream sessionization via lag + cumulative sum windows —
-    the batch expression of the streaming session-window operator."""
+    the batch expression of the streaming session-window operator.
+    The summed measure is floor-cents (integer): double summation order
+    is engine-specific, so a float sum cannot be value-hash compared."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (F.unix_timestamp("ts")
@@ -283,9 +285,11 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .otherwise(0))
             .withColumn("sess_id", F.sum("new_sess").over(
                 w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (sess.groupBy("user_id", "sess_id")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return (sess.withColumn("cents", cents)
+            .groupBy("user_id", "sess_id")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value"))
+                 F.sum("cents").alias("sum_cents"))
             .orderBy("user_id", "sess_id"))
 
 
@@ -304,7 +308,7 @@ WITH t AS (
   FROM t
 )
 SELECT user_id, sess_id, count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       cast(sum(cast(floor(value * 100) AS bigint)) AS bigint) AS sum_cents
 FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
 """
 
@@ -806,15 +810,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate by construction -> rows-only driver check."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
-    docs = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
-    sh = (docs.select(
+    d = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
+    # Signature is row-local: shingle array stays inside the row and each
+    # minhash is array_min(transform(...)) — ZERO shuffle before the band
+    # join (vs explode+groupBy-min, which shuffles every shingle of the
+    # corpus: ~10x the corpus text at 100 TB vs 16 longs/doc here).
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 3),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)))
+    sig = d.select(
+        "doc_id", shingles.alias("sh"),
+    ).select(
         "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.size("w") - 3),
-            lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)))).alias("sh")))
-    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-            for i in range(16)]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+        *[F.array_min(F.transform(
+            "sh", lambda s, i=i: F.xxhash64(s, F.lit(i)))).alias(f"h{i}")
+          for i in range(16)])
     bands = []
     for b in range(4):
         cols = [f"h{b * 4 + j}" for j in range(4)]
@@ -844,14 +854,19 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
     d = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
-    sh = (d.select(
+    # Row-local signature (array_min over the in-row shingle array) —
+    # no shingle explode/shuffle; min() is duplicate-insensitive so the
+    # output is identical to the old explode+groupBy-min plan.
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 3),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)))
+    sig = d.select(
+        "doc_id", shingles.alias("sh"),
+    ).select(
         "doc_id",
-        F.explode(F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size("w") - 3),
-            lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3))))).alias("sh")))
-    aggs = [F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{i}"))))
-            .alias(f"h{i}") for i in range(16)]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+        *[F.array_min(F.transform(
+            "sh", lambda s, i=i: F.md5(F.concat(s, F.lit(f":{i}")))))
+          .alias(f"h{i}") for i in range(16)])
     bands = []
     for b in range(4):
         cols = [F.col(f"h{b * 4 + j}") for j in range(4)]
