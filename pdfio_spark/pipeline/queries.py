@@ -1308,6 +1308,57 @@ def _bucket_sql(col: str) -> str:
     return "cast(" + " + ".join(terms) + " AS int)"
 
 
+#: Salt factor for within-bucket self-joins. Real embedding
+#: distributions concentrate mass in few LSH buckets; a hot bucket with
+#: n rows is an n^2 single-task straggler. Salting splits one side into
+#: LSH_SALT groups and replicates the other, bounding per-task work at
+#: (n/LSH_SALT)*n with IDENTICAL output (every pair still meets exactly
+#: once). At 10^9 vectors pair with a per-bucket count guard
+#: (q_lsh_bucket_stats) + more hyperplane bits; see PLANS.md.
+LSH_SALT = 8
+
+
+def _salted_bucket_pairs(b: DataFrame, pair_filter):
+    """Within-bucket self-join with skew salting. `b` must carry
+    (vec_id, embedding, bucket); `pair_filter(a_id, c_id)` is the pair
+    predicate (e.g. `<` for unordered pairs, `!=` for directed)."""
+    left = b.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(LSH_SALT))).alias("a")
+    right = (b.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(LSH_SALT - 1))))
+        .alias("c"))
+    return left.join(
+        right,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.salt") == F.col("c.salt"))
+        & pair_filter(F.col("a.vec_id"), F.col("c.vec_id")))
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket skew guard: vector count and the candidate-pair count
+    the within-bucket join would generate. At scale this runs BEFORE the
+    pair join; buckets whose n_pairs exceed budget get more LSH bits or
+    are capped — the observability half of the skew defense."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (emb.select(_bucket_expr(F.col("embedding")).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_vectors"))
+            .withColumn("n_pairs",
+                        (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2)
+                        .cast("long"))
+            .orderBy("bucket"))
+
+
+ORACLE_LSH_BUCKET_STATS = f"""
+WITH b AS (
+  SELECT {_bucket_sql('embedding')} AS bucket FROM embeddings
+)
+SELECT bucket, count(*) AS n_vectors,
+       cast(count(*) * (count(*) - 1) / 2 AS bigint) AS n_pairs
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment — sign bits of 8
     deterministic hyperplane dot products (JVM-side expressions)."""
@@ -1330,8 +1381,6 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     b = emb.select("vec_id", "embedding",
                    _bucket_expr(F.col("embedding")).alias("bucket"))
-    left = b.alias("a")
-    right = b.alias("c")
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
                    lambda x, y: x.cast("double") * y.cast("double")),
@@ -1341,8 +1390,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, v: acc + v))
     sim = F.round(dot / (nrm(F.col("a.embedding"))
                          * nrm(F.col("c.embedding"))), 6)
-    pairs = (left.join(right, (F.col("a.bucket") == F.col("c.bucket"))
-                       & (F.col("a.vec_id") != F.col("c.vec_id")))
+    pairs = (_salted_bucket_pairs(b, lambda a, c: a != c)
              .select(F.col("a.vec_id").alias("vec_id"),
                      F.col("c.vec_id").alias("nn_id"),
                      sim.alias("cos_sim")))
@@ -1406,7 +1454,6 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     b = emb.select("vec_id", "embedding",
                    _bucket_expr(F.col("embedding")).alias("bucket"))
-    left, right = b.alias("a"), b.alias("c")
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
                    lambda x, y: x.cast("double") * y.cast("double")),
@@ -1416,8 +1463,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, v: acc + v))
     sim = F.round(dot / (nrm(F.col("a.embedding"))
                          * nrm(F.col("c.embedding"))), 6)
-    return (left.join(right, (F.col("a.bucket") == F.col("c.bucket"))
-                      & (F.col("a.vec_id") < F.col("c.vec_id")))
+    return (_salted_bucket_pairs(b, lambda a, c: a < c)
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("c.vec_id").alias("vec_b"),
                     sim.alias("cos_sim"))
@@ -1635,6 +1681,7 @@ QUERIES = {
     "q_dedup_simhash_md5": q_dedup_simhash_md5,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_lsh_buckets": q_lsh_buckets,
+    "q_lsh_bucket_stats": q_lsh_bucket_stats,
     "q_ann_lsh_topk": q_ann_lsh_topk,
     # multimodal plane
     "q_extract_pages_udtf": q_extract_pages_udtf,
@@ -1692,6 +1739,7 @@ ORACLES = {
     "q_dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
     "q_dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
     "q_lsh_buckets": ORACLE_LSH_BUCKETS,
+    "q_lsh_bucket_stats": ORACLE_LSH_BUCKET_STATS,
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "q_extract_pages_udtf": ORACLE_EXTRACT_PAGES_UDTF,
     "q_udaf_median": ORACLE_UDAF_MEDIAN,

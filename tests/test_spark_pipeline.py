@@ -164,3 +164,45 @@ def test_stream_stateful_dedup(spark, corpus, tmp_path):
     out = spark.read.parquet(outp)
     assert out.select("url").distinct().count() == 40
     assert out.count() == 40  # zero duplicate emissions
+
+
+def test_lsh_salted_join_skew_defense(spark, tmp_path):
+    """Skewed embeddings (every vector forced into ONE LSH bucket) must
+    (a) produce results identical to the unsalted reference join and
+    (b) split the hot bucket's work across LSH_SALT join groups so no
+    single task carries the full n^2 pair load."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline import queries as Q
+
+    # 120 copies of the same vector: identical hyperplane signs -> a
+    # single hot bucket (the worst case the salt exists for).
+    n, dim = 120, 64
+    rows = [(i, [0.5] * dim) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pdir = str(tmp_path / "skew_emb")
+    emb.write.parquet(pdir + "/embeddings.parquet")
+
+    b = (spark.read.parquet(pdir + "/embeddings.parquet")
+         .select("vec_id", "embedding",
+                 Q._bucket_expr(F.col("embedding")).alias("bucket")))
+    assert b.select("bucket").distinct().count() == 1  # fully skewed
+
+    salted = (Q._salted_bucket_pairs(b, lambda a, c: a < c)
+              .select(F.col("a.vec_id").alias("va"),
+                      F.col("c.vec_id").alias("vb")))
+    plain = (b.alias("a").join(
+        b.alias("c"),
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(F.col("a.vec_id").alias("va"),
+                F.col("c.vec_id").alias("vb")))
+    assert salted.count() == n * (n - 1) // 2
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+    # work split: the left side lands in LSH_SALT distinct salt groups,
+    # so the hot bucket becomes LSH_SALT join keys instead of one
+    n_groups = (b.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(Q.LSH_SALT)))
+        .select("bucket", "salt").distinct().count())
+    assert n_groups == Q.LSH_SALT
