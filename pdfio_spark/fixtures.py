@@ -460,6 +460,24 @@ def make_pdf(page_contents: list[bytes],
         d["Widths"] = [500] * 95
         objs.append((font_n, d))
         font_ref = RefN(font_n)
+    elif font == "macroman":
+        # Courier base (kern-free — see COURIER_FONT note) with the
+        # explicit /MacRomanEncoding byte->glyph table (ref
+        # src/PDFonts.jl mac_encoding path; test/runtests.jl:759-782)
+        font_n = alloc()
+        d = dict(COURIER_FONT)
+        d["Encoding"] = NameN("MacRomanEncoding")
+        objs.append((font_n, d))
+        font_ref = RefN(font_n)
+    elif font in ("symbol", "zapf"):
+        # std-14 symbolic fonts: no /Encoding entry -> the font's
+        # BUILT-IN encoding table applies (ref test/runtests.jl:657-681)
+        font_n = alloc()
+        base = "Symbol" if font == "symbol" else "ZapfDingbats"
+        objs.append((font_n, {"Type": NameN("Font"),
+                              "Subtype": NameN("Type1"),
+                              "BaseFont": NameN(base)}))
+        font_ref = RefN(font_n)
     elif font == "cid":
         font_ref, fobjs = cid_font_objects(alloc)
         objs.extend(fobjs)
@@ -917,6 +935,17 @@ FIXTURE_CLASSES = [
 ]
 
 
+# encoding-probe bytes (as latin-1 strings) and their expected decodes,
+# cross-checked in tests against Python's mac_roman codec / public AGL
+MACROMAN_PROBE = "\x87\x8e\xa5\xd0\xd1"          # -> áé•–—
+MACROMAN_PROBE_DECODED = "\u00e1\u00e9\u2022\u2013\u2014"
+SYMBOL_PROBE = "abgdpmW"
+# AGL: mu -> U+00B5 MICRO SIGN, Omega -> U+2126 OHM SIGN (not U+03A9)
+SYMBOL_PROBE_DECODED = "\u03b1\u03b2\u03b3\u03b4\u03c0\u00b5\u2126"
+ZAPF_PROBE = "12345"                              # -> ✑✒✓✔✕
+ZAPF_PROBE_DECODED = "\u2711\u2712\u2713\u2714\u2715"
+
+
 def build_fixture(cls: str, lines: list[str]) -> bytes:
     """Build a PDF of fixture class `cls` whose extracted text equals the
     canonical layout rendering of `lines` (one text line per Td row)."""
@@ -949,6 +978,22 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         return make_pdf(per_page, nested_pagetree=True)
     if cls == "font_winansi":
         return make_pdf([c], font="winansi")
+    if cls == "font_macroman":
+        # doc lines + a constant probe line of MacRoman high bytes:
+        # 87->aacute 8E->eacute A5->bullet D0->endash D1->emdash
+        # (decode is a constant literal in the oracle)
+        return make_pdf([content_for_lines(lines + [MACROMAN_PROBE])],
+                        font="macroman")
+    if cls == "font_symbol":
+        # Symbol built-in encoding: digits/space/colon are identity, so
+        # line 1 carries the doc_id; line 2 is the constant greek probe
+        did = lines[0][4:lines[0].index(":")]
+        return make_pdf([content_for_lines([did, SYMBOL_PROBE])],
+                        font="symbol")
+    if cls == "font_zapf":
+        # ZapfDingbats built-in encoding: constant probe only (no byte
+        # maps to itself, so doc text cannot be carried through)
+        return make_pdf([content_for_lines([ZAPF_PROBE])], font="zapf")
     if cls == "font_cid":
         return make_pdf([content_for_lines_cid(lines)], font="cid")
     if cls == "xobject_form":

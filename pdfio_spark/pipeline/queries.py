@@ -54,6 +54,35 @@ SELECT 'doc://' || doc_id AS url,
 FROM l GROUP BY doc_id
 """
 
+# macroman: doc lines + one constant probe line of MacRoman high bytes
+# (87 aacute, 8E eacute, A5 bullet, D0 endash, D1 emdash — ref
+# src/PDFonts.jl mac table; decode is the constant literal below)
+_ORACLE_MACROMAN = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url,
+       1 AS n_pages,
+       string_agg(repeat(' ', 9) || line, chr(10) ORDER BY i) || chr(10)
+           || repeat(' ', 9) || 'áé•–—' || chr(10) AS text,
+       'ok' AS status
+FROM l GROUP BY doc_id
+"""
+
+# symbol/zapf built-in encodings (class alternates by doc_id parity):
+# Symbol keeps digits identity -> line 1 carries doc_id, line 2 is the
+# greek probe (a b g d p m W -> αβγδπµΩ; AGL maps mu to U+00B5 and
+# Omega to U+2126 OHM SIGN, not U+03A9).
+# ZapfDingbats has no identity bytes -> constant probe only
+# (1..5 -> a17..a21 -> U+2711..U+2715).
+_ORACLE_SYMBOL = """
+SELECT 'doc://' || doc_id AS url,
+       1 AS n_pages,
+       CASE WHEN doc_id % 2 = 0
+            THEN repeat(' ', 9) || doc_id || chr(10)
+                 || repeat(' ', 9) || 'αβγδπµ' || chr(8486) || chr(10)
+            ELSE repeat(' ', 9) || '✑✒✓✔✕' || chr(10) END AS text,
+       'ok' AS status
+FROM documents
+"""
+
 # multipage: one line per page, each page contributes text + '\n'
 _ORACLE_MULTIPAGE = _LINES_CTE + """
 SELECT 'doc://' || doc_id AS url,
@@ -1631,6 +1660,8 @@ QUERIES = {
         ["filter_asciihex", "filter_ascii85", "filter_rle", "filter_lzw"]),
     "q_extract_cid": _extract_query(["font_cid"]),
     "q_extract_winansi": _extract_query(["font_winansi"]),
+    "q_extract_macroman": _extract_query(["font_macroman"]),
+    "q_extract_symbol": _extract_query(["font_symbol", "font_zapf"]),
     "q_extract_xobject": _extract_query(["xobject_form"]),
     "q_extract_structure": _extract_query(
         ["contents_array", "header_offset", "inline_image",
@@ -1697,6 +1728,8 @@ ORACLES = {
     "q_extract_filters": _ORACLE_SINGLEPAGE,
     "q_extract_cid": _ORACLE_SINGLEPAGE,
     "q_extract_winansi": _ORACLE_SINGLEPAGE,
+    "q_extract_macroman": _ORACLE_MACROMAN,
+    "q_extract_symbol": _ORACLE_SYMBOL,
     "q_extract_xobject": _ORACLE_SINGLEPAGE,
     "q_extract_structure": _ORACLE_SINGLEPAGE,
     "q_extract_multipage": _ORACLE_MULTIPAGE,

@@ -368,3 +368,45 @@ class TestReferenceFidelity:
         assert page.get_media_box() == (0.0, 0.0, 612.0, 792.0)
         # no CropBox -> defaults to MediaBox (PDPage.jl:81-84)
         assert page.get_crop_box() == page.get_media_box()
+
+
+class TestEncodingProbesEndToEnd:
+    """MacRoman / Symbol / ZapfDingbats through the FULL parse stack
+    (ref test/runtests.jl:759-782 spec-2.pdf MacRoman, :657-681 symbol),
+    with the expected decodes cross-checked against sources INDEPENDENT
+    of the shipped tables: Python's mac_roman codec and the public AGL."""
+
+    def test_macroman_probe_matches_python_codec(self):
+        from pdfio_spark.fixtures import (MACROMAN_PROBE,
+                                          MACROMAN_PROBE_DECODED)
+        assert (MACROMAN_PROBE.encode("latin-1").decode("mac_roman")
+                == MACROMAN_PROBE_DECODED)
+
+    def test_macroman_end_to_end(self):
+        from pdfio_spark.fixtures import (build_fixture,
+                                          MACROMAN_PROBE_DECODED)
+        from pdfio_spark.pd.extract import extract_doc
+        r = extract_doc(build_fixture("font_macroman", ["Doc 7: hi"]))
+        assert r["status"] == "ok"
+        assert r["text"] == ("         Doc 7: hi\n         "
+                             + MACROMAN_PROBE_DECODED + "\n")
+
+    def test_symbol_end_to_end(self):
+        from pdfio_spark.fixtures import build_fixture, SYMBOL_PROBE_DECODED
+        from pdfio_spark.pd.extract import extract_doc
+        # public AGL: alpha 03B1 ... mu -> 00B5 MICRO, Omega -> 2126 OHM
+        assert SYMBOL_PROBE_DECODED == (
+            "αβγδπµΩ")
+        r = extract_doc(build_fixture("font_symbol", ["Doc 42: x"]))
+        assert r["status"] == "ok"
+        assert r["text"] == ("         42\n         "
+                             + SYMBOL_PROBE_DECODED + "\n")
+
+    def test_zapf_end_to_end(self):
+        from pdfio_spark.fixtures import build_fixture, ZAPF_PROBE_DECODED
+        from pdfio_spark.pd.extract import extract_doc
+        # public AGL (zapfdingbats list): a17..a21 -> U+2711..U+2715
+        assert ZAPF_PROBE_DECODED == "✑✒✓✔✕"
+        r = extract_doc(build_fixture("font_zapf", ["Doc 3: y"]))
+        assert r["status"] == "ok"
+        assert r["text"] == "         " + ZAPF_PROBE_DECODED + "\n"
