@@ -224,50 +224,91 @@ _ENC_PAD = bytes([
 ])
 
 
-class _Rc4Encryptor:
-    """V2 R3 128-bit, empty user+owner password (spec algorithms 2/3/5)."""
+def _pad_pw(pw: bytes) -> bytes:
+    return (pw + _ENC_PAD)[:32]
 
-    def __init__(self, id0: bytes, p: int = -44):
-        self.v, self.r, self.length = 2, 3, 128
+
+class _Rc4Encryptor:
+    """RC4 standard security handler (spec algorithms 2/3/4/5).
+    Parameterized over revision (R2 40-bit / R3 128-bit / R4 AESV2
+    crypt-filter) and user/owner passwords, mirroring the reference's
+    test matrix (test/runtests.jl:104-169)."""
+
+    def __init__(self, id0: bytes, p: int = -44, r: int = 3,
+                 user_pw: bytes = b"", owner_pw: bytes | None = None,
+                 aes: bool = False):
+        self.r = r
+        self.aes = aes
+        self.v = 4 if aes else (1 if r == 2 else 2)
+        self.length = 40 if r == 2 else 128
+        nkey = self.length // 8
         self.p = p & 0xFFFFFFFF
         self.id0 = id0
-        # algorithm 3: /O from (empty) owner password
-        h = hashlib.md5(_ENC_PAD).digest()
-        for _ in range(50):
-            h = hashlib.md5(h).digest()
-        okey = h[:16]
-        o = _rc4(okey, _ENC_PAD)
-        for i in range(1, 20):
-            o = _rc4(bytes(b ^ i for b in okey), o)
+        if owner_pw is None:
+            owner_pw = user_pw
+        # algorithm 3: /O from the owner password
+        h = hashlib.md5(_pad_pw(owner_pw)).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h).digest()
+        okey = h[:nkey]
+        o = _rc4(okey, _pad_pw(user_pw))
+        if r >= 3:
+            for i in range(1, 20):
+                o = _rc4(bytes(b ^ i for b in okey), o)
         self.o = o
-        # algorithm 2: file key from (empty) user password
+        # algorithm 2: file key from the user password
         md = hashlib.md5()
-        md.update(_ENC_PAD)
+        md.update(_pad_pw(user_pw))
         md.update(self.o)
         md.update(struct.pack("<I", self.p))
         md.update(id0)
         h = md.digest()
-        for _ in range(50):
-            h = hashlib.md5(h[:16]).digest()
-        self.key = h[:16]
-        # algorithm 5: /U
-        x = _rc4(self.key, hashlib.md5(_ENC_PAD + id0).digest())
-        for i in range(1, 20):
-            x = _rc4(bytes(b ^ i for b in self.key), x)
-        self.u = x + b"\x00" * 16
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:nkey]).digest()
+        self.key = h[:nkey]
+        if r == 2:
+            # algorithm 4: /U = rc4(key, PAD)
+            self.u = _rc4(self.key, _ENC_PAD)
+        else:
+            # algorithm 5
+            x = _rc4(self.key, hashlib.md5(_ENC_PAD + id0).digest())
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in self.key), x)
+            self.u = x + b"\x00" * 16
 
     def enc_dict(self) -> dict:
-        return {"Filter": NameN("Standard"), "V": 2, "R": 3,
-                "Length": 128, "P": self.p - (1 << 32),
-                "O": HexN(self.o.hex()), "U": HexN(self.u.hex())}
+        d = {"Filter": NameN("Standard"), "V": self.v, "R": self.r,
+             "Length": self.length, "P": self.p - (1 << 32),
+             "O": HexN(self.o.hex()), "U": HexN(self.u.hex())}
+        if self.aes:
+            d["CF"] = {"StdCF": {"CFM": NameN("AESV2"), "Length": 16}}
+            d["StmF"] = NameN("StdCF")
+            d["StrF"] = NameN("StdCF")
+        return d
 
-    def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+    def _object_key(self, num: int, gen: int) -> bytes:
         md = hashlib.md5()
         md.update(self.key)
         md.update(struct.pack("<I", num)[:3])
         md.update(struct.pack("<I", gen)[:2])
+        if self.aes:
+            md.update(b"sAlT")
         n = min(len(self.key) + 5, 16)
-        return _rc4(md.digest()[:n], data)
+        return md.digest()[:n]
+
+    def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        ok = self._object_key(num, gen)
+        if not self.aes:
+            return _rc4(ok, data)
+        from cryptography.hazmat.primitives.ciphers import (Cipher,
+                                                            algorithms,
+                                                            modes)
+        iv = hashlib.md5(f"{num}:{gen}".encode()).digest()
+        padn = 16 - (len(data) % 16)
+        enc = Cipher(algorithms.AES(ok), modes.CBC(iv)).encryptor()
+        return iv + enc.update(data + bytes([padn]) * padn) + enc.finalize()
 
 
 class _Aes256Encryptor:
@@ -632,6 +673,25 @@ def make_pdf(page_contents: list[bytes],
     encrypt_n = None
     if encrypt == "rc4_128":
         encryptor = _Rc4Encryptor(file_id)
+        encrypt_n = alloc()
+    elif encrypt == "rc4_40":
+        encryptor = _Rc4Encryptor(file_id, r=2)
+        encrypt_n = alloc()
+    elif encrypt == "aes128":
+        encryptor = _Rc4Encryptor(file_id, r=4, aes=True)
+        encrypt_n = alloc()
+    elif encrypt == "owner_pw":
+        # user password set, owner password empty: opening with "" must
+        # go through the algorithm-7 owner path (O decrypts to the user
+        # password) — ref test/runtests.jl owner-password cases
+        encryptor = _Rc4Encryptor(file_id, user_pw=b"fixture-user-pw",
+                                  owner_pw=b"")
+        encrypt_n = alloc()
+    elif encrypt == "user_pw_locked":
+        # both passwords non-empty: an empty-password open MUST fail
+        # (negative fixture — rows quarantine as wrong_password)
+        encryptor = _Rc4Encryptor(file_id, user_pw=b"secret",
+                                  owner_pw=b"secret2")
         encrypt_n = alloc()
     elif encrypt == "aes256":
         encryptor = _Aes256Encryptor()
@@ -1004,6 +1064,12 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         return make_pdf([c], artifact_extra=b"BT /F1 12 Tf 72 100 Td (SUPPRESSED) Tj ET")
     if cls == "encrypt_rc4_128":
         return make_pdf([c], encrypt="rc4_128")
+    if cls == "encrypt_rc4_40":
+        return make_pdf([c], encrypt="rc4_40")
+    if cls == "encrypt_aes128":
+        return make_pdf([c], encrypt="aes128")
+    if cls == "encrypt_owner_pw":
+        return make_pdf([c], encrypt="owner_pw")
     if cls == "encrypt_aes256":
         return make_pdf([c], encrypt="aes256")
     if cls == "multipage_labels":

@@ -1670,7 +1670,8 @@ QUERIES = {
     "q_extract_multipage": _extract_query(["multipage"]),
     "q_extract_sharded": q_extract_sharded,
     "q_extract_encrypted": _extract_query(
-        ["encrypt_rc4_128", "encrypt_aes256"]),
+        ["encrypt_rc4_128", "encrypt_aes256", "encrypt_rc4_40",
+         "encrypt_aes128", "encrypt_owner_pw"]),
     "q_page_labels": q_page_labels,
     "q_outline": q_outline,
     "q_doc_info": q_doc_info,

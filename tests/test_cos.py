@@ -158,3 +158,43 @@ class TestDocStructure:
         doc = CosDoc(pdf)
         stm = doc.get_object(Ref(3, 0))
         assert stm.raw == b"abcde"
+
+
+class TestEncryptionMatrix:
+    """Crypt breadth mirroring the reference's password-file matrix
+    (test/runtests.jl:104-169): RC4-40 R2, RC4-128 R3, AES-128 V4 with
+    CF/StmF/StrF, AES-256 R6, owner-password open, and a locked
+    negative case."""
+
+    def _roundtrip(self, mode):
+        from pdfio_spark.fixtures import make_pdf, content_for_lines
+        from pdfio_spark.pd.extract import extract_doc
+        pdf = make_pdf([content_for_lines(["crypt matrix"])], encrypt=mode)
+        return extract_doc(pdf)
+
+    def test_rc4_40_r2(self):
+        r = self._roundtrip("rc4_40")
+        assert r["status"] == "ok" and "crypt matrix" in r["text"]
+
+    def test_rc4_128_r3(self):
+        r = self._roundtrip("rc4_128")
+        assert r["status"] == "ok" and "crypt matrix" in r["text"]
+
+    def test_aes128_v4_cf(self):
+        r = self._roundtrip("aes128")
+        assert r["status"] == "ok" and "crypt matrix" in r["text"]
+
+    def test_aes256_r6(self):
+        r = self._roundtrip("aes256")
+        assert r["status"] == "ok" and "crypt matrix" in r["text"]
+
+    def test_owner_password_open(self):
+        # user pw set, owner pw empty: algorithm-7 owner path must
+        # recover the user password from /O and open the file
+        r = self._roundtrip("owner_pw")
+        assert r["status"] == "ok" and "crypt matrix" in r["text"]
+
+    def test_locked_quarantines(self):
+        r = self._roundtrip("user_pw_locked")
+        assert r["status"] == "unsupported_encryption"
+        assert "password" in r["err"]
