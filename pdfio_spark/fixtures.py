@@ -519,6 +519,26 @@ def make_pdf(page_contents: list[bytes],
                               "Subtype": NameN("Type1"),
                               "BaseFont": NameN(base)}))
         font_ref = RefN(font_n)
+    elif font == "type3":
+        # Type3 font: /Widths resolve exactly like any simple font
+        # (ref PDFontMetrics.jl:160-177 has no Type3 branch) and the
+        # reference ignores /FontMatrix for width math — parity kept.
+        # CharProcs streams carry d0 glyph-metric ops (never executed
+        # for text extraction; d0/d1 are arity no-ops, C16).
+        font_n = alloc()
+        cp_n = alloc()
+        objs.append((cp_n, StreamN(
+            {}, b"600 0 d0\n0 0 m 500 700 l f\n")))
+        objs.append((font_n, {
+            "Type": NameN("Font"), "Subtype": NameN("Type3"),
+            "FontBBox": [0, 0, 700, 700],
+            "FontMatrix": [0.001, 0, 0, 0.001, 0, 0],
+            "CharProcs": {"glyphA": RefN(cp_n)},
+            "FirstChar": 32, "LastChar": 126,
+            "Widths": [600] * 95,
+            "Encoding": {"Type": NameN("Encoding"),
+                         "Differences": [65, NameN("glyphA")]}}))
+        font_ref = RefN(font_n)
     elif font == "cid":
         font_ref, fobjs = cid_font_objects(alloc)
         objs.extend(fobjs)
@@ -1050,6 +1070,12 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         did = lines[0][4:lines[0].index(":")]
         return make_pdf([content_for_lines([did, SYMBOL_PROBE])],
                         font="symbol")
+    if cls == "font_type3":
+        # Widths [600]*95 == Courier metrics, so the layout is identical
+        # to the std single-page closed form; decode is the Type3
+        # default (byte passthrough for ASCII — ref PDFonts.jl:172
+        # skips Differences for Type3 unicode mapping)
+        return make_pdf([c], font="type3")
     if cls == "font_zapf":
         # ZapfDingbats built-in encoding: constant probe only (no byte
         # maps to itself, so doc text cannot be carried through)

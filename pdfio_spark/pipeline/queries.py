@@ -1662,6 +1662,7 @@ QUERIES = {
     "q_extract_winansi": _extract_query(["font_winansi"]),
     "q_extract_macroman": _extract_query(["font_macroman"]),
     "q_extract_symbol": _extract_query(["font_symbol", "font_zapf"]),
+    "q_extract_type3": _extract_query(["font_type3"]),
     "q_extract_xobject": _extract_query(["xobject_form"]),
     "q_extract_structure": _extract_query(
         ["contents_array", "header_offset", "inline_image",
@@ -1731,6 +1732,7 @@ ORACLES = {
     "q_extract_winansi": _ORACLE_SINGLEPAGE,
     "q_extract_macroman": _ORACLE_MACROMAN,
     "q_extract_symbol": _ORACLE_SYMBOL,
+    "q_extract_type3": _ORACLE_SINGLEPAGE,
     "q_extract_xobject": _ORACLE_SINGLEPAGE,
     "q_extract_structure": _ORACLE_SINGLEPAGE,
     "q_extract_multipage": _ORACLE_MULTIPAGE,

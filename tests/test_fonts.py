@@ -410,3 +410,35 @@ class TestEncodingProbesEndToEnd:
         r = extract_doc(build_fixture("font_zapf", ["Doc 3: y"]))
         assert r["status"] == "ok"
         assert r["text"] == "         " + ZAPF_PROBE_DECODED + "\n"
+
+
+class TestType3EndToEnd:
+    """Type3 font through the full stack: /Widths + FirstChar like any
+    simple font (ref PDFontMetrics.jl:160-177 — no Type3 branch),
+    Differences skipped for the unicode map (ref PDFonts.jl:172),
+    d0 in CharProcs never executed for extraction."""
+
+    def test_type3_extracts(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        r = extract_doc(build_fixture("font_type3", ["Doc 9: type3 ABC"]))
+        assert r["status"] == "ok"
+        assert r["text"] == "         Doc 9: type3 ABC\n"
+
+    def test_type3_font_name_and_widths(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.fonts import PDFont
+        doc = PDDoc(build_fixture("font_type3", ["x"]))
+        page = doc.get_page(1)
+        fonts = page.get_fonts()
+        assert len(fonts) == 1
+        pdf_font = PDFont(
+            doc.cos, doc.cos.get_object(next(iter(fonts.values()))))
+        # Type3 has no BaseFont: name falls back to /Name or 'Type3'
+        assert str(pdf_font.fontname) == "Type3"
+        # /Widths resolved through the simple-font path
+        assert pdf_font.widths[ord("A")] == 600.0
+        assert pdf_font.widths[0] == 0.0  # below FirstChar
+        # Differences feed the glyph<->cid maps (width lookup by name)
+        assert pdf_font.glyph_name_to_cid.get("glyphA") == 65
