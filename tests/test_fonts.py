@@ -428,13 +428,10 @@ class TestType3EndToEnd:
     def test_type3_font_name_and_widths(self):
         from pdfio_spark.fixtures import build_fixture
         from pdfio_spark.pd.pagetree import PDDoc
-        from pdfio_spark.pd.fonts import PDFont
         doc = PDDoc(build_fixture("font_type3", ["x"]))
-        page = doc.get_page(1)
-        fonts = page.get_fonts()
+        fonts = doc.get_page(1).get_fonts()  # name -> PDFont
         assert len(fonts) == 1
-        pdf_font = PDFont(
-            doc.cos, doc.cos.get_object(next(iter(fonts.values()))))
+        pdf_font = next(iter(fonts.values()))
         # Type3 has no BaseFont: name falls back to /Name or 'Type3'
         assert str(pdf_font.fontname) == "Type3"
         # /Widths resolved through the simple-font path
