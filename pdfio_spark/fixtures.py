@@ -473,7 +473,8 @@ def make_pdf(page_contents: list[bytes],
              nested_pagetree: bool = False,
              encrypt: str | None = None,
              page_labels: bool = False,
-             outline: bool = False) -> bytes:
+             outline: bool = False,
+             struct_elems: int = 0) -> bytes:
     """Assemble a complete PDF. One page per entry in page_contents."""
     counter = [0]
 
@@ -631,6 +632,30 @@ def make_pdf(page_contents: list[bytes],
     objs.append((pages_n, {"Type": NameN("Pages"), "Kids": kids,
                            "Count": len(page_ns)}))
     catalog_d = {"Type": NameN("Catalog"), "Pages": RefN(pages_n)}
+    if struct_elems > 0:
+        # tagged PDF: /MarkInfo Marked + /StructTreeRoot with a Document
+        # root, an H1, and one custom-role Para (RoleMap Para->P) per
+        # requested element — exercises D10 (PDDocStruct.jl:24-65)
+        root_n = alloc()
+        doc_n = alloc()
+        h1_n = alloc()
+        para_ns = [alloc() for _ in range(struct_elems)]
+        objs.append((h1_n, {"Type": NameN("StructElem"), "S": NameN("H1"),
+                            "P": RefN(doc_n), "T": "Heading",
+                            "Lang": "en", "K": 0}))
+        for j, pn in enumerate(para_ns):
+            objs.append((pn, {"Type": NameN("StructElem"),
+                              "S": NameN("Para"), "P": RefN(doc_n),
+                              "ActualText": f"para-{j}", "K": j + 1}))
+        objs.append((doc_n, {"Type": NameN("StructElem"),
+                             "S": NameN("Document"), "P": RefN(root_n),
+                             "K": [RefN(h1_n)] + [RefN(p) for p in para_ns]}))
+        objs.append((root_n, {"Type": NameN("StructTreeRoot"),
+                              "K": RefN(doc_n),
+                              "RoleMap": {"Para": NameN("P")},
+                              "ParentTreeNextKey": 1}))
+        catalog_d["StructTreeRoot"] = RefN(root_n)
+        catalog_d["MarkInfo"] = {"Marked": True}
     if page_labels:
         # pages 1-2 lowercase roman, rest decimal with 'P-' prefix
         pl_n = alloc()
@@ -1070,6 +1095,10 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         did = lines[0][4:lines[0].index(":")]
         return make_pdf([content_for_lines([did, SYMBOL_PROBE])],
                         font="symbol")
+    if cls == "tagged":
+        # one Para StructElem per text line (line count is the same
+        # closed form the lines CTE predicts)
+        return make_pdf([c], struct_elems=len(lines))
     if cls == "font_type3":
         # Widths [600]*95 == Courier metrics, so the layout is identical
         # to the std single-page closed form; decode is the Type3

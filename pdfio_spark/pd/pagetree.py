@@ -96,6 +96,77 @@ class PDDoc:
         """pdDocGetNamesDict (/root/reference/src/PDDoc.jl:345-346)."""
         return self.cos.get(self.catalog, Name("Names"))
 
+    def get_structure_tree(self) -> dict | None:
+        """StructTreeRoot reader (PDDocStruct.jl:24-40): returns
+        {k, role_map, class_map, parent_tree_next} or None if the doc
+        has no /StructTreeRoot."""
+        root = self.cos.get(self.catalog, Name("StructTreeRoot"))
+        if root is None:
+            return None
+        ptn = self.cos.get(root, Name("ParentTreeNextKey"))
+        return {
+            "k": self.cos.get(root, Name("K")),
+            "role_map": self.cos.get(root, Name("RoleMap")) or {},
+            "class_map": self.cos.get(root, Name("ClassMap")) or {},
+            "parent_tree_next": int(ptn) if ptn is not None else -1,
+        }
+
+    def walk_structure(self, max_elems: int = 100000):
+        """Depth-first StructElem walk (PDDocStruct.jl:43-65 fields:
+        S/ID/R/T/Lang/Alt/E/ActualText). Yields one dict per element
+        with the raw role and the RoleMap-resolved standard role."""
+        from .fonts import pdf_doc_decode
+        tree = self.get_structure_tree()
+        if tree is None:
+            return
+        role_map = tree["role_map"]
+
+        def txt(elem, key):
+            v = self.cos.get(elem, Name(key))
+            if isinstance(v, bytes):
+                try:
+                    return pdf_doc_decode(v)
+                except Exception:
+                    return ""
+            return str(v) if v is not None else ""
+
+        n = 0
+        stack = [(k, 0) for k in reversed(self._as_list(tree["k"]))]
+        while stack and n < max_elems:
+            node, depth = stack.pop()
+            elem = self.cos.get_object(node)
+            if not isinstance(elem, dict):
+                continue  # marked-content ids (ints) / MCR dicts: leaf
+            s = elem.get(Name("S"))
+            if s is None:
+                continue
+            role = str(s)
+            mapped = role_map.get(Name(role)) if isinstance(role_map, dict) \
+                else None
+            r = self.cos.get(elem, Name("R"))
+            yield {
+                "role": role,
+                "mapped_role": str(mapped) if mapped is not None else role,
+                "depth": depth,
+                "title": txt(elem, "T"),
+                "lang": txt(elem, "Lang"),
+                "alt": txt(elem, "Alt"),
+                "expansion": txt(elem, "E"),
+                "actual_text": txt(elem, "ActualText"),
+                "revision": int(r) if r is not None else 0,
+            }
+            n += 1
+            kids = self.cos.get(elem, Name("K"))
+            for kid in reversed(self._as_list(kids)):
+                if not isinstance(kid, (int, float)):
+                    stack.append((kid, depth + 1))
+
+    @staticmethod
+    def _as_list(v) -> list:
+        if v is None:
+            return []
+        return v if isinstance(v, list) else [v]
+
     def has_signature(self) -> bool:
         """pdDocHasSignature: AcroForm field walk detecting /FT /Sig
         (/root/reference/src/PDDocImpl.jl:141-153). Detection only —

@@ -342,6 +342,74 @@ FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
 """
 
 
+def q_struct_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-tree reader (SURVEY D10; PDDocStruct.jl:24-65): walks
+    /StructTreeRoot depth-first, emitting role + RoleMap-resolved role +
+    attributes per element. Fixture: Document > [H1, Para x n_lines]
+    with RoleMap Para->P — all predicted in closed form."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["tagged"])
+
+    def roles(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o = {k: [] for k in ("url", "seq", "role", "mapped_role",
+                                 "title", "lang", "actual_text", "tagged")}
+            for url, html in zip(urls, htmls):
+                try:
+                    doc = PDDoc(html)
+                    for i, e in enumerate(doc.walk_structure()):
+                        o["url"].append(url)
+                        o["seq"].append(i + 1)
+                        o["role"].append(e["role"])
+                        o["mapped_role"].append(e["mapped_role"])
+                        o["title"].append(e["title"])
+                        o["lang"].append(e["lang"])
+                        o["actual_text"].append(e["actual_text"])
+                        o["tagged"].append(doc.is_tagged)
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o["url"], pa.string()),
+                 pa.array(o["seq"], pa.int32()),
+                 pa.array(o["role"], pa.string()),
+                 pa.array(o["mapped_role"], pa.string()),
+                 pa.array(o["title"], pa.string()),
+                 pa.array(o["lang"], pa.string()),
+                 pa.array(o["actual_text"], pa.string()),
+                 pa.array(o["tagged"], pa.string())],
+                names=["url", "seq", "role", "mapped_role", "title",
+                       "lang", "actual_text", "tagged"])
+
+    return (corpus.mapInArrow(
+        roles, "url string, seq int, role string, mapped_role string, "
+               "title string, lang string, actual_text string, "
+               "tagged string")
+        .orderBy("url", "seq"))
+
+
+ORACLE_STRUCT_ROLES = _LINES_CTE + """
+, n AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+, rows_ AS (
+  SELECT doc_id, 1 AS seq, 'Document' AS role, 'Document' AS mapped_role,
+         '' AS title, '' AS lang, '' AS actual_text FROM n
+  UNION ALL
+  SELECT doc_id, 2, 'H1', 'H1', 'Heading', 'en', '' FROM n
+  UNION ALL
+  SELECT n.doc_id, cast(2 + i AS int), 'Para', 'P', '', '',
+         'para-' || (i - 1)
+  FROM n CROSS JOIN generate_series(1, 8) t(i) WHERE i <= n.n_lines
+)
+SELECT 'doc://' || doc_id AS url, cast(seq AS int) AS seq, role,
+       mapped_role, title, lang, actual_text, 'tagged' AS tagged
+FROM rows_ ORDER BY url, seq
+"""
+
+
 def q_page_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-label number-tree lookup (SURVEY T1-T4): roman pages 1-2,
     'P-<n>' decimal after — predicted in closed form by the oracle."""
@@ -1674,6 +1742,7 @@ QUERIES = {
         ["encrypt_rc4_128", "encrypt_aes256", "encrypt_rc4_40",
          "encrypt_aes128", "encrypt_owner_pw"]),
     "q_page_labels": q_page_labels,
+    "q_struct_roles": q_struct_roles,
     "q_outline": q_outline,
     "q_doc_info": q_doc_info,
     "q_label_to_page": q_label_to_page,
@@ -1739,6 +1808,7 @@ ORACLES = {
     "q_extract_sharded": _ORACLE_MULTIPAGE,
     "q_extract_encrypted": _ORACLE_SINGLEPAGE,
     "q_page_labels": ORACLE_PAGE_LABELS,
+    "q_struct_roles": ORACLE_STRUCT_ROLES,
     "q_outline": ORACLE_OUTLINE,
     "q_doc_info": ORACLE_DOC_INFO,
     "q_label_to_page": ORACLE_LABEL_TO_PAGE,

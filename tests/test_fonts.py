@@ -439,3 +439,28 @@ class TestType3EndToEnd:
         assert pdf_font.widths[0] == 0.0  # below FirstChar
         # Differences feed the glyph<->cid maps (width lookup by name)
         assert pdf_font.glyph_name_to_cid.get("glyphA") == 65
+
+
+class TestStructTree:
+    """D10 struct-tree reader (PDDocStruct.jl:24-65)."""
+
+    def test_walk_structure(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        doc = PDDoc(build_fixture("tagged", ["Doc 3: abc", "line two"]))
+        assert doc.is_tagged == "tagged"
+        elems = list(doc.walk_structure())
+        assert [e["role"] for e in elems] == ["Document", "H1",
+                                              "Para", "Para"]
+        # RoleMap resolves the custom Para role to standard P
+        assert [e["mapped_role"] for e in elems][2:] == ["P", "P"]
+        assert elems[1]["title"] == "Heading" and elems[1]["lang"] == "en"
+        assert elems[3]["actual_text"] == "para-1"
+        assert [e["depth"] for e in elems] == [0, 1, 1, 1]
+
+    def test_untagged_doc_yields_nothing(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        doc = PDDoc(build_fixture("flate_simple", ["x"]))
+        assert doc.get_structure_tree() is None
+        assert list(doc.walk_structure()) == []
