@@ -262,6 +262,119 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return enc.update(data) + enc.finalize()
 
 
+# --------------------------------------------------------------- PKI
+#
+# Recipient credentials for the public-key (Adobe.PubSec) handler.
+# Resolution order: set_pki_credentials() > $PDFIO_SPARK_PKI_ID (path to
+# a PEM file holding certificate + private key) > the packaged synthetic
+# TEST identity (fixtures only — lets the Spark fixture corpus decrypt
+# without per-worker plumbing; never use it for real documents).
+_PKI_CREDENTIALS: tuple[bytes, bytes] | None = None
+
+
+def set_pki_credentials(cert_pem: bytes, key_pem: bytes) -> None:
+    global _PKI_CREDENTIALS
+    _PKI_CREDENTIALS = (cert_pem, key_pem)
+
+
+def _load_pki_credentials():
+    """-> (certificate, private_key) or raises UnsupportedEncryption."""
+    import os
+    pem = None
+    if _PKI_CREDENTIALS is not None:
+        cert_pem, key_pem = _PKI_CREDENTIALS
+        pem = cert_pem + b"\n" + key_pem
+    else:
+        path = os.environ.get("PDFIO_SPARK_PKI_ID")
+        if path:
+            with open(path, "rb") as f:
+                pem = f.read()
+        else:
+            try:
+                import importlib.resources as ir
+                pem = (ir.files("pdfio_spark") / "data"
+                       / "pki_test_identity.pem").read_bytes()
+            except Exception:
+                pem = None
+    if pem is None:
+        raise UnsupportedEncryption("pki recipient credentials required")
+    try:
+        from cryptography import x509
+        from cryptography.hazmat.primitives.serialization import (
+            load_pem_private_key)
+        cert = x509.load_pem_x509_certificate(pem)
+        key = load_pem_private_key(pem, password=None)
+        return cert, key
+    except Exception as e:
+        raise UnsupportedEncryption(f"bad pki credentials: {e}")
+
+
+class PKISecHandler(StdSecHandler):
+    """Adobe.PubSec handler, SubFilter adbe.pkcs7.s3/s4/s5
+    (PKISecHandler.jl:26-133). The file key is
+    hash(seed20 || concat(Recipients) [|| FFFFFFFF if !EncryptMetadata])
+    where seed is the first 20 bytes of the CMS EnvelopedData content
+    decrypted with the recipient's certificate/private key; hash is
+    SHA-256 for AESV3 else SHA-1; key length = CF /Length bits."""
+
+    def __init__(self, doc, enc: dict, subtype):
+        g = lambda k, d=None: doc.get(enc, Name(k), d)
+        sub = str(subtype)
+        if sub not in ("adbe.pkcs7.s3", "adbe.pkcs7.s4", "adbe.pkcs7.s5"):
+            raise UnsupportedEncryption(f"pki subfilter {sub} not supported")
+        r = {"adbe.pkcs7.s3": 2, "adbe.pkcs7.s4": 3, "adbe.pkcs7.s5": 4}[sub]
+        self.v = int(g("V", 1))
+        self.length = int(g("Length", 128))
+        if r < 4:
+            # synthesize the default crypt filter (ref :44-57): CFM V2,
+            # Recipients on the /Encrypt dict itself
+            cfm = Name("V2")
+            recipients = g("Recipients")
+            encrypt_metadata = g("EncryptMetadata", True)
+            cf_length = self.length
+        else:
+            cf = g("CF") or {}
+            stmf = g("StmF", Name("Identity"))
+            cfd = doc.get(cf, stmf) if isinstance(cf, dict) else None
+            if cfd is None:
+                raise UnsupportedEncryption("pki crypt filter missing")
+            cfm = doc.get(cfd, Name("CFM"), Name("None"))
+            recipients = doc.get(cfd, Name("Recipients"))
+            encrypt_metadata = doc.get(cfd, Name("EncryptMetadata"), True)
+            cf_length = int(doc.get(cfd, Name("Length"), self.length))
+        if not isinstance(recipients, list):
+            recipients = [recipients] if recipients is not None else []
+        blobs = [_str_bytes(doc.get_object(x)) for x in recipients]
+        if not blobs:
+            raise UnsupportedEncryption("pki /Recipients missing")
+        cert, key = _load_pki_credentials()
+        from cryptography.hazmat.primitives.serialization import pkcs7
+        content = None
+        for blob in blobs:
+            try:
+                content = pkcs7.pkcs7_decrypt_der(blob, cert, key, [])
+                break
+            except Exception:
+                continue
+        if content is None or len(content) < 20:
+            raise UnsupportedEncryption(
+                "unable to decrypt with recipient certificate")
+        self.perms = (struct.unpack(">I", content[20:24])[0]
+                      if len(content) >= 24 else 0xFFFFFFFF)
+        digest = content[:20] + b"".join(blobs)
+        if encrypt_metadata is False:
+            digest += b"\xff" * 4
+        h = (hashlib.sha256(digest) if cfm == Name("AESV3")
+             else hashlib.sha1(digest))
+        # CF /Length may be bits (spec) or bytes (seen in the wild)
+        nbytes = cf_length // 8 if cf_length > 40 else cf_length
+        self.key = h.digest()[:nbytes]
+        # r>=5 short-circuits object_key to the file key (AESV3)
+        self.r = 5 if cfm == Name("AESV3") else r
+        self.stm_cfm = self.str_cfm = cfm
+        self.encrypt_metadata = encrypt_metadata
+
+
 def make_sec_handler(doc):
     enc = doc.encrypt
     if isinstance(enc, (Stream, ObjStm)):
@@ -269,9 +382,13 @@ def make_sec_handler(doc):
     if not isinstance(enc, dict):
         raise UnsupportedEncryption("bad /Encrypt")
     filt = enc.get(Name("Filter"))
-    if filt != Name("Standard"):
-        raise UnsupportedEncryption(f"security handler {filt} not supported")
-    return StdSecHandler(doc, enc)
+    if filt == Name("Standard"):
+        return StdSecHandler(doc, enc)
+    sub = doc.get(enc, Name("SubFilter"))
+    if filt == Name("Adobe.PubSec") or (
+            sub is not None and str(sub).startswith("adbe.pkcs7")):
+        return PKISecHandler(doc, enc, sub)
+    raise UnsupportedEncryption(f"security handler {filt} not supported")
 
 
 def decrypt_object(handler: StdSecHandler, ind) -> None:

@@ -371,6 +371,54 @@ class _Aes256Encryptor:
                                   True)
 
 
+class _PkiEncryptor:
+    """Adobe.PubSec adbe.pkcs7.s5 with an AESV2 crypt filter: the
+    24-byte CMS content is seed(20) + perms(4); file key =
+    sha1(seed || recipients)[:16] (ref PKISecHandler.jl:95-133).
+    Recipient identity: the packaged synthetic test cert/key."""
+
+    def __init__(self):
+        import importlib.resources as ir
+        from cryptography import x509
+        from cryptography.hazmat.primitives.serialization import (
+            pkcs7, Encoding, load_pem_private_key)
+        pem = (ir.files("pdfio_spark") / "data"
+               / "pki_test_identity.pem").read_bytes()
+        cert = x509.load_pem_x509_certificate(pem)
+        self.seed = b"pdfio-spark-pki-seed"          # exactly 20 bytes
+        content = self.seed + b"\xff\xff\xff\xfc"    # perms
+        self.recipient = (pkcs7.PKCS7EnvelopeBuilder()
+                          .set_data(content).add_recipient(cert)
+                          .encrypt(Encoding.DER, [pkcs7.PKCS7Options.Binary]))
+        self.key = hashlib.sha1(self.seed + self.recipient).digest()[:16]
+
+    def enc_dict(self) -> dict:
+        return {"Filter": NameN("Adobe.PubSec"),
+                "SubFilter": NameN("adbe.pkcs7.s5"),
+                "V": 4, "Length": 128,
+                "CF": {"DefaultCryptFilter": {
+                    "Type": NameN("CryptFilter"), "CFM": NameN("AESV2"),
+                    "Length": 128,
+                    "Recipients": [HexN(self.recipient.hex())]}},
+                "StmF": NameN("DefaultCryptFilter"),
+                "StrF": NameN("DefaultCryptFilter")}
+
+    def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        from cryptography.hazmat.primitives.ciphers import (Cipher,
+                                                            algorithms,
+                                                            modes)
+        md = hashlib.md5()
+        md.update(self.key)
+        md.update(struct.pack("<I", num)[:3])
+        md.update(struct.pack("<I", gen)[:2])
+        md.update(b"sAlT")
+        ok = md.digest()[:16]
+        iv = hashlib.md5(f"{num}:{gen}".encode()).digest()
+        padn = 16 - (len(data) % 16)
+        enc = Cipher(algorithms.AES(ok), modes.CBC(iv)).encryptor()
+        return iv + enc.update(data + bytes([padn]) * padn) + enc.finalize()
+
+
 # ----------------------------------------------------- document builder
 
 # Courier for oracled text fixtures: zero kern pairs, so the
@@ -740,6 +788,9 @@ def make_pdf(page_contents: list[bytes],
         encrypt_n = alloc()
     elif encrypt == "aes256":
         encryptor = _Aes256Encryptor()
+        encrypt_n = alloc()
+    elif encrypt == "pki":
+        encryptor = _PkiEncryptor()
         encrypt_n = alloc()
     elif encrypt is not None:
         raise ValueError(encrypt)
@@ -1127,6 +1178,8 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         return make_pdf([c], encrypt="owner_pw")
     if cls == "encrypt_aes256":
         return make_pdf([c], encrypt="aes256")
+    if cls == "encrypt_pki":
+        return make_pdf([c], encrypt="pki")
     if cls == "multipage_labels":
         per_page = [content_for_lines([ln]) for ln in lines]
         return make_pdf(per_page, page_labels=True)

@@ -1740,7 +1740,7 @@ QUERIES = {
     "q_extract_sharded": q_extract_sharded,
     "q_extract_encrypted": _extract_query(
         ["encrypt_rc4_128", "encrypt_aes256", "encrypt_rc4_40",
-         "encrypt_aes128", "encrypt_owner_pw"]),
+         "encrypt_aes128", "encrypt_owner_pw", "encrypt_pki"]),
     "q_page_labels": q_page_labels,
     "q_struct_roles": q_struct_roles,
     "q_outline": q_outline,

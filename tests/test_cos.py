@@ -198,3 +198,44 @@ class TestEncryptionMatrix:
         r = self._roundtrip("user_pw_locked")
         assert r["status"] == "unsupported_encryption"
         assert "password" in r["err"]
+
+
+class TestPKISecHandler:
+    """X10 Adobe.PubSec (PKISecHandler.jl:26-133): CMS EnvelopedData
+    recipient decrypt -> sha1(seed||recipients) file key -> AESV2."""
+
+    def test_pki_extracts(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        r = extract_doc(build_fixture("encrypt_pki", ["Doc 11: pki ok"]))
+        assert r["status"] == "ok"
+        assert r["text"] == "         Doc 11: pki ok\n"
+
+    def test_pki_wrong_identity_quarantines(self):
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import rsa
+        from cryptography import x509
+        from cryptography.x509.oid import NameOID
+        import datetime
+        from pdfio_spark.cos import crypt
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+        name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "other")])
+        cert = (x509.CertificateBuilder().subject_name(name)
+                .issuer_name(name).public_key(key.public_key())
+                .serial_number(2)
+                .not_valid_before(datetime.datetime(2020, 1, 1))
+                .not_valid_after(datetime.datetime(2120, 1, 1))
+                .sign(key, hashes.SHA256()))
+        crypt.set_pki_credentials(
+            cert.public_bytes(serialization.Encoding.PEM),
+            key.private_bytes(serialization.Encoding.PEM,
+                              serialization.PrivateFormat.PKCS8,
+                              serialization.NoEncryption()))
+        try:
+            r = extract_doc(build_fixture("encrypt_pki", ["Doc 1: x"]))
+            assert r["status"] == "unsupported_encryption"
+            assert "recipient" in r["err"]
+        finally:
+            crypt._PKI_CREDENTIALS = None
