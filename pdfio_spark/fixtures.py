@@ -1033,6 +1033,111 @@ def make_incremental_pdf(lines_v1: list[str], lines_v2: list[str]) -> bytes:
     return bytes(out)
 
 
+_SIG_HEX_LEN = 8192  # hex chars reserved for /Contents (4096 bytes)
+
+
+def _test_identity():
+    import importlib.resources as ir
+    from cryptography import x509
+    from cryptography.hazmat.primitives.serialization import (
+        load_pem_private_key)
+    pem = (ir.files("pdfio_spark") / "data"
+           / "pki_test_identity.pem").read_bytes()
+    return (x509.load_pem_x509_certificate(pem),
+            load_pem_private_key(pem, password=None))
+
+
+def make_signed_pdf(lines: list[str],
+                    subfilter: str = "adbe.pkcs7.detached",
+                    tamper: bool = False) -> bytes:
+    """Digitally-signed PDF: base doc + incremental update carrying an
+    AcroForm /Sig field whose /V has ByteRange + CMS (or PKCS#1)
+    Contents, signed with the packaged test identity. Classic two-pass:
+    serialize with fixed-width placeholders, patch ByteRange, sign the
+    ByteRange bytes, splice the hex signature (ref PDSignature.jl
+    ByteRange semantics). tamper=True flips a byte AFTER signing."""
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+    from cryptography.hazmat.primitives.serialization import (pkcs7,
+                                                              Encoding)
+    base = make_pdf([content_for_lines(lines)])
+    cidx = base.find(b"/Type /Catalog")
+    coidx = base.rfind(b" 0 obj", 0, cidx)
+    cnidx = base.rfind(b"\n", 0, coidx)
+    catn = int(base[cnidx + 1:coidx])
+    m = re.search(rb"/Pages (\d+) 0 R", base)
+    pages_n = int(m.group(1))
+    old_startxref = int(base[base.rfind(b"startxref") + 9:
+                             base.rfind(b"%%EOF")].strip())
+    old_size = base.count(b" 0 obj") + 1
+    sig_n, fld_n = old_size, old_size + 1
+
+    cert, key = _test_identity()
+    out = bytearray(base)
+
+    def emit(n: int, body: bytes) -> int:
+        off = len(out)
+        out.extend(f"{n} 0 obj\n".encode() + body + b"\nendobj\n")
+        return off
+
+    sig_d = (b"<< /Type /Sig /Filter /Adobe.PPKLite /SubFilter /"
+             + subfilter.encode()
+             + b" /Name (pdfio-spark signer) /M (D:20260101000000Z)"
+             + b" /ByteRange [0 AAAAAAAAAA BBBBBBBBBB CCCCCCCCCC]"
+             + b" /Contents <" + b"0" * _SIG_HEX_LEN + b">")
+    if subfilter == "adbe.x509.rsa_sha1":
+        cder = cert.public_bytes(Encoding.DER)
+        sig_d += b" /Cert <" + cder.hex().encode() + b">"
+    sig_d += b" >>"
+    sig_off = emit(sig_n, sig_d)
+    fld_off = emit(fld_n, _ser({"FT": NameN("Sig"), "T": "Sig1",
+                                "V": RefN(sig_n)}))
+    cat_off = emit(catn, _ser({"Type": NameN("Catalog"),
+                               "Pages": RefN(pages_n),
+                               "AcroForm": {"Fields": [RefN(fld_n)],
+                                            "SigFlags": 3}}))
+    xref_pos = len(out)
+    out.extend(f"xref\n{catn} 1\n{cat_off:010d} 00000 n \n"
+               f"{sig_n} 2\n{sig_off:010d} 00000 n \n"
+               f"{fld_off:010d} 00000 n \n".encode())
+    out.extend(b"trailer\n" + _ser({"Size": old_size + 2,
+                                    "Root": RefN(catn),
+                                    "Prev": old_startxref}))
+    out.extend(f"\nstartxref\n{xref_pos}\n%%EOF\n".encode())
+
+    # pass 2: patch ByteRange (fixed width), then sign the range bytes
+    lt = out.find(b"/Contents <", sig_off) + len(b"/Contents ")
+    gt_after = lt + 1 + _SIG_HEX_LEN + 1
+    br = f"[0 {lt} {gt_after} {len(out) - gt_after}]".encode()
+    br_at = out.find(b"[0 AAAAAAAAAA", sig_off)
+    br_end = out.find(b"]", br_at) + 1
+    out[br_at:br_end] = br.ljust(br_end - br_at)
+    signed = bytes(out[:lt]) + bytes(out[gt_after:])
+    if subfilter == "adbe.x509.rsa_sha1":
+        raw = key.sign(signed, padding.PKCS1v15(), hashes.SHA1())
+        # DER OCTET STRING wrap (long-form length)
+        der = (b"\x04\x82" + len(raw).to_bytes(2, "big") + raw)
+    elif subfilter == "adbe.pkcs7.sha1":
+        # eContent = sha1(byterange); the CMS signer digest itself may
+        # be any supported hash (builder refuses SHA-1 signing)
+        digest = hashlib.sha1(signed).digest()
+        der = (pkcs7.PKCS7SignatureBuilder().set_data(digest)
+               .add_signer(cert, key, hashes.SHA256())
+               .sign(Encoding.DER, [pkcs7.PKCS7Options.Binary]))
+    else:
+        der = (pkcs7.PKCS7SignatureBuilder().set_data(signed)
+               .add_signer(cert, key, hashes.SHA256())
+               .sign(Encoding.DER, [pkcs7.PKCS7Options.DetachedSignature,
+                                    pkcs7.PKCS7Options.Binary]))
+    hx = der.hex().encode()
+    assert len(hx) <= _SIG_HEX_LEN, "signature larger than placeholder"
+    out[lt + 1:lt + 1 + len(hx)] = hx
+    if tamper:
+        # flip a content byte inside the signed range (after header)
+        out[100] ^= 0x01
+    return bytes(out)
+
+
 def make_corrupt_flate_pdf(lines: list[str], cut: int = 6) -> bytes:
     """Corrupt deflate tail (reference test 00007.pdf): a comment pad
     absorbs the truncation so the text itself survives; the decoder must
@@ -1146,6 +1251,14 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         did = lines[0][4:lines[0].index(":")]
         return make_pdf([content_for_lines([did, SYMBOL_PROBE])],
                         font="symbol")
+    if cls == "signed":
+        # SubFilter rotates by doc_id across the reference's matrix
+        did = int(lines[0][4:lines[0].index(":")])
+        sub = ("adbe.pkcs7.detached", "adbe.pkcs7.sha1",
+               "adbe.x509.rsa_sha1")[(did % 6) // 2]
+        return make_signed_pdf(lines, subfilter=sub)
+    if cls == "signed_tampered":
+        return make_signed_pdf(lines, tamper=True)
     if cls == "tagged":
         # one Para StructElem per text line (line count is the same
         # closed form the lines CTE predicts)

@@ -1,0 +1,324 @@
+"""Digital-signature validation (SURVEY X11; reference
+src/PDSignature.jl:101-154 pd_validate_signature + PDCrypt.jl CMS).
+
+Supports the reference's SubFilter matrix:
+  adbe.pkcs7.detached / ETSI.CAdES.detached — CMS SignedData over the
+      /ByteRange bytes (detached content);
+  adbe.pkcs7.sha1 — CMS SignedData whose encapsulated content is the
+      SHA-1 of the /ByteRange bytes;
+  adbe.x509.rsa_sha1 — PKCS#1 signature in /Contents with the signer
+      certificate in /Cert.
+
+CMS parsing is a minimal DER walk (tag-length-value; SignedData layout
+per RFC 5652) — no external ASN.1 schema; RSA verification and X.509
+handling via the public `cryptography` package. Like the reference,
+validation is local (signature integrity + signer identity); trust-
+chain anchoring is the caller's policy.
+"""
+from __future__ import annotations
+
+import hashlib
+
+from ..cos.objects import HexStr, LitStr, Name
+
+__all__ = ["get_signature_fields", "validate_signatures"]
+
+OID_SIGNED_DATA = "1.2.840.113549.1.7.2"
+OID_MESSAGE_DIGEST = "1.2.840.113549.1.9.4"
+OID_RSA = "1.2.840.113549.1.1.1"
+_OID_HASH = {
+    "1.2.840.113549.2.5": "md5",
+    "1.3.14.3.2.26": "sha1",
+    "2.16.840.1.101.3.4.2.1": "sha256",
+    "2.16.840.1.101.3.4.2.2": "sha384",
+    "2.16.840.1.101.3.4.2.3": "sha512",
+}
+# signatureAlgorithm OIDs that bind their own digest
+_OID_SIGALG_HASH = {
+    "1.2.840.113549.1.1.5": "sha1",
+    "1.2.840.113549.1.1.11": "sha256",
+    "1.2.840.113549.1.1.12": "sha384",
+    "1.2.840.113549.1.1.13": "sha512",
+}
+
+
+# ------------------------------------------------------------- DER walk
+
+def _tlv(data: bytes, off: int) -> tuple[int, bool, bytes, int, int]:
+    """-> (tag_byte, constructed, content, content_off, next_off)."""
+    if off >= len(data):
+        raise ValueError("DER: truncated")
+    tag = data[off]
+    constructed = bool(tag & 0x20)
+    i = off + 1
+    ln = data[i]
+    i += 1
+    if ln & 0x80:
+        n = ln & 0x7F
+        ln = int.from_bytes(data[i:i + n], "big")
+        i += n
+    return tag, constructed, data[i:i + ln], i, i + ln
+
+
+def _children(content: bytes) -> list[tuple[int, bytes, bytes]]:
+    """-> [(tag, inner_content, full_tlv_bytes)] for a constructed blob."""
+    out = []
+    off = 0
+    while off < len(content):
+        tag, _, inner, _, nxt = _tlv(content, off)
+        out.append((tag, inner, content[off:nxt]))
+        off = nxt
+    return out
+
+
+def _oid_str(content: bytes) -> str:
+    if not content:
+        return ""
+    first = content[0]
+    parts = [str(first // 40), str(first % 40)]
+    v = 0
+    for b in content[1:]:
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            parts.append(str(v))
+            v = 0
+    return ".".join(parts)
+
+
+# --------------------------------------------------------- CMS SignedData
+
+def _parse_signed_data(der: bytes) -> dict:
+    """ContentInfo -> {econtent, certs_der[], signer_infos[]}; each
+    signer_info = {digest, sig_hash, signed_attrs_raw, message_digest,
+    signature}."""
+    tag, _, ci, _, _ = _tlv(der, 0)
+    if tag != 0x30:
+        raise ValueError("CMS: not a SEQUENCE")
+    kids = _children(ci)
+    if not kids or _oid_str(kids[0][1]) != OID_SIGNED_DATA:
+        raise ValueError("CMS: not SignedData")
+    # [0] EXPLICIT content
+    sd_seq = _children(kids[1][1])[0][1]  # SignedData SEQUENCE content
+    certs_der: list[bytes] = []
+    econtent = None
+    signer_infos = []
+    elems = _children(sd_seq)
+    idx = 0
+    # version, digestAlgorithms, encapContentInfo
+    idx += 1  # version INTEGER
+    idx += 1  # digestAlgorithms SET
+    encap = _children(elems[idx][1])
+    idx += 1
+    if len(encap) > 1:  # [0] EXPLICIT eContent OCTET STRING
+        inner = _children(encap[1][1])
+        if inner and inner[0][0] == 0x04:
+            econtent = inner[0][1]
+    while idx < len(elems) and elems[idx][0] in (0xA0, 0xA1):
+        if elems[idx][0] == 0xA0:  # certificates IMPLICIT SET
+            certs_der = [full for _, _, full in _children(elems[idx][1])]
+        idx += 1
+    for _, si_content, _ in _children(elems[idx][1]):  # signerInfos SET
+        si_elems = _children(si_content)
+        j = 0
+        j += 1  # version
+        j += 1  # sid
+        digest_oid = _oid_str(_children(si_elems[j][1])[0][1])
+        j += 1
+        signed_attrs_raw = None
+        message_digest = None
+        if si_elems[j][0] == 0xA0:  # [0] IMPLICIT signedAttrs
+            signed_attrs_raw = si_elems[j][2]
+            for _, attr, _ in _children(si_elems[j][1]):
+                a = _children(attr)
+                if _oid_str(a[0][1]) == OID_MESSAGE_DIGEST:
+                    vals = _children(a[1][1])
+                    if vals and vals[0][0] == 0x04:
+                        message_digest = vals[0][1]
+            j += 1
+        sigalg_oid = _oid_str(_children(si_elems[j][1])[0][1])
+        j += 1
+        signature = si_elems[j][1]
+        signer_infos.append({
+            "digest": _OID_HASH.get(digest_oid, "sha256"),
+            "sig_hash": _OID_SIGALG_HASH.get(sigalg_oid),
+            "signed_attrs_raw": signed_attrs_raw,
+            "message_digest": message_digest,
+            "signature": signature,
+        })
+    return {"econtent": econtent, "certs_der": certs_der,
+            "signer_infos": signer_infos}
+
+
+def _hash_name_to_obj(name: str):
+    from cryptography.hazmat.primitives import hashes
+    return {"md5": hashes.MD5, "sha1": hashes.SHA1, "sha256": hashes.SHA256,
+            "sha384": hashes.SHA384, "sha512": hashes.SHA512}[name]()
+
+
+def _rsa_verify(cert, data: bytes, signature: bytes, hash_name: str) -> bool:
+    from cryptography.hazmat.primitives.asymmetric import padding
+    try:
+        cert.public_key().verify(signature, data, padding.PKCS1v15(),
+                                 _hash_name_to_obj(hash_name))
+        return True
+    except Exception:
+        return False
+
+
+def _verify_cms(contents: bytes, signed_bytes: bytes,
+                embedded_digest: bool = False) -> dict:
+    """Verify a CMS SignedData blob against the ByteRange bytes.
+    embedded_digest: adbe.pkcs7.sha1 — eContent is sha1(signed_bytes)."""
+    from cryptography import x509
+    sd = _parse_signed_data(contents)
+    certs = []
+    for cd in sd["certs_der"]:
+        try:
+            certs.append(x509.load_der_x509_certificate(cd))
+        except Exception:
+            pass
+    if not certs:
+        return {"passed": False, "error": "no signer certificate"}
+    if embedded_digest:
+        if sd["econtent"] is None:
+            return {"passed": False, "error": "missing eContent"}
+        if sd["econtent"] != hashlib.sha1(signed_bytes).digest():
+            return {"passed": False, "error": "document digest mismatch"}
+        content = sd["econtent"]
+    else:
+        content = signed_bytes
+    for si in sd["signer_infos"]:
+        h = si["digest"]
+        if si["signed_attrs_raw"] is not None:
+            # messageDigest attribute must match the content hash
+            md = hashlib.new(h, content).digest()
+            if si["message_digest"] != md:
+                continue
+            # signature is over the attrs re-tagged [0] -> SET (0x31)
+            attrs = b"\x31" + si["signed_attrs_raw"][1:]
+            to_verify = attrs
+        else:
+            to_verify = content
+        vh = si["sig_hash"] or h
+        for cert in certs:
+            if _rsa_verify(cert, to_verify, si["signature"], vh):
+                try:
+                    signer = cert.subject.rfc4514_string()
+                except Exception:
+                    signer = ""
+                return {"passed": True, "signer": signer, "error": None}
+    return {"passed": False, "error": "signature verification failed"}
+
+
+# ----------------------------------------------------------- PDF plane
+
+def get_signature_fields(doc) -> list[dict]:
+    """AcroForm walk -> resolved /FT /Sig field dicts (parity with
+    has_signature, PDDocImpl.jl:141-153, but returning the fields)."""
+    cos = doc.cos
+    acro = cos.get(doc.catalog, Name("AcroForm"))
+    if acro is None:
+        return []
+    out: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(flds, depth: int) -> None:
+        if not isinstance(flds, list) or depth > 16:
+            return
+        for fobj in flds:
+            fld = cos.get_object(fobj)
+            if not isinstance(fld, dict) or id(fld) in seen:
+                continue
+            seen.add(id(fld))
+            if cos.get(fld, Name("FT")) == Name("Sig"):
+                out.append(fld)
+            kids = cos.get(fld, Name("Kids"))
+            if kids is not None:
+                walk(kids, depth + 1)
+
+    walk(cos.get(acro, Name("Fields")), 0)
+    return out
+
+
+_SUBFILTERS = ("adbe.x509.rsa_sha1", "adbe.pkcs7.detached",
+               "adbe.pkcs7.sha1", "ETSI.CAdES.detached")
+
+
+def _str_bytes(v) -> bytes:
+    if isinstance(v, HexStr):
+        return v.binary
+    if isinstance(v, (LitStr, bytes)):
+        return bytes(v)
+    return b""
+
+
+def validate_signatures(doc, data: bytes) -> list[dict]:
+    """pd_validate_signature (PDSignature.jl:101-154) over every /Sig
+    field: returns one status dict per signature with passed/subfilter/
+    name/m/signer/error."""
+    cos = doc.cos
+    out = []
+    for fld in get_signature_fields(doc):
+        status = {"passed": False, "subfilter": None, "name": None,
+                  "m": None, "signer": None, "error": None}
+        out.append(status)
+        sig = cos.get(fld, Name("V"))
+        if not isinstance(sig, dict):
+            status["error"] = "no /V"
+            continue
+        sub = cos.get(sig, Name("SubFilter"))
+        status["subfilter"] = str(sub) if sub is not None else None
+        nm = cos.get(sig, Name("Name"))
+        if nm is not None:
+            status["name"] = (_str_bytes(nm).decode("latin-1")
+                              if not isinstance(nm, str) else str(nm))
+        m = cos.get(sig, Name("M"))
+        if m is not None:
+            status["m"] = (_str_bytes(m).decode("latin-1")
+                           if not isinstance(m, str) else str(m))
+        if str(sub) not in _SUBFILTERS:
+            status["error"] = f"unsupported subfilter {sub}"
+            continue
+        brange = cos.get(sig, Name("ByteRange"))
+        # Contents must come raw (never through the security handler) —
+        # the signature covers the encrypted bytes (ref :118-120)
+        contents = _str_bytes(sig.get(Name("Contents")))
+        if not isinstance(brange, list) or len(brange) % 2 or not contents:
+            status["error"] = "missing ByteRange/Contents"
+            continue
+        try:
+            br = [int(cos.get_object(x)) for x in brange]
+            signed = b"".join(data[br[i]:br[i] + br[i + 1]]
+                              for i in range(0, len(br), 2))
+            if str(sub) == "adbe.x509.rsa_sha1":
+                r = _verify_x509_rsa_sha1(cos, sig, contents, signed)
+            else:
+                r = _verify_cms(contents, signed,
+                                embedded_digest=str(sub) == "adbe.pkcs7.sha1")
+            status.update(r)
+        except Exception as e:
+            status["error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def _verify_x509_rsa_sha1(cos, sig: dict, contents: bytes,
+                          signed: bytes) -> dict:
+    from cryptography import x509
+    cert_obj = cos.get(sig, Name("Cert"))
+    if isinstance(cert_obj, list):
+        cert_obj = cos.get_object(cert_obj[0]) if cert_obj else None
+    cder = _str_bytes(cert_obj)
+    if not cder:
+        return {"passed": False, "error": "missing /Cert"}
+    cert = x509.load_der_x509_certificate(cder)
+    # Contents is a DER OCTET STRING wrapping the PKCS#1 signature
+    sig_bytes = contents
+    if contents[:1] == b"\x04":
+        try:
+            _, _, sig_bytes, _, _ = _tlv(contents, 0)
+        except Exception:
+            sig_bytes = contents
+    if _rsa_verify(cert, signed, sig_bytes, "sha1"):
+        return {"passed": True, "signer": cert.subject.rfc4514_string(),
+                "error": None}
+    return {"passed": False, "error": "signature verification failed"}

@@ -71,7 +71,8 @@ def make_pdf_for_doc(doc_id: int, text: str, classes=None) -> bytes:
     return build_fixture(cls, lines)
 
 
-def gen_pdf_corpus(docs: DataFrame, classes: list[str] | None = None) -> DataFrame:
+def gen_pdf_corpus(docs: DataFrame, classes: list[str] | None = None,
+                   partitions: int | None = None) -> DataFrame:
     """documents(doc_id, text, ...) -> (url, html, nbytes) with PDF bytes.
     Runs as one Arrow-batched stage; in production this is simply the
     Common-Crawl Iceberg scan instead."""
@@ -98,8 +99,9 @@ def gen_pdf_corpus(docs: DataFrame, classes: list[str] | None = None) -> DataFra
     sc = docs.sparkSession.sparkContext
     # one task per core: single-wave execution measured ~35% faster than
     # 2x overpartitioning for the CPU-bound UDF stage on local[32]
-    docs = docs.select("doc_id", "text").repartition(
-        max(sc.defaultParallelism, 8))
+    if partitions is None:
+        partitions = max(sc.defaultParallelism, 8)
+    docs = docs.select("doc_id", "text").repartition(partitions)
     return docs.mapInArrow(gen, "url string, html binary, nbytes long")
 
 

@@ -410,6 +410,64 @@ FROM rows_ ORDER BY url, seq
 """
 
 
+def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature validation (SURVEY X11; PDSignature.jl:101-154): CMS /
+    PKCS#1 verification over /ByteRange for the reference's SubFilter
+    matrix, plus a tampered negative class. All outcomes predicted in
+    closed form (signer identity is the packaged test certificate)."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["signed", "signed_tampered"])
+
+    def sigs(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.signature import validate_signatures
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o = {k: [] for k in ("url", "subfilter", "passed", "signer",
+                                 "err")}
+            for url, html in zip(urls, htmls):
+                try:
+                    doc = PDDoc(html)
+                    for st in validate_signatures(doc, html):
+                        o["url"].append(url)
+                        o["subfilter"].append(st["subfilter"])
+                        o["passed"].append(bool(st["passed"]))
+                        o["signer"].append(st["signer"])
+                        o["err"].append(st["error"])
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o["url"], pa.string()),
+                 pa.array(o["subfilter"], pa.string()),
+                 pa.array(o["passed"], pa.bool_()),
+                 pa.array(o["signer"], pa.string()),
+                 pa.array(o["err"], pa.string())],
+                names=["url", "subfilter", "passed", "signer", "err"])
+
+    return (corpus.mapInArrow(
+        sigs, "url string, subfilter string, passed boolean, "
+              "signer string, err string")
+        .orderBy("url"))
+
+
+ORACLE_SIGNATURES = """
+SELECT 'doc://' || doc_id AS url,
+       CASE WHEN doc_id % 2 = 1 THEN 'adbe.pkcs7.detached'
+            WHEN doc_id % 6 = 0 THEN 'adbe.pkcs7.detached'
+            WHEN doc_id % 6 = 2 THEN 'adbe.pkcs7.sha1'
+            ELSE 'adbe.x509.rsa_sha1' END AS subfilter,
+       (doc_id % 2 = 0) AS passed,
+       CASE WHEN doc_id % 2 = 0 THEN 'CN=pdfio-spark-test'
+            ELSE NULL END AS signer,
+       CASE WHEN doc_id % 2 = 0 THEN NULL
+            ELSE 'signature verification failed' END AS err
+FROM documents ORDER BY url
+"""
+
+
 def q_page_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-label number-tree lookup (SURVEY T1-T4): roman pages 1-2,
     'P-<n>' decimal after — predicted in closed form by the oracle."""
@@ -1743,6 +1801,7 @@ QUERIES = {
          "encrypt_aes128", "encrypt_owner_pw", "encrypt_pki"]),
     "q_page_labels": q_page_labels,
     "q_struct_roles": q_struct_roles,
+    "q_signatures": q_signatures,
     "q_outline": q_outline,
     "q_doc_info": q_doc_info,
     "q_label_to_page": q_label_to_page,
@@ -1809,6 +1868,7 @@ ORACLES = {
     "q_extract_encrypted": _ORACLE_SINGLEPAGE,
     "q_page_labels": ORACLE_PAGE_LABELS,
     "q_struct_roles": ORACLE_STRUCT_ROLES,
+    "q_signatures": ORACLE_SIGNATURES,
     "q_outline": ORACLE_OUTLINE,
     "q_doc_info": ORACLE_DOC_INFO,
     "q_label_to_page": ORACLE_LABEL_TO_PAGE,

@@ -239,3 +239,43 @@ class TestPKISecHandler:
             assert "recipient" in r["err"]
         finally:
             crypt._PKI_CREDENTIALS = None
+
+
+class TestSignatureValidation:
+    """X11 full validation (PDSignature.jl:101-154): CMS SignedData /
+    PKCS#1 over /ByteRange, three SubFilters + tamper negative."""
+
+    def _validate(self, **kw):
+        from pdfio_spark.fixtures import make_signed_pdf
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.signature import validate_signatures
+        pdf = make_signed_pdf(["Doc 1: signed body"], **kw)
+        return validate_signatures(PDDoc(pdf), pdf)[0], pdf
+
+    def test_pkcs7_detached(self):
+        st, pdf = self._validate(subfilter="adbe.pkcs7.detached")
+        assert st["passed"] and st["signer"] == "CN=pdfio-spark-test"
+        assert st["name"] == "pdfio-spark signer"
+        assert st["m"].startswith("D:2026")
+        # the signed doc still extracts
+        from pdfio_spark.pd.extract import extract_doc
+        assert extract_doc(pdf)["status"] == "ok"
+
+    def test_pkcs7_sha1_embedded_digest(self):
+        st, _ = self._validate(subfilter="adbe.pkcs7.sha1")
+        assert st["passed"] and st["subfilter"] == "adbe.pkcs7.sha1"
+
+    def test_x509_rsa_sha1(self):
+        st, _ = self._validate(subfilter="adbe.x509.rsa_sha1")
+        assert st["passed"] and st["subfilter"] == "adbe.x509.rsa_sha1"
+
+    def test_tampered_fails(self):
+        st, _ = self._validate(tamper=True)
+        assert not st["passed"]
+        assert st["error"] == "signature verification failed"
+
+    def test_detection_parity(self):
+        from pdfio_spark.fixtures import make_signed_pdf, build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        assert PDDoc(make_signed_pdf(["x"])).has_signature()
+        assert not PDDoc(build_fixture("flate_simple", ["x"])).has_signature()
