@@ -714,11 +714,24 @@ def make_pdf(page_contents: list[bytes],
         root_n = alloc()
         item_ns = [alloc() for _ in page_ns]
         dest_names = []
+        # direct-dest items rotate the FULL layout matrix (SURVEY N3;
+        # PDOutline.jl:41-67) with deterministic coordinates
+        layouts = [
+            [NameN("XYZ"), 10.0, 700.0, 1.5],
+            [NameN("Fit")],
+            [NameN("FitH"), 600.0],
+            [NameN("FitV"), 50.0],
+            [NameN("FitR"), 10.0, 20.0, 300.0, 400.0],
+            [NameN("FitB")],
+            [NameN("FitBH"), 650.0],
+            [NameN("FitBV"), 60.0],
+        ]
         for i, inum in enumerate(item_ns):
             item = {"Title": f"Sec {i + 1}", "Parent": RefN(root_n)}
             if i % 2 == 0:
                 # direct destination array
-                item["Dest"] = [RefN(page_ns[i]), NameN("Fit")]
+                lay = layouts[(i // 2) % len(layouts)]
+                item["Dest"] = [RefN(page_ns[i])] + lay
             else:
                 # named destination resolved via the /Names/Dests name
                 # tree (exercises string-key tree search, SURVEY T2/N2)

@@ -238,6 +238,63 @@ def _resolve_dest_page(doc, dest) -> int | None:
     return None
 
 
+#: destination layouts and which [left,bottom,right,top] slots they fill
+#: (PDOutline.jl:41-67; spec 32000-1 table 151). NOTE: the reference
+#: reads FitV's left from v[4] (PDOutline.jl:53) — an off-by-one that
+#: throws on a spec-shaped 3-element array; we read v[3] per spec.
+_DEST_LAYOUTS = ("XYZ", "Fit", "FitH", "FitV", "FitR", "FitB",
+                 "FitBH", "FitBV")
+
+
+def pd_destination(doc, dest) -> dict | None:
+    """Full PDDestination (PDOutline.jl:32-67): resolves named dests,
+    returns {page_no, layout, left, bottom, right, top, zoom} with the
+    reference's defaulting (unused slots 0.0)."""
+    from ..cos.objects import LitStr, HexStr
+    cos = doc.cos
+    if isinstance(dest, (LitStr, HexStr, bytes, Name)):
+        from .fonts import pdf_doc_decode
+        key = str(dest) if isinstance(dest, Name) else pdf_doc_decode(dest)
+        names = cos.get(doc.catalog, Name("Names"))
+        if names is None:
+            return None
+        d = _find_name_tree(cos, cos.get(names, Name("Dests")), key)
+        if isinstance(d, dict):
+            d = cos.get(d, Name("D"))
+        dest = d
+    if not isinstance(dest, list) or not dest:
+        return None
+    page_obj = cos.get_object(dest[0])
+    page_no = None
+    for i, pref in enumerate(doc.pagerefs):
+        if pref is page_obj:
+            page_no = i + 1
+            break
+    v = [cos.get_object(x) for x in dest]
+    layout = str(v[1]) if len(v) > 1 and isinstance(v[1], Name) else "Fit"
+
+    def num(i: int) -> float:
+        import numpy as np
+        if i < len(v) and isinstance(v[i], (int, float, np.integer,
+                                            np.floating)) \
+                and not isinstance(v[i], bool):
+            return float(v[i])
+        return 0.0
+
+    left = bottom = right = top = zoom = 0.0
+    if layout == "XYZ":
+        left, top, zoom = num(2), num(3), num(4)
+    elif layout in ("FitH", "FitBH"):
+        top = num(2)
+    elif layout in ("FitV", "FitBV"):
+        left = num(2)
+    elif layout == "FitR":
+        left, bottom, right, top = num(2), num(3), num(4), num(5)
+    # Fit / FitB: no values
+    return {"page_no": page_no, "layout": layout, "left": left,
+            "bottom": bottom, "right": right, "top": top, "zoom": zoom}
+
+
 def get_outline(doc, max_items: int = 1000) -> list[dict]:
     """Flattened outline: [{title, level, page_no}] via First/Next walk
     with visited-set (the reference validates the doubly-linked chain;
@@ -260,7 +317,7 @@ def get_outline(doc, max_items: int = 1000) -> list[dict]:
         if dest is None:
             return None
         try:
-            return _resolve_dest_page(doc, dest)
+            return pd_destination(doc, dest)
         except Exception:
             return None
 
@@ -271,8 +328,10 @@ def get_outline(doc, max_items: int = 1000) -> list[dict]:
             seen.add(id(item))
             title = doc.cos.get(item, Name("Title"))
             if isinstance(title, bytes):
+                d = dest_of(item)
                 out.append({"title": pdf_doc_decode(title), "level": level,
-                            "page_no": dest_of(item)})
+                            "page_no": d["page_no"] if d else None,
+                            "dest": d})
             first = doc.cos.get(item, Name("First"))
             if first is not None:
                 walk(first, level + 1)

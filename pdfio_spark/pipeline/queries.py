@@ -595,6 +595,82 @@ FROM l ORDER BY url, title
 """
 
 
+def q_outline_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destination layout matrix (SURVEY N3; PDOutline.jl:32-67): the
+    outline fixture rotates XYZ/Fit/FitH/FitV/FitR/FitB/FitBH/FitBV on
+    direct-dest items; named-dest items resolve to Fit. Layout + all
+    coordinate slots + zoom are closed-form."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["outline_toc"])
+
+    def dests(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import get_outline
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o = {k: [] for k in ("url", "title", "page_no", "layout",
+                                 "left", "bottom", "right", "top", "zoom")}
+            for url, html in zip(urls, htmls):
+                try:
+                    for item in get_outline(PDDoc(html)):
+                        d = item["dest"]
+                        if d is None:
+                            continue
+                        o["url"].append(url)
+                        o["title"].append(item["title"])
+                        o["page_no"].append(d["page_no"])
+                        o["layout"].append(d["layout"])
+                        for k in ("left", "bottom", "right", "top", "zoom"):
+                            o[k].append(d[k])
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o["url"], pa.string()),
+                 pa.array(o["title"], pa.string()),
+                 pa.array(o["page_no"], pa.int32()),
+                 pa.array(o["layout"], pa.string()),
+                 pa.array(o["left"], pa.float64()),
+                 pa.array(o["bottom"], pa.float64()),
+                 pa.array(o["right"], pa.float64()),
+                 pa.array(o["top"], pa.float64()),
+                 pa.array(o["zoom"], pa.float64())],
+                names=list(o))
+
+    return (corpus.mapInArrow(
+        dests, "url string, title string, page_no int, layout string, "
+               "left double, bottom double, right double, top double, "
+               "zoom double")
+        .orderBy("url", "title"))
+
+
+ORACLE_OUTLINE_DEST = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url,
+       'Sec ' || i AS title,
+       cast(i AS int) AS page_no,
+       CASE WHEN i % 2 = 0 THEN 'Fit'
+            ELSE ['XYZ','Fit','FitH','FitV','FitR','FitB','FitBH','FitBV']
+                 [((i - 1) // 2) % 8 + 1] END AS layout,
+       CASE WHEN i % 2 = 0 THEN 0.0
+            ELSE CASE ((i - 1) // 2) % 8 WHEN 0 THEN 10.0 WHEN 3 THEN 50.0
+                 WHEN 4 THEN 10.0 WHEN 7 THEN 60.0 ELSE 0.0 END
+       END :: double AS "left",
+       CASE WHEN i % 2 = 1 AND ((i - 1) // 2) % 8 = 4 THEN 20.0
+            ELSE 0.0 END :: double AS bottom,
+       CASE WHEN i % 2 = 1 AND ((i - 1) // 2) % 8 = 4 THEN 300.0
+            ELSE 0.0 END :: double AS "right",
+       CASE WHEN i % 2 = 0 THEN 0.0
+            ELSE CASE ((i - 1) // 2) % 8 WHEN 0 THEN 700.0 WHEN 2 THEN 600.0
+                 WHEN 4 THEN 400.0 WHEN 6 THEN 650.0 ELSE 0.0 END
+       END :: double AS "top",
+       CASE WHEN i % 2 = 1 AND ((i - 1) // 2) % 8 = 0 THEN 1.5
+            ELSE 0.0 END :: double AS zoom
+FROM l ORDER BY url, title
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — a custom operator Spark lacks, built scalably as
     union + sorted window with last(ignorenulls) (no per-row Python, one
@@ -1802,6 +1878,7 @@ QUERIES = {
     "q_page_labels": q_page_labels,
     "q_struct_roles": q_struct_roles,
     "q_signatures": q_signatures,
+    "q_outline_dest": q_outline_dest,
     "q_outline": q_outline,
     "q_doc_info": q_doc_info,
     "q_label_to_page": q_label_to_page,
@@ -1869,6 +1946,7 @@ ORACLES = {
     "q_page_labels": ORACLE_PAGE_LABELS,
     "q_struct_roles": ORACLE_STRUCT_ROLES,
     "q_signatures": ORACLE_SIGNATURES,
+    "q_outline_dest": ORACLE_OUTLINE_DEST,
     "q_outline": ORACLE_OUTLINE,
     "q_doc_info": ORACLE_DOC_INFO,
     "q_label_to_page": ORACLE_LABEL_TO_PAGE,

@@ -464,3 +464,34 @@ class TestStructTree:
         doc = PDDoc(build_fixture("flate_simple", ["x"]))
         assert doc.get_structure_tree() is None
         assert list(doc.walk_structure()) == []
+
+
+class TestDestinationLayouts:
+    """N3 full layout matrix (PDOutline.jl:32-67). The reference reads
+    FitV's left from v[4] (off-by-one that throws on spec-shaped
+    arrays); we follow the spec and read v[3]."""
+
+    def test_layout_matrix(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import get_outline
+        # direct-dest items are Sec 1,3,5,... with layout idx 0,1,2,...;
+        # even Sec numbers are named dests resolving to Fit
+        pdf = build_fixture("outline_toc", [f"l{i}" for i in range(16)])
+        items = get_outline(PDDoc(pdf))
+        d = {i["title"]: i["dest"] for i in items}
+        assert d["Sec 1"]["layout"] == "XYZ"
+        assert (d["Sec 1"]["left"], d["Sec 1"]["top"],
+                d["Sec 1"]["zoom"]) == (10.0, 700.0, 1.5)
+        assert d["Sec 2"]["layout"] == "Fit"      # named dest
+        assert d["Sec 3"]["layout"] == "Fit"      # direct Fit
+        assert d["Sec 5"]["layout"] == "FitH" and d["Sec 5"]["top"] == 600.0
+        assert d["Sec 7"]["layout"] == "FitV" and d["Sec 7"]["left"] == 50.0
+        assert d["Sec 9"]["layout"] == "FitR"
+        assert (d["Sec 9"]["left"], d["Sec 9"]["bottom"],
+                d["Sec 9"]["right"], d["Sec 9"]["top"]) == (10, 20, 300, 400)
+        assert d["Sec 11"]["layout"] == "FitB"
+        assert d["Sec 13"]["layout"] == "FitBH" and d["Sec 13"]["top"] == 650
+        assert d["Sec 15"]["layout"] == "FitBV" and d["Sec 15"]["left"] == 60
+        assert all(i["dest"]["page_no"] == int(i["title"][4:])
+                   for i in items)
