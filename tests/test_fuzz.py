@@ -120,3 +120,38 @@ def test_extract_never_crashes_on_mutation(data):
 def test_extract_never_crashes_on_garbage(blob):
     r = extract_doc(blob)
     assert r["status"] in ("ok", "partial", "error", "empty")
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_signature_validation_never_crashes_on_mutation(data):
+    """Bit-flipped signed PDFs: validate_signatures must return status
+    dicts (passed=False or an error string), never raise — and a
+    mutation inside the signed range must never validate as passed
+    unless the flip missed every signed byte (it can hit the hex
+    /Contents gap or padding)."""
+    from pdfio_spark.fixtures import make_signed_pdf
+    from pdfio_spark.pd.pagetree import PDDoc
+    from pdfio_spark.pd.signature import validate_signatures
+    pdf = bytearray(make_signed_pdf(["fuzz sig"]))
+    i = data.draw(st.integers(min_value=0, max_value=len(pdf) - 1))
+    old = pdf[i]
+    new = data.draw(st.integers(min_value=0, max_value=255))
+    pdf[i] = new
+    try:
+        doc = PDDoc(bytes(pdf))
+    except Exception:
+        return  # parse-level quarantine is extract_doc's job
+    sts = validate_signatures(doc, bytes(pdf))
+    for s in sts:
+        assert isinstance(s, dict) and "passed" in s
+        if s["passed"] and old != new:
+            # only acceptable if the flip landed in the unsigned hex gap
+            br_ok = False
+            sig_pdf = bytes(pdf)
+            lt = sig_pdf.find(b"/Contents <")
+            if lt != -1:
+                gap_start = lt + len(b"/Contents ")
+                gap_end = sig_pdf.find(b">", gap_start) + 1
+                br_ok = gap_start <= i < gap_end
+            assert br_ok, f"tampered byte {i} validated"
