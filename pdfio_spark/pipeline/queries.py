@@ -1153,6 +1153,70 @@ ORDER BY doc_a, doc_b
 ORACLE_DEDUP_MINHASH_MD5 = _minhash_md5_oracle()
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup candidate graph — the
+    GROUPING stage of a fuzzy-dedup pipeline (pairs alone don't dedup;
+    the keep-one-per-group decision needs components). Iterative
+    min-label propagation: per round one join + one groupBy-min, driver
+    loop ends at fixpoint (O(component diameter) rounds — LSH dedup
+    graphs are shallow). Each round localCheckpoints to cut lineage; at
+    100 TB this is the standard large-scale CC shape (alternating
+    large/small-star is the next refinement; not needed at the
+    diameters dedup graphs have)."""
+    pairs = q_dedup_minhash_md5(spark, sf_dir)
+    edges = (pairs.select(F.col("doc_a").alias("s"),
+                          F.col("doc_b").alias("t"))
+             .unionByName(pairs.select(F.col("doc_b").alias("s"),
+                                       F.col("doc_a").alias("t")))
+             .localCheckpoint())
+    labels = (edges.select(F.col("s").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(15):
+        prop = (edges.join(labels, edges["s"] == labels["node"])
+                .select(F.col("t").alias("node"), F.col("label")))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("node").agg(F.min("label").alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"),
+                         F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") < F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("label").alias("component"))
+            .orderBy("doc_id"))
+
+
+def _components_oracle() -> str:
+    core = _minhash_md5_oracle()
+    # reuse the pair query as a CTE: strip the leading WITH and the
+    # final ORDER BY, then wrap
+    body = core.strip()
+    assert body.startswith("WITH ") and "ORDER BY doc_a, doc_b" in body
+    body = body[len("WITH "):].replace("ORDER BY doc_a, doc_b", "")
+    head, sel = body.rsplit("SELECT DISTINCT", 1)
+    return f"""
+WITH RECURSIVE {head.rstrip()}, pairs AS (
+  SELECT DISTINCT {sel}
+), e AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT s AS src, s AS node FROM e
+  UNION
+  SELECT r.src, e2.t FROM reach r JOIN e e2 ON r.node = e2.s
+)
+SELECT src AS doc_id, min(node) AS component
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+ORACLE_DEDUP_COMPONENTS = _components_oracle()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) per doc: token hash bit-vote, JVM expressions
     only. Rows-only check (bit arithmetic differs across engines)."""
@@ -1915,6 +1979,7 @@ QUERIES = {
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_minhash_md5": q_dedup_minhash_md5,
+    "q_dedup_components": q_dedup_components,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_md5": q_dedup_simhash_md5,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -1981,6 +2046,7 @@ ORACLES = {
     "q_ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
+    "q_dedup_components": ORACLE_DEDUP_COMPONENTS,
     "q_dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
     "q_lsh_buckets": ORACLE_LSH_BUCKETS,
     "q_lsh_bucket_stats": ORACLE_LSH_BUCKET_STATS,

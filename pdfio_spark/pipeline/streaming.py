@@ -21,19 +21,33 @@ __all__ = ["stream_extract", "stream_metrics", "stream_dedup"]
 
 
 def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
-                 output_dir: str):
+                 output_dir: str, state_ttl_hours: int | None = None):
     """Custom stateful streaming operator via applyInPandasWithState:
     exactly-once URL dedup across micro-batches — the streaming twin of
     the batch resume anti-join. State = one GroupState per url; only the
-    first arrival is emitted, replays and duplicates are dropped."""
+    first arrival is emitted, replays and duplicates are dropped.
+
+    State growth is O(distinct urls): unbounded crawls must bound it.
+    state_ttl_hours sets a processing-time timeout per key — an expired
+    url re-admits one row (at-least-once dedup within the TTL window),
+    the standard tradeoff for infinite keyspaces. Production also runs
+    the RocksDB state store (spark.sql.streaming.stateStore
+    .providerClass=...RocksDBStateStoreProvider) so state spills off
+    heap; default None keeps exactly-once semantics for bounded
+    keyspaces."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = (spark.readStream
            .schema("url string, html binary, nbytes long")
            .parquet(input_dir))
+    ttl_ms = None if state_ttl_hours is None else \
+        int(state_ttl_hours * 3600 * 1000)
 
     def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
         if state.exists:
             return iter(())  # already emitted this url
         first = None
@@ -43,6 +57,8 @@ def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
         if first is None:
             return iter(())
         state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         return iter([pd.DataFrame({"url": [key[0]],
                                    "nbytes": [int(first["nbytes"].iloc[0])]})])
 
@@ -51,7 +67,9 @@ def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
         outputStructType="url string, nbytes long",
         stateStructType="seen int",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout))
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if ttl_ms is not None
+                     else GroupStateTimeout.NoTimeout)))
     return (deduped.writeStream
             .format("parquet")
             .option("path", output_dir)
