@@ -42,7 +42,7 @@ def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
            .schema("url string, html binary, nbytes long")
            .parquet(input_dir))
     ttl_ms = None if state_ttl_hours is None else \
-        int(state_ttl_hours * 3600 * 1000)
+        max(1, int(state_ttl_hours * 3600 * 1000))
 
     def dedup_fn(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:

@@ -206,3 +206,44 @@ def test_lsh_salted_join_skew_defense(spark, tmp_path):
         "salt", F.pmod(F.xxhash64("vec_id"), F.lit(Q.LSH_SALT)))
         .select("bucket", "salt").distinct().count())
     assert n_groups == Q.LSH_SALT
+
+
+def test_stream_dedup_ttl_readmits(spark, corpus, tmp_path):
+    """TTL-bounded state: an expired key re-admits one row (the
+    at-least-once tradeoff that bounds state on infinite keyspaces).
+    NOTE: with ProcessingTimeTimeout an availableNow query keeps
+    triggering batches to fire expirations and never self-terminates —
+    bound each run with stop() after the data batches commit."""
+    import time
+    from pdfio_spark.pipeline.streaming import stream_dedup
+    inp = str(tmp_path / "ttl_in")
+    chk = str(tmp_path / "ttl_chk")
+    outp = str(tmp_path / "ttl_out")
+    base = corpus.limit(10).cache()
+    base.count()
+    base.write.parquet(inp)
+
+    def run_until(n_rows, timeout=90):
+        q = stream_dedup(spark, inp, chk, outp, state_ttl_hours=1e-7)
+        t0 = time.time()
+        try:
+            while time.time() - t0 < timeout:
+                try:
+                    if spark.read.parquet(outp).count() >= n_rows:
+                        return True
+                except Exception:
+                    pass
+                time.sleep(2)
+            return False
+        finally:
+            q.stop()
+
+    assert run_until(10)                      # first batch: 10 distinct
+    assert spark.read.parquet(outp).count() == 10
+    time.sleep(1)                             # let the 1 ms TTL lapse
+    base.write.mode("append").parquet(inp)    # same urls again
+    # expired state -> duplicates re-admitted (at-least-once inside TTL)
+    assert run_until(11)
+    out = spark.read.parquet(outp)
+    assert out.select("url").distinct().count() == 10
+    assert out.count() >= 11
