@@ -896,6 +896,66 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (training-data quality gate):
+    duplicate-word fraction and top-bigram fraction per doc, plus the
+    keep/drop decision. All row-local JVM expressions — no explode, no
+    shuffle before the final sort; at 100 TB this is a map-only stage."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    d = docs.select("doc_id", words.alias("w"))
+    nw = F.size("w")
+    dup_frac = F.round(
+        (nw - F.size(F.array_distinct("w")))
+        / F.greatest(nw, F.lit(1)).cast("double"), 6)
+    bg = F.transform(F.sequence(F.lit(1), nw - 1),
+                     lambda i: F.concat(F.element_at("w", i), F.lit(" "),
+                                        F.element_at("w", i + 1)))
+    top = F.array_max(F.transform(
+        F.array_distinct(bg),
+        lambda x: F.size(F.filter(bg, lambda y: y == x))))
+    top_bg_frac = F.when(nw >= 2,
+                         F.round(top / (nw - 1).cast("double"), 6)) \
+        .otherwise(F.lit(0.0))
+    out = d.select(
+        "doc_id", nw.alias("n_words"),
+        dup_frac.alias("dup_word_frac"),
+        top_bg_frac.alias("top_bigram_frac"))
+    kept = (F.col("dup_word_frac") <= 0.3) \
+        & (F.col("top_bigram_frac") <= 0.18)
+    return out.withColumn("kept", kept).orderBy("doc_id")
+
+
+ORACLE_REPETITION_FILTER = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text,''))), '\s+') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id, len(w) AS nw,
+         round((len(w) - len(list_distinct(w)))
+               / greatest(len(w), 1)::double, 6) AS dup_word_frac,
+         CASE WHEN len(w) >= 2 THEN
+           list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i + 1]) END AS bg
+  FROM w
+)
+SELECT doc_id, cast(nw AS int) AS n_words, dup_word_frac,
+       CASE WHEN nw >= 2 THEN
+         round(list_max(list_transform(list_distinct(bg),
+               x -> len(list_filter(bg, y -> y = x))))
+               / (nw - 1)::double, 6)
+       ELSE 0.0 END :: double AS top_bigram_frac,
+       (dup_word_frac <= 0.3 AND
+        CASE WHEN nw >= 2 THEN
+          round(list_max(list_transform(list_distinct(bg),
+                x -> len(list_filter(bg, y -> y = x))))
+                / (nw - 1)::double, 6)
+        ELSE 0.0 END <= 0.18) AS kept
+FROM m ORDER BY doc_id
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio —
     all JVM-side expressions (no Python in the hot path)."""
@@ -1974,6 +2034,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_token_stats": q_token_stats,
     "q_quality_score": q_quality_score,
+    "q_repetition_filter": q_repetition_filter,
     "q_langid": q_langid,
     "q_fingerprint": q_fingerprint,
     "q_ann_bruteforce": q_ann_bruteforce,
@@ -2041,6 +2102,7 @@ ORACLES = {
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_quality_score": ORACLE_QUALITY_SCORE,
+    "q_repetition_filter": ORACLE_REPETITION_FILTER,
     "q_langid": ORACLE_LANGID,
     "q_fingerprint": ORACLE_FINGERPRINT,
     "q_ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
