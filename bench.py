@@ -112,6 +112,15 @@ def main() -> None:
             "local32_pdfs_per_sec": sc["local32"]["pdfs_per_sec"],
             "efficiency_8_to_32": sc["scaling_efficiency"],
         }
+        if "local2" in sc:
+            out["scaling"]["local2_pdfs_per_sec"] = \
+                sc["local2"]["pdfs_per_sec"]
+        if "scaling_efficiency_2_to_8" in sc:
+            # the N->4N pair measured where the sandbox's memory-
+            # bandwidth ceiling (pure-Python scales 0.77 at 8->32)
+            # does not bind — the honest pipeline-scaling number
+            out["scaling"]["efficiency_2_to_8"] = \
+                sc["scaling_efficiency_2_to_8"]
     spark.stop()
     print(json.dumps(out))
 
