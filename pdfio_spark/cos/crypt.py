@@ -69,6 +69,12 @@ def _str_bytes(s) -> bytes:
     return b""
 
 
+#: (password, U, O, UE, OE) -> file key for R5/R6 (id-independent KDF)
+_R6_KEY_CACHE: dict[tuple, bytes] = {}
+#: recipients blobs -> decrypted CMS content (seed+perms) for PKI docs
+_PKI_SEED_CACHE: dict[tuple, bytes] = {}
+
+
 class StdSecHandler:
     """V/R dispatch per StdSecHandler.jl:314-377. Only the empty user
     password is attempted (web-crawl PDFs); a wrong password raises
@@ -166,18 +172,30 @@ class StdSecHandler:
                 key = key2
             return key
         if self.r in (5, 6):
+            # R5/R6 keys depend only on (password, U, O, UE, OE) — NOT
+            # on the file id — so the expensive 2.B KDF (64+ AES+SHA
+            # rounds) is cacheable across documents sharing an /Encrypt
+            # (common in batch-produced corpora). ~9% of corpus CPU.
+            ck = (password, self.u, self.o, self.ue, self.oe)
+            hit = _R6_KEY_CACHE.get(ck)
+            if hit is not None:
+                return hit
             # Algorithm 11: validate user password
             vsalt, ksalt = self.u[32:40], self.u[40:48]
             h = self._hash_2b(password, vsalt, b"")
             if h == self.u[:32]:
                 ikey = self._hash_2b(password, ksalt, b"")
-                return _aes_cbc_decrypt(ikey, b"\x00" * 16, self.ue[:32])
+                key = _aes_cbc_decrypt(ikey, b"\x00" * 16, self.ue[:32])
+                _R6_KEY_CACHE[ck] = key
+                return key
             # Algorithm 12: owner password
             vsalt, ksalt = self.o[32:40], self.o[40:48]
             h = self._hash_2b(password, vsalt, self.u[:48])
             if h == self.o[:32]:
                 ikey = self._hash_2b(password, ksalt, self.u[:48])
-                return _aes_cbc_decrypt(ikey, b"\x00" * 16, self.oe[:32])
+                key = _aes_cbc_decrypt(ikey, b"\x00" * 16, self.oe[:32])
+                _R6_KEY_CACHE[ck] = key
+                return key
             raise UnsupportedEncryption("password required")
         raise UnsupportedEncryption(f"unsupported /R {self.r}")
 
@@ -347,18 +365,24 @@ class PKISecHandler(StdSecHandler):
         blobs = [_str_bytes(doc.get_object(x)) for x in recipients]
         if not blobs:
             raise UnsupportedEncryption("pki /Recipients missing")
-        cert, key = _load_pki_credentials()
-        from cryptography.hazmat.primitives.serialization import pkcs7
-        content = None
-        for blob in blobs:
-            try:
-                content = pkcs7.pkcs7_decrypt_der(blob, cert, key, [])
-                break
-            except Exception:
-                continue
-        if content is None or len(content) < 20:
-            raise UnsupportedEncryption(
-                "unable to decrypt with recipient certificate")
+        # the decrypted seed depends only on the recipients blobs —
+        # cache across documents sharing an envelope (RSA private
+        # decrypt is ~1 ms/doc otherwise)
+        ck = tuple(blobs)
+        content = _PKI_SEED_CACHE.get(ck)
+        if content is None:
+            cert, key = _load_pki_credentials()
+            from cryptography.hazmat.primitives.serialization import pkcs7
+            for blob in blobs:
+                try:
+                    content = pkcs7.pkcs7_decrypt_der(blob, cert, key, [])
+                    break
+                except Exception:
+                    continue
+            if content is None or len(content) < 20:
+                raise UnsupportedEncryption(
+                    "unable to decrypt with recipient certificate")
+            _PKI_SEED_CACHE[ck] = content
         self.perms = (struct.unpack(">I", content[20:24])[0]
                       if len(content) >= 24 else 0xFFFFFFFF)
         digest = content[:20] + b"".join(blobs)
