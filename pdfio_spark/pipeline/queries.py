@@ -1673,14 +1673,37 @@ def _bucket_sql(col: str) -> str:
 LSH_SALT = 8
 
 
-def _salted_bucket_pairs(b: DataFrame, pair_filter):
-    """Within-bucket self-join with skew salting. `b` must carry
-    (vec_id, embedding, bucket); `pair_filter(a_id, c_id)` is the pair
-    predicate (e.g. `<` for unordered pairs, `!=` for directed)."""
-    left = b.withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(LSH_SALT))).alias("a")
-    right = (b.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(LSH_SALT - 1))))
+#: buckets above this row count get salted; below it the plain 1-key
+#: join is cheaper (no build-side replication)
+LSH_HOT_BUCKET = 1000
+
+
+def _salted_bucket_pairs(b: DataFrame, pair_filter,
+                         hot_threshold: int = LSH_HOT_BUCKET):
+    """Within-bucket self-join with ADAPTIVE skew salting. `b` must
+    carry (vec_id, embedding, bucket); `pair_filter(a_id, c_id)` is the
+    pair predicate (`<` unordered, `!=` directed).
+
+    Per-bucket counts (one tiny agg, broadcast back) decide which
+    buckets are hot; only those are salted — the probe side gets
+    `xxhash64(vec_id) % LSH_SALT`, the build side replicates xLSH_SALT.
+    Cold buckets join on salt=0 with no replication, so benign
+    distributions pay ~nothing while a hot bucket's n^2 single task
+    becomes LSH_SALT parallel tasks of n^2/LSH_SALT. Output is
+    IDENTICAL either way (every pair meets exactly once)."""
+    counts = (b.groupBy("bucket").agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") > hot_threshold)
+              .select("bucket", F.lit(True).alias("_hot")))
+    bb = (b.join(F.broadcast(counts), "bucket", "left")
+          .withColumn("_hot", F.coalesce("_hot", F.lit(False))))
+    left = bb.withColumn(
+        "salt", F.when(F.col("_hot"),
+                       F.pmod(F.xxhash64("vec_id"), F.lit(LSH_SALT)))
+        .otherwise(F.lit(0))).alias("a")
+    right = (bb.withColumn(
+        "salt", F.explode(F.when(
+            F.col("_hot"), F.sequence(F.lit(0), F.lit(LSH_SALT - 1)))
+            .otherwise(F.array(F.lit(0)))))
         .alias("c"))
     return left.join(
         right,

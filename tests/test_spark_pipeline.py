@@ -187,24 +187,28 @@ def test_lsh_salted_join_skew_defense(spark, tmp_path):
                  Q._bucket_expr(F.col("embedding")).alias("bucket")))
     assert b.select("bucket").distinct().count() == 1  # fully skewed
 
-    salted = (Q._salted_bucket_pairs(b, lambda a, c: a < c)
-              .select(F.col("a.vec_id").alias("va"),
-                      F.col("c.vec_id").alias("vb")))
     plain = (b.alias("a").join(
         b.alias("c"),
         (F.col("a.bucket") == F.col("c.bucket"))
         & (F.col("a.vec_id") < F.col("c.vec_id")))
         .select(F.col("a.vec_id").alias("va"),
                 F.col("c.vec_id").alias("vb")))
-    assert salted.count() == n * (n - 1) // 2
-    assert salted.exceptAll(plain).count() == 0
-    assert plain.exceptAll(salted).count() == 0
+    # hot path (threshold below the bucket size -> salting engages)
+    # AND cold path (default threshold -> no salting): both identical
+    for thr in (100, Q.LSH_HOT_BUCKET):
+        salted = (Q._salted_bucket_pairs(b, lambda a, c: a < c,
+                                         hot_threshold=thr)
+                  .select(F.col("a.vec_id").alias("va"),
+                          F.col("c.vec_id").alias("vb")))
+        assert salted.count() == n * (n - 1) // 2
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
 
-    # work split: the left side lands in LSH_SALT distinct salt groups,
-    # so the hot bucket becomes LSH_SALT join keys instead of one
-    n_groups = (b.withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(Q.LSH_SALT)))
-        .select("bucket", "salt").distinct().count())
+    # work split on the hot path: the probe side lands in LSH_SALT
+    # distinct (bucket, salt) groups instead of one
+    hot = Q._salted_bucket_pairs(b, lambda a, c: a < c, hot_threshold=100)
+    n_groups = (hot.select(F.col("a.bucket"), F.col("a.salt"))
+                .distinct().count())
     assert n_groups == Q.LSH_SALT
 
 
