@@ -522,7 +522,8 @@ def make_pdf(page_contents: list[bytes],
              encrypt: str | None = None,
              page_labels: bool = False,
              outline: bool = False,
-             struct_elems: int = 0) -> bytes:
+             struct_elems: int = 0,
+             attach: bytes | None = None) -> bytes:
     """Assemble a complete PDF. One page per entry in page_contents."""
     counter = [0]
 
@@ -767,6 +768,34 @@ def make_pdf(page_contents: list[bytes],
             names_n = alloc()
             objs.append((names_n, {"Dests": RefN(dests_n)}))
             catalog_d["Names"] = RefN(names_n)
+    if attach is not None:
+        # /Names/EmbeddedFiles name tree with one Filespec + EF stream
+        # (ISO 32000 7.11.4); the stream flows through the normal
+        # filter/decrypt path like any other
+        att_stream_n = alloc()
+        objs.append((att_stream_n, StreamN(
+            {"Type": NameN("EmbeddedFile"),
+             "Filter": NameN("FlateDecode")},
+            zlib.compress(attach))))
+        spec_n = alloc()
+        objs.append((spec_n, {"Type": NameN("Filespec"),
+                              "F": "attachment.txt",
+                              "EF": {"F": RefN(att_stream_n)}}))
+        eftree_n = alloc()
+        objs.append((eftree_n,
+                     {"Names": ["attachment.txt", RefN(spec_n)]}))
+        names_d = {"EmbeddedFiles": RefN(eftree_n)}
+        if "Names" in catalog_d:
+            # merge with the outline named-dest tree if present
+            for n, o in objs:
+                if isinstance(o, dict) and RefN and \
+                        catalog_d["Names"].n == n:
+                    o["EmbeddedFiles"] = RefN(eftree_n)
+                    break
+        else:
+            names_n2 = alloc()
+            objs.append((names_n2, names_d))
+            catalog_d["Names"] = RefN(names_n2)
     objs.append((catalog_n, catalog_d))
     info_n = None
     if info is not None:
@@ -1264,6 +1293,14 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         did = lines[0][4:lines[0].index(":")]
         return make_pdf([content_for_lines([did, SYMBOL_PROBE])],
                         font="symbol")
+    if cls == "with_attachment":
+        # deterministic payload: 'ATTACH:' + first line (closed form)
+        return make_pdf([c], attach=b"ATTACH:" + lines[0].encode("latin-1"))
+    if cls == "attach_encrypted":
+        # attachment inside an AES-256 doc: the EF stream decrypts
+        # through StmF like any stream
+        return make_pdf([c], encrypt="aes256",
+                        attach=b"ATTACH:" + lines[0].encode("latin-1"))
     if cls == "signed":
         # SubFilter rotates by doc_id across the reference's matrix
         did = int(lines[0][4:lines[0].index(":")])

@@ -213,6 +213,56 @@ def _find_name_tree(doc, node, key: str, depth: int = 0):
     return None
 
 
+def _walk_name_tree(doc, node, depth: int = 0):
+    """Enumerate (name, value) pairs of a /Names tree in order —
+    tree-node walk per the reference's CosTreeNode population
+    (CosDoc.jl:545-580), depth-capped like find."""
+    if node is None or depth > 32:
+        return
+    names = doc.get(node, Name("Names"))
+    if isinstance(names, list):
+        from .fonts import pdf_doc_decode
+        for i in range(0, len(names) - 1, 2):
+            k = names[i]
+            ks = pdf_doc_decode(k) if isinstance(k, bytes) else str(k)
+            yield ks, names[i + 1]
+    kids = doc.get(node, Name("Kids"))
+    if isinstance(kids, list):
+        for kid in kids:
+            yield from _walk_name_tree(doc, doc.get_object(kid), depth + 1)
+
+
+def get_attachments(doc) -> list[dict]:
+    """Embedded files via /Names/EmbeddedFiles: filespec /EF /F stream
+    per ISO 32000 7.11.4 (the reference stops at surfacing the names
+    dict, test/runtests.jl:815; extraction is the pipeline-side
+    extension a crawl needs). Streams decode/decrypt through the normal
+    stream path, so Crypt-filter attachments follow stmf."""
+    from ..cos.objects import Stream
+    cos = doc.cos
+    names = doc.get_names_dict()
+    if names is None:
+        return []
+    ef_root = cos.get(names, Name("EmbeddedFiles"))
+    if ef_root is None:
+        return []
+    out = []
+    for name, spec in _walk_name_tree(cos, cos.get_object(ef_root)):
+        spec = cos.get_object(spec)
+        if not isinstance(spec, dict):
+            continue
+        ef = cos.get(spec, Name("EF"))
+        stream = cos.get(ef, Name("F")) if ef is not None else None
+        if isinstance(stream, Stream):
+            try:
+                data = stream.decoded(cos)
+            except Exception:
+                data = None
+            out.append({"name": name, "data": data,
+                        "n_bytes": len(data) if data is not None else -1})
+    return out
+
+
 def _resolve_dest_page(doc, dest) -> int | None:
     """PDDestination resolution (PDOutline.jl:32-67,159-230): direct
     [page /Fit...] arrays, or named destinations through the

@@ -468,6 +468,61 @@ FROM documents ORDER BY url
 """
 
 
+def q_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-file extraction via /Names/EmbeddedFiles (ISO 32000
+    7.11.4; the reference surfaces the names dict — runtests.jl:815 —
+    extraction is the crawl-pipeline extension). Even docs are plain,
+    odd docs are AES-256-encrypted (EF stream decrypts through StmF);
+    the payload is a closed-form function of the first text line."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs,
+                            classes=["with_attachment", "attach_encrypted"])
+
+    def atts(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import get_attachments
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o = {k: [] for k in ("url", "filename", "n_bytes", "payload")}
+            for url, html in zip(urls, htmls):
+                try:
+                    for a in get_attachments(PDDoc(html)):
+                        o["url"].append(url)
+                        o["filename"].append(a["name"])
+                        o["n_bytes"].append(a["n_bytes"])
+                        o["payload"].append(
+                            (a["data"] or b"").decode("latin-1"))
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o["url"], pa.string()),
+                 pa.array(o["filename"], pa.string()),
+                 pa.array(o["n_bytes"], pa.int64()),
+                 pa.array(o["payload"], pa.string())],
+                names=["url", "filename", "n_bytes", "payload"])
+
+    return (corpus.mapInArrow(
+        atts, "url string, filename string, n_bytes long, payload string")
+        .orderBy("url"))
+
+
+ORACLE_ATTACHMENTS = """
+WITH d AS (
+  SELECT doc_id,
+         'ATTACH:' || substr('Doc ' || doc_id || ': ' ||
+             regexp_replace(coalesce(text,''), '[^a-zA-Z0-9 .,:;!?-]',
+                            ' ', 'g'), 1, 60) AS payload
+  FROM documents
+)
+SELECT 'doc://' || doc_id AS url, 'attachment.txt' AS filename,
+       cast(length(payload) AS bigint) AS n_bytes, payload
+FROM d ORDER BY url
+"""
+
+
 def q_page_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-label number-tree lookup (SURVEY T1-T4): roman pages 1-2,
     'P-<n>' decimal after — predicted in closed form by the oracle."""
@@ -2026,6 +2081,7 @@ QUERIES = {
     "q_struct_roles": q_struct_roles,
     "q_signatures": q_signatures,
     "q_outline_dest": q_outline_dest,
+    "q_attachments": q_attachments,
     "q_outline": q_outline,
     "q_doc_info": q_doc_info,
     "q_label_to_page": q_label_to_page,
@@ -2096,6 +2152,7 @@ ORACLES = {
     "q_struct_roles": ORACLE_STRUCT_ROLES,
     "q_signatures": ORACLE_SIGNATURES,
     "q_outline_dest": ORACLE_OUTLINE_DEST,
+    "q_attachments": ORACLE_ATTACHMENTS,
     "q_outline": ORACLE_OUTLINE,
     "q_doc_info": ORACLE_DOC_INFO,
     "q_label_to_page": ORACLE_LABEL_TO_PAGE,

@@ -495,3 +495,24 @@ class TestDestinationLayouts:
         assert d["Sec 15"]["layout"] == "FitBV" and d["Sec 15"]["left"] == 60
         assert all(i["dest"]["page_no"] == int(i["title"][4:])
                    for i in items)
+
+
+class TestAttachments:
+    """Embedded files via /Names/EmbeddedFiles (ISO 32000 7.11.4)."""
+
+    def test_plain_and_encrypted(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import get_attachments
+        for cls in ("with_attachment", "attach_encrypted"):
+            pdf = build_fixture(cls, ["Doc 7: att"])
+            atts = get_attachments(PDDoc(pdf))
+            assert [(a["name"], a["data"]) for a in atts] == \
+                [("attachment.txt", b"ATTACH:Doc 7: att")]
+
+    def test_no_attachments(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.navigation import get_attachments
+        assert get_attachments(
+            PDDoc(build_fixture("flate_simple", ["x"]))) == []
