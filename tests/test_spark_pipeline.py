@@ -251,3 +251,66 @@ def test_stream_dedup_ttl_readmits(spark, corpus, tmp_path):
     out = spark.read.parquet(outp)
     assert out.select("url").distinct().count() == 10
     assert out.count() >= 11
+
+
+def test_read_pdf_dir_source(spark, tmp_path):
+    """binaryFile source: a directory of raw .pdf files extracts
+    end-to-end (the reference's pdDocOpen(path) at corpus scale)."""
+    import gzip
+    from pdfio_spark.fixtures import build_fixture
+    from pdfio_spark.pipeline.sources import read_pdf_dir
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    for i in range(6):
+        (d / f"doc{i}.pdf").write_bytes(
+            build_fixture("flate_simple", [f"Doc {i}: from disk"]))
+    corpus = read_pdf_dir(spark, str(d))
+    ext = extract_pdfs(corpus)
+    rows = {r["url"].rsplit("/", 1)[-1]: r["text"] for r in ext.collect()}
+    assert len(rows) == 6
+    assert rows["doc3.pdf"] == "         Doc 3: from disk\n"
+
+
+def test_read_warc_source(spark, tmp_path):
+    """WARC ingestion: response records (plain AND per-record-gzip,
+    the Common Crawl layout) -> (url, warc_ts, html) -> extraction."""
+    import gzip
+    from pdfio_spark.fixtures import build_fixture
+    from pdfio_spark.pipeline.sources import read_warc
+
+    def warc_record(url, ts, payload, with_http=True):
+        body = payload
+        if with_http:
+            body = (b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf"
+                    b"\r\n\r\n" + payload)
+        hdr = (b"WARC/1.0\r\n"
+               b"WARC-Type: response\r\n"
+               b"WARC-Target-URI: " + url.encode() + b"\r\n"
+               b"WARC-Date: " + ts.encode() + b"\r\n"
+               b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+               b"\r\n")
+        return hdr + body + b"\r\n\r\n"
+
+    meta = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+            b"\r\nmeta\r\n\r\n")
+    pdfs = [build_fixture("flate_simple", [f"Doc {i}: warc row"])
+            for i in range(4)]
+    recs = [warc_record(f"https://ex.org/{i}.pdf",
+                        f"2026-01-0{i+1}T00:00:00Z", p)
+            for i, p in enumerate(pdfs)]
+    d = tmp_path / "warcs"
+    d.mkdir()
+    # shard 1: plain WARC with a warcinfo record to skip
+    (d / "a.warc").write_bytes(meta + recs[0] + recs[1])
+    # shard 2: per-record gzip members (Common Crawl layout)
+    (d / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs[2:]))
+    cc = read_warc(spark, str(d))
+    rows = cc.collect()
+    assert len(rows) == 4
+    assert {r["url"] for r in rows} == \
+        {f"https://ex.org/{i}.pdf" for i in range(4)}
+    assert all(r["warc_ts"] is not None for r in rows)
+    ext = extract_pdfs(cc.select("url", "html", "nbytes"))
+    texts = {r["url"]: r["text"] for r in ext.collect()}
+    assert texts["https://ex.org/2.pdf"] == "         Doc 2: warc row\n"
