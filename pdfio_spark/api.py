@@ -1,0 +1,238 @@
+"""Reference-parity API facade: the public names PDFIO.jl exports
+(src/PDFIO.jl:8-74) mapped 1:1 onto this engine, so a user of the
+reference can switch by renaming the import. Semantics match the
+reference's docstrings; objects returned are this engine's native ones
+(PDDoc/PDPage/PDFont/CosDoc, plain dicts for outlines/destinations).
+
+Julia-only constructs are represented Pythonically:
+  - `@cn_str` (cn"Name" literals)   -> `cn("Name")` returning Name
+  - CosNull                          -> None
+  - CosTrue/CosFalse                 -> True/False
+  - set!                             -> plain dict assignment
+"""
+from __future__ import annotations
+
+from .cos.doc import CosDoc, PDFError
+from .cos.objects import HexStr, LitStr, Name, Ref, Stream
+from .pd.dates import CDDate
+from .pd.fonts import PDFont
+from .pd.pagetree import PDDoc, PDPage
+from .pd.navigation import (get_outline, get_page_label, get_page_labels,
+                            pd_destination)
+from .pd.signature import validate_signatures
+
+__all__ = [
+    # Common
+    "CDTextString", "CDDate", "CDRect", "getUTCTime",
+    # PD
+    "PDDoc", "pdDocOpen", "pdDocClose", "pdDocGetCatalog",
+    "pdDocGetNamesDict", "pdDocGetInfo", "pdDocGetCosDoc", "pdDocGetPage",
+    "pdDocGetPageCount", "pdDocGetPageRange", "pdDocHasPageLabels",
+    "pdDocGetPageLabel", "pdDocGetOutline", "pdDocHasSignature",
+    "pdDocValidateSignatures",
+    "PDPage", "pdPageGetContents", "pdPageIsEmpty", "pdPageGetCosObject",
+    "pdPageGetContentObjects", "pdPageGetMediaBox", "pdPageGetCropBox",
+    "pdPageGetFonts", "pdPageExtractText", "pdPageGetPageNumber",
+    "PDFont", "pdFontIsBold", "pdFontIsItalic", "pdFontIsFixedW",
+    "pdFontIsAllCap", "pdFontIsSmallCap",
+    "PDDestination", "pdOutlineItemGetAttr",
+    # Cos
+    "CosDoc", "cosDocOpen", "cosDocClose", "cosDocGetRoot",
+    "cosDocGetObject", "cosDocIsEncrypted", "cn", "CosNull", "PDFError",
+]
+
+# ------------------------------------------------------------- Common
+
+CDTextString = str
+CDRect = tuple
+CosNull = None
+
+
+def cn(name: str) -> Name:
+    """cn"..." CosName literal (@cn_str)."""
+    return Name(name)
+
+
+def getUTCTime(d: CDDate):
+    """getUTCTime (CDDate.jl): the date normalized to UTC."""
+    return d.utc()
+
+
+# ----------------------------------------------------------------- PD
+
+def pdDocOpen(src) -> PDDoc:
+    """pdDocOpen (PDDoc.jl:60-74): path or bytes -> PDDoc. The engine
+    is bytes-first (documents arrive as a binary column); a path is
+    read eagerly."""
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return PDDoc(bytes(src))
+    with open(src, "rb") as f:
+        return PDDoc(f.read())
+
+
+def pdDocClose(doc: PDDoc) -> None:
+    """pdDocClose (PDDoc.jl:80-88): no temp files to release here —
+    payloads are in-memory by design (SURVEY §4.3)."""
+
+
+def pdDocGetCatalog(doc: PDDoc):
+    return doc.catalog
+
+
+def pdDocGetNamesDict(doc: PDDoc):
+    return doc.get_names_dict()
+
+
+def pdDocGetInfo(doc: PDDoc) -> dict:
+    return doc.get_info()
+
+
+def pdDocGetCosDoc(doc: PDDoc) -> CosDoc:
+    return doc.cos
+
+
+def pdDocGetPage(doc: PDDoc, num: int) -> PDPage:
+    return doc.get_page(num)
+
+
+def pdDocGetPageCount(doc: PDDoc) -> int:
+    return doc.page_count()
+
+
+def pdDocGetPageRange(doc: PDDoc, r) -> list[PDPage]:
+    """pdDocGetPageRange (PDDoc.jl:148-162): 1-based inclusive range or
+    iterable of page numbers."""
+    if isinstance(r, tuple) and len(r) == 2:
+        nums = range(r[0], r[1] + 1)
+    else:
+        nums = r
+    return [doc.get_page(n) for n in nums]
+
+
+def pdDocHasPageLabels(doc: PDDoc) -> bool:
+    return doc.cos.get(doc.catalog, Name("PageLabels")) is not None
+
+
+def pdDocGetPageLabel(doc: PDDoc, pageno: int):
+    return get_page_label(doc, pageno)
+
+
+def pdDocGetOutline(doc: PDDoc) -> list[dict]:
+    return get_outline(doc)
+
+
+def pdDocHasSignature(doc: PDDoc) -> bool:
+    return doc.has_signature()
+
+
+def pdDocValidateSignatures(doc: PDDoc, data: bytes | None = None,
+                            export: bool = False) -> list[dict]:
+    """pdDocValidateSignatures (PDDoc.jl:519-562). The engine needs the
+    original bytes for /ByteRange; PDDoc keeps them."""
+    return validate_signatures(
+        doc, data if data is not None else doc.cos.data)
+
+
+def pdPageGetContents(page: PDPage) -> bytes:
+    return page.content_bytes()
+
+
+def pdPageIsEmpty(page: PDPage) -> bool:
+    return page.is_empty()
+
+
+def pdPageGetCosObject(page: PDPage):
+    return page.cospage
+
+
+def pdPageGetContentObjects(page: PDPage):
+    return page.content_objects()
+
+
+def pdPageGetMediaBox(page: PDPage):
+    return page.get_media_box()
+
+
+def pdPageGetCropBox(page: PDPage):
+    return page.get_crop_box()
+
+
+def pdPageGetFonts(page: PDPage) -> dict:
+    return page.get_fonts()
+
+
+def pdPageExtractText(page: PDPage) -> str:
+    return page.extract_text()
+
+
+def pdPageGetPageNumber(page: PDPage) -> int:
+    return page.pageno
+
+
+# font flag accessors (PDFonts.jl:532-588 pdFontIs*)
+_FLAG_FIXED = 1
+_FLAG_ITALIC = 1 << 6
+_FLAG_ALLCAP = 1 << 16
+_FLAG_SMALLCAP = 1 << 17
+_FLAG_FORCEBOLD_SYNTH = 0x80000000
+
+
+def pdFontIsBold(font: PDFont) -> bool:
+    return bool(font.flags & (_FLAG_FORCEBOLD_SYNTH | (1 << 18)))
+
+
+def pdFontIsItalic(font: PDFont) -> bool:
+    return bool(font.flags & _FLAG_ITALIC)
+
+
+def pdFontIsFixedW(font: PDFont) -> bool:
+    return bool(font.flags & _FLAG_FIXED)
+
+
+def pdFontIsAllCap(font: PDFont) -> bool:
+    return bool(font.flags & _FLAG_ALLCAP)
+
+
+def pdFontIsSmallCap(font: PDFont) -> bool:
+    return bool(font.flags & _FLAG_SMALLCAP)
+
+
+def PDDestination(doc: PDDoc, dest) -> dict | None:
+    """PDDestination (PDOutline.jl:32-67): full layout matrix."""
+    return pd_destination(doc, dest)
+
+
+def pdOutlineItemGetAttr(item: dict, attr: str):
+    """pdOutlineItemGetAttr (PDOutline.jl): Title/Level/PageNo/Dest."""
+    key = {"Title": "title", "Level": "level",
+           "PageNo": "page_no", "Dest": "dest"}.get(attr, attr)
+    return item.get(key)
+
+
+# ---------------------------------------------------------------- Cos
+
+def cosDocOpen(src) -> CosDoc:
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return CosDoc(bytes(src))
+    with open(src, "rb") as f:
+        return CosDoc(f.read())
+
+
+def cosDocClose(doc: CosDoc) -> None:
+    pass
+
+
+def cosDocGetRoot(doc: CosDoc):
+    return doc.get_root()
+
+
+def cosDocGetObject(doc: CosDoc, obj, key=None):
+    """cosDocGetObject (CosDoc.jl:274-309): resolve a ref, or fetch+
+    resolve `key` from a container."""
+    if key is not None:
+        return doc.get(obj, key if isinstance(key, Name) else Name(key))
+    return doc.get_object(obj)
+
+
+def cosDocIsEncrypted(doc: CosDoc) -> bool:
+    return doc.is_encrypted()

@@ -245,3 +245,41 @@ def test_type3_font_nuances():
     assert r["status"] == "ok"
     assert "AB" in r["text"]
     assert "ζ" not in r["text"]
+
+
+class TestReferenceAPIFacade:
+    """pdfio_spark.api: the reference's exported names (PDFIO.jl:8-74)
+    mapped 1:1 — a reference user switches by renaming the import."""
+
+    def test_pd_surface(self):
+        from pdfio_spark import api as P
+        from pdfio_spark.fixtures import build_fixture
+        doc = P.pdDocOpen(build_fixture("multipage_labels",
+                                        ["Doc 1: one", "two", "three"]))
+        assert P.pdDocGetPageCount(doc) == 3
+        pg = P.pdDocGetPage(doc, 2)
+        assert P.pdPageExtractText(pg) == "         two"
+        assert P.pdPageGetPageNumber(pg) == 2
+        assert P.pdDocHasPageLabels(doc)
+        assert P.pdDocGetPageLabel(doc, 1) == "i"
+        assert P.pdPageGetMediaBox(pg) == (0.0, 0.0, 612.0, 792.0)
+        assert not P.pdPageIsEmpty(pg)
+        assert len(P.pdDocGetPageRange(doc, (1, 2))) == 2
+        f = next(iter(P.pdPageGetFonts(pg).values()))
+        assert P.pdFontIsFixedW(f) and not P.pdFontIsItalic(f)
+        P.pdDocClose(doc)
+
+    def test_outline_signature_cos_surface(self):
+        from pdfio_spark import api as P
+        from pdfio_spark.fixtures import build_fixture, make_signed_pdf
+        items = P.pdDocGetOutline(
+            P.pdDocOpen(build_fixture("outline_toc", ["a", "b"])))
+        assert P.pdOutlineItemGetAttr(items[0], "Title") == "Sec 1"
+        assert P.pdOutlineItemGetAttr(items[1], "PageNo") == 2
+        sdoc = P.pdDocOpen(make_signed_pdf(["Doc 1: s"]))
+        assert P.pdDocHasSignature(sdoc)
+        assert P.pdDocValidateSignatures(sdoc)[0]["passed"]
+        cd = P.cosDocOpen(build_fixture("encrypt_aes256", ["Doc 2: e"]))
+        assert P.cosDocIsEncrypted(cd)
+        root = P.cosDocGetRoot(cd)
+        assert P.cosDocGetObject(cd, root, P.cn("Type")) == P.cn("Catalog")
