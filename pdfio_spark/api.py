@@ -36,6 +36,9 @@ __all__ = [
     "PDFont", "pdFontIsBold", "pdFontIsItalic", "pdFontIsFixedW",
     "pdFontIsAllCap", "pdFontIsSmallCap",
     "PDDestination", "pdOutlineItemGetAttr",
+    "PDPageObject", "PDPageObjectGroup", "PDPageTextObject",
+    "PDPageTextRun", "PDPageMarkedContent", "PDPageElement",
+    "PDPageInlineImage",
     # Cos
     "CosDoc", "cosDocOpen", "cosDocClose", "cosDocGetRoot",
     "cosDocGetObject", "cosDocIsEncrypted", "cn", "CosNull", "PDFError",
@@ -207,6 +210,17 @@ def pdOutlineItemGetAttr(item: dict, attr: str):
     key = {"Title": "title", "Level": "level",
            "PageNo": "page_no", "Dest": "dest"}.get(attr, attr)
     return item.get(key)
+
+
+# content-object type aliases (PDPageElement.jl exports)
+from .pd.content import (Element as PDPageElement,          # noqa: E402
+                         Group as PDPageObjectGroup,
+                         InlineImage as PDPageInlineImage,
+                         MarkedContent as PDPageMarkedContent,
+                         TextObject as PDPageTextObject,
+                         TextRun as PDPageTextRun)
+
+PDPageObject = PDPageElement  # abstract supertype in the reference
 
 
 # ---------------------------------------------------------------- Cos
