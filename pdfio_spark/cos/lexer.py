@@ -108,7 +108,12 @@ class Buf:
         data, p = self.data, self.pos
         if p >= len(data) or data[p] not in _SPACE:
             return 0
-        end = _SPACE_RUN.match(data, p).end()
+        # 1-char runs dominate content streams: skip the regex for them
+        p1 = p + 1
+        if p1 >= len(data) or data[p1] not in _SPACE:
+            self.pos = p1
+            return 1
+        end = _SPACE_RUN.match(data, p1).end()
         self.pos = end
         return end - p
 
