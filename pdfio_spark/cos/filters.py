@@ -90,14 +90,35 @@ def apply_png_predictor(data: bytes, pred: int, columns: int) -> bytes:
     return out.tobytes()
 
 
+def apply_tiff_predictor2(data: bytes, columns: int,
+                          colors: int = 1, bpc: int = 8) -> bytes:
+    """TIFF Predictor 2 (horizontal differencing, TIFF 6.0 §14): each
+    sample is a delta from the previous sample in the same row/channel.
+    The REFERENCE leaves this unimplemented (CosStream.jl:125
+    E_NOT_IMPLEMENTED); we exceed parity for the common 8-bit case —
+    vectorized per-row cumsum mod 256."""
+    if bpc != 8:
+        raise NotImplementedError("TIFF predictor 2 with bpc != 8")
+    stride = columns * colors
+    if stride <= 0:
+        return data
+    n = len(data) // stride
+    head = np.frombuffer(data[:n * stride], dtype=np.uint8) \
+        .reshape(n, columns, colors)
+    out = np.cumsum(head, axis=1, dtype=np.uint8).tobytes()
+    return out + data[n * stride:]
+
+
 def _apply_flate_params(data: bytes, parms) -> bytes:
     if not isinstance(parms, dict):
         return data
     pred = parms.get(Name("Predictor"), 0) or 0
-    cols = parms.get(Name("Columns"), 0) or 0
+    cols = parms.get(Name("Columns"), 1) or 1
     pred = int(pred)
     if pred == 2:
-        raise NotImplementedError("TIFF predictor 2 not implemented")
+        colors = int(parms.get(Name("Colors"), 1) or 1)
+        bpc = int(parms.get(Name("BitsPerComponent"), 8) or 8)
+        return apply_tiff_predictor2(data, int(cols), colors, bpc)
     if pred >= 10:
         return apply_png_predictor(data, pred, int(cols))
     return data

@@ -523,7 +523,8 @@ def make_pdf(page_contents: list[bytes],
              page_labels: bool = False,
              outline: bool = False,
              struct_elems: int = 0,
-             attach: bytes | None = None) -> bytes:
+             attach: bytes | None = None,
+             tiff_predictor_cols: int | None = None) -> bytes:
     """Assemble a complete PDF. One page per entry in page_contents."""
     counter = [0]
 
@@ -646,6 +647,22 @@ def make_pdf(page_contents: list[bytes],
                 d["Filter"] = [NameN(f) for f in filter_chain]
                 for f in reversed(filter_chain):
                     raw = encode_filter(raw, f)
+            elif tiff_predictor_cols and not form_xobject:
+                # FlateDecode + TIFF Predictor 2 DecodeParms: encode =
+                # per-row horizontal differencing (full rows only; the
+                # tail passes through, mirroring the decoder)
+                cols = tiff_predictor_cols
+                enc = bytearray()
+                full = len(body) // cols * cols
+                for r in range(0, full, cols):
+                    prev = 0
+                    for bch in body[r:r + cols]:
+                        enc.append((bch - prev) & 0xFF)
+                        prev = bch
+                enc.extend(body[full:])
+                d["Filter"] = NameN("FlateDecode")
+                d["DecodeParms"] = {"Predictor": 2, "Columns": cols}
+                raw = zlib.compress(bytes(enc))
             elif content_filter and not form_xobject:
                 d["Filter"] = NameN(content_filter)
                 raw = encode_filter(body, content_filter)
@@ -1293,6 +1310,10 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         did = lines[0][4:lines[0].index(":")]
         return make_pdf([content_for_lines([did, SYMBOL_PROBE])],
                         font="symbol")
+    if cls == "flate_tiff_pred":
+        # FlateDecode + TIFF Predictor 2 (the class the reference
+        # quarantines — CosStream.jl:125 E_NOT_IMPLEMENTED)
+        return make_pdf([c], content_filter=None, tiff_predictor_cols=17)
     if cls == "with_attachment":
         # deterministic payload: 'ATTACH:' + first line (closed form)
         return make_pdf([c], attach=b"ATTACH:" + lines[0].encode("latin-1"))

@@ -2071,7 +2071,8 @@ QUERIES = {
     "q_extract_structure": _extract_query(
         ["contents_array", "header_offset", "inline_image",
          "marked_artifact", "plain_uncompressed", "xref_stream",
-         "filter_chain", "xref_hybrid", "flate_corrupt", "incremental"]),
+         "filter_chain", "xref_hybrid", "flate_corrupt", "incremental",
+         "flate_tiff_pred"]),
     "q_extract_multipage": _extract_query(["multipage"]),
     "q_extract_sharded": q_extract_sharded,
     "q_extract_encrypted": _extract_query(

@@ -279,3 +279,37 @@ class TestSignatureValidation:
         from pdfio_spark.pd.pagetree import PDDoc
         assert PDDoc(make_signed_pdf(["x"])).has_signature()
         assert not PDDoc(build_fixture("flate_simple", ["x"])).has_signature()
+
+
+class TestTiffPredictor2:
+    """TIFF Predictor 2 (the reference quarantines it; we decode —
+    vectorized per-row cumsum mod 256, TIFF 6.0 §14)."""
+
+    def test_roundtrip_unit(self):
+        from pdfio_spark.cos.filters import apply_tiff_predictor2
+        orig = bytes(range(256)) * 3
+        cols = 16
+        enc = bytearray()
+        for r in range(0, len(orig), cols):
+            prev = 0
+            for b in orig[r:r + cols]:
+                enc.append((b - prev) & 0xFF)
+                prev = b
+        assert apply_tiff_predictor2(bytes(enc), cols) == orig
+
+    def test_multichannel_and_tail(self):
+        from pdfio_spark.cos.filters import apply_tiff_predictor2
+        # colors=3: deltas are per-channel
+        orig = bytes([10, 20, 30, 12, 24, 36])
+        enc = bytes([10, 20, 30, 2, 4, 6])
+        assert apply_tiff_predictor2(enc, 2, colors=3) == orig
+        # trailing partial row passes through unchanged
+        assert apply_tiff_predictor2(enc + b"\x07", 2, colors=3) == \
+            orig + b"\x07"
+
+    def test_end_to_end(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        r = extract_doc(build_fixture("flate_tiff_pred", ["Doc 3: t2"]))
+        assert r["status"] == "ok"
+        assert r["text"] == "         Doc 3: t2\n"
