@@ -64,9 +64,9 @@ def main() -> None:
     n_pdfs = corpus.count()  # materialize corpus outside the timed region
     sum_bytes = corpus.agg(F.sum("nbytes")).collect()[0][0]
 
-    # best-of-2: the sandbox VM shows double-digit run-to-run variance
+    # best-of-3: the sandbox VM shows double-digit run-to-run variance
     t_extract = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         ext = extract_pdfs(corpus)
         agg = (ext.groupBy("status")
