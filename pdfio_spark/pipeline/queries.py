@@ -859,6 +859,36 @@ ORDER BY doc_id
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a different md5-bucket rate
+    per language stratum (training mixes re-weight sources/languages).
+    Engine-portable (md5 of the stable key), no RNG, exactly
+    reproducible — the split a 100 TB training pipeline must be able to
+    recompute. One map-side filter, no shuffle before the sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # hex bucket 0..15 from the first md5 nibble; per-lang keep-rate:
+    # en 4/16, others 8/16 (down-weight the majority class)
+    nib = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+                 16, 10).cast("int")
+    keep = F.when(F.col("lang") == "en", nib < 4).otherwise(nib < 8)
+    return (docs.filter(keep)
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, lang,
+         strpos('0123456789abcdef',
+                substr(md5(cast(doc_id AS varchar)), 1, 1)) - 1 AS nib
+  FROM documents
+)
+SELECT doc_id, lang FROM d
+WHERE CASE WHEN lang = 'en' THEN nib < 4 ELSE nib < 8 END
+ORDER BY doc_id
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets plane: ROLLUP(priority, status) revenue totals."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -2106,6 +2136,7 @@ QUERIES = {
     "q_events_running_window": q_events_running_window,
     "q_semijoin_customers": q_semijoin_customers,
     "q_deterministic_sample": q_deterministic_sample,
+    "q_stratified_sample": q_stratified_sample,
     "q_rollup_revenue": q_rollup_revenue,
     "q_time_rollup": q_time_rollup,
     "q_embedding_neardup": q_embedding_neardup,
@@ -2176,6 +2207,7 @@ ORACLES = {
     "q_events_running_window": ORACLE_EVENTS_RUNNING_WINDOW,
     "q_semijoin_customers": ORACLE_SEMIJOIN_CUSTOMERS,
     "q_deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
+    "q_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "q_rollup_revenue": ORACLE_ROLLUP_REVENUE,
     "q_time_rollup": ORACLE_TIME_ROLLUP,
     "q_embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
