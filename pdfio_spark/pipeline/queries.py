@@ -468,6 +468,62 @@ FROM documents ORDER BY url
 """
 
 
+def q_extract_spans_courier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED span geometry (unlike q_extract_spans, whose mixed fonts
+    are kern-dependent): Courier is fixed-pitch 600/1000, so every span
+    box is closed-form — x1 = 72 + 7.2*len(line), y0 = 720 - 14*(i-1),
+    height 12. Geometry rounded to 1 decimal to absorb the engine's
+    float32 accumulation vs the oracle's float64 (error ~1e-3 at
+    60 chars; spacing between distinct values is >= 7.2)."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = gen_pdf_corpus(docs, classes=["flate_simple"])
+
+    def spans(batches):
+        from pdfio_spark.pd.extract import extract_doc
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o = {k: [] for k in ("url", "x0", "y0", "x1", "y1", "stext")}
+            for url, html in zip(urls, htmls):
+                r = extract_doc(html, with_spans=True)
+                if r["status"] != "ok":
+                    continue
+                for p in r["pages"]:
+                    for s in p["spans"]:
+                        o["url"].append(url)
+                        o["x0"].append(round(s["x0"], 1))
+                        o["y0"].append(round(s["y0"], 1))
+                        o["x1"].append(round(s["x1"], 1))
+                        o["y1"].append(round(s["y1"], 1))
+                        o["stext"].append(s["text"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o["url"], pa.string()),
+                 pa.array(o["x0"], pa.float64()),
+                 pa.array(o["y0"], pa.float64()),
+                 pa.array(o["x1"], pa.float64()),
+                 pa.array(o["y1"], pa.float64()),
+                 pa.array(o["stext"], pa.string())],
+                names=["url", "x0", "y0", "x1", "y1", "stext"])
+
+    return (corpus.mapInArrow(
+        spans, "url string, x0 double, y0 double, x1 double, y1 double, "
+               "stext string")
+        .orderBy("url", "y0"))
+
+
+ORACLE_EXTRACT_SPANS_COURIER = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url,
+       72.0 :: double AS x0,
+       (720.0 - 14.0 * (i - 1)) :: double AS y0,
+       round(72.0 + 7.2 * length(line), 1) :: double AS x1,
+       (732.0 - 14.0 * (i - 1)) :: double AS y1,
+       line AS stext
+FROM l ORDER BY url, y0
+"""
+
+
 def q_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedded-file extraction via /Names/EmbeddedFiles (ISO 32000
     7.11.4; the reference surfaces the names dict — runtests.jl:815 —
@@ -2118,6 +2174,7 @@ QUERIES = {
     "q_label_to_page": q_label_to_page,
     "q_page_geometry": q_page_geometry,
     "q_extract_spans": q_extract_spans,
+    "q_extract_spans_courier": q_extract_spans_courier,
     "q_dates": q_dates,
     "q_extract_quarantine": q_extract_quarantine,
     # pipeline plane
@@ -2185,6 +2242,7 @@ ORACLES = {
     "q_signatures": ORACLE_SIGNATURES,
     "q_outline_dest": ORACLE_OUTLINE_DEST,
     "q_attachments": ORACLE_ATTACHMENTS,
+    "q_extract_spans_courier": ORACLE_EXTRACT_SPANS_COURIER,
     "q_outline": ORACLE_OUTLINE,
     "q_doc_info": ORACLE_DOC_INFO,
     "q_label_to_page": ORACLE_LABEL_TO_PAGE,
