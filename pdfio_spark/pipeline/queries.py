@@ -331,9 +331,12 @@ WITH t AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
+  -- DuckDB sum(int) OVER -> HUGEINT; cast so the driver's value hash
+  -- sees int64 like Spark's (the r1/r2 hash-fail root cause)
   SELECT user_id, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess_id
+         cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS bigint)
+             AS sess_id
   FROM t
 )
 SELECT user_id, sess_id, count(*) AS n_events,
@@ -872,7 +875,9 @@ def q_events_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EVENTS_RUNNING_WINDOW = """
 SELECT event_id, user_id,
-       sum(cast(floor(value * 100) AS bigint)) OVER w AS hour_cents,
+       -- sum(bigint) OVER is HUGEINT in DuckDB: cast for the driver hash
+       cast(sum(cast(floor(value * 100) AS bigint)) OVER w AS bigint)
+           AS hour_cents,
        count(*) OVER w AS hour_n
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY cast(floor(epoch(ts)) AS bigint)

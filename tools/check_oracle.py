@@ -31,6 +31,27 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+# DuckDB column types the driver's normalization is known to hash the
+# same way Spark does. Anything else (HUGEINT from sum(int) OVER,
+# DECIMAL from bare numeric literals, ...) stringifies identically in
+# Python here but NOT in the driver — reject outright so local green
+# implies driver green (the r1/r2 sessionize/running_window lesson).
+SAFE_DUCKDB_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+}
+
+
+def unsafe_columns(rel) -> list[str]:
+    bad = []
+    for name, t in zip(rel.columns, rel.types):
+        tid = str(t).upper()
+        base = tid.split("(", 1)[0].strip()
+        if base not in SAFE_DUCKDB_TYPES:
+            bad.append(f"{name}:{tid}")
+    return bad
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -69,6 +90,12 @@ def main() -> None:
                 print(f"{name:28s} ROWS-ONLY rows={len(srows)}")
                 continue
             rel = con.sql(oracles[name])
+            bad = unsafe_columns(rel)
+            if bad:
+                n_fail += 1
+                print(f"{name:28s} FAIL unsafe oracle column types: "
+                      f"{', '.join(bad)} (cast to BIGINT/DOUBLE/VARCHAR)")
+                continue
             orows = rel.fetchall()
             ocols = [d[0] for d in rel.description]
             sh = table_hash(scols, srows)
