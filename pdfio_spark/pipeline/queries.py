@@ -54,33 +54,33 @@ SELECT 'doc://' || doc_id AS url,
 FROM l GROUP BY doc_id
 """
 
-# macroman: doc lines + one constant probe line of MacRoman high bytes
-# (87 aacute, 8E eacute, A5 bullet, D0 endash, D1 emdash — ref
-# src/PDFonts.jl mac table; decode is the constant literal below)
-_ORACLE_MACROMAN = _LINES_CTE + """
+# merged font plane, classes cycling by doc_id % 6:
+#   0 cid / 1 winansi / 5 type3 -> plain single-page closed form
+#   2 macroman -> doc lines + constant probe of MacRoman high bytes
+#     (87 aacute, 8E eacute, A5 bullet, D0 endash, D1 emdash — ref
+#     src/PDFonts.jl mac table)
+#   3 symbol -> digits are identity so line 1 carries doc_id; line 2 is
+#     the greek probe (a b g d p m W -> αβγδπµΩ; AGL maps mu to U+00B5
+#     and Omega to U+2126 OHM SIGN, not U+03A9)
+#   4 zapf -> constant probe only (no identity bytes;
+#     1..5 -> a17..a21 -> U+2711..U+2715)
+_ORACLE_FONTS = _LINES_CTE + """
+, agg AS (
+  SELECT doc_id,
+         string_agg(repeat(' ', 9) || line, chr(10) ORDER BY i) AS body
+  FROM l GROUP BY doc_id
+)
 SELECT 'doc://' || doc_id AS url,
        1 AS n_pages,
-       string_agg(repeat(' ', 9) || line, chr(10) ORDER BY i) || chr(10)
-           || repeat(' ', 9) || 'áé•–—' || chr(10) AS text,
+       CASE doc_id % 6
+         WHEN 2 THEN body || chr(10) || repeat(' ', 9) || 'áé•–—' || chr(10)
+         WHEN 3 THEN repeat(' ', 9) || doc_id || chr(10)
+                     || repeat(' ', 9) || 'αβγδπµ' || chr(8486) || chr(10)
+         WHEN 4 THEN repeat(' ', 9) || '✑✒✓✔✕' || chr(10)
+         ELSE body || chr(10)
+       END AS text,
        'ok' AS status
-FROM l GROUP BY doc_id
-"""
-
-# symbol/zapf built-in encodings (class alternates by doc_id parity):
-# Symbol keeps digits identity -> line 1 carries doc_id, line 2 is the
-# greek probe (a b g d p m W -> αβγδπµΩ; AGL maps mu to U+00B5 and
-# Omega to U+2126 OHM SIGN, not U+03A9).
-# ZapfDingbats has no identity bytes -> constant probe only
-# (1..5 -> a17..a21 -> U+2711..U+2715).
-_ORACLE_SYMBOL = """
-SELECT 'doc://' || doc_id AS url,
-       1 AS n_pages,
-       CASE WHEN doc_id % 2 = 0
-            THEN repeat(' ', 9) || doc_id || chr(10)
-                 || repeat(' ', 9) || 'αβγδπµ' || chr(8486) || chr(10)
-            ELSE repeat(' ', 9) || '✑✒✓✔✕' || chr(10) END AS text,
-       'ok' AS status
-FROM documents
+FROM agg
 """
 
 # multipage: one line per page, each page contributes text + '\n'
@@ -583,8 +583,11 @@ FROM d ORDER BY url
 
 
 def q_page_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Page-label number-tree lookup (SURVEY T1-T4): roman pages 1-2,
-    'P-<n>' decimal after — predicted in closed form by the oracle."""
+    """Page-label number tree, BOTH directions (SURVEY T1-T4): per-page
+    label lookup (roman pages 1-2, 'P-<n>' decimal after) plus the
+    inverse label->page search — p1_page is the page whose label is
+    'P-1' (page 3 for docs with >= 3 pages, NULL otherwise). (r3:
+    absorbed the former q_label_to_page.)"""
     import pyarrow as pa
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -592,46 +595,57 @@ def q_page_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def labels(batches):
         from pdfio_spark.pd.pagetree import PDDoc
-        from pdfio_spark.pd.navigation import get_page_labels
+        from pdfio_spark.pd.navigation import (get_page_labels,
+                                               find_page_for_label)
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
-            o_url, o_pg, o_lab = [], [], []
+            o_url, o_pg, o_lab, o_p1 = [], [], [], []
             for url, html in zip(urls, htmls):
                 try:
                     doc = PDDoc(html)
+                    r = find_page_for_label(doc, "P-1")
+                    p1 = r[0] if r is not None else None
                     for i, lab in enumerate(get_page_labels(doc)):
                         o_url.append(url)
                         o_pg.append(i + 1)
                         o_lab.append(lab)
+                        o_p1.append(p1)
                 except Exception:
                     pass
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_url, pa.string()), pa.array(o_pg, pa.int32()),
-                 pa.array(o_lab, pa.string())],
-                names=["url", "page_no", "label"])
+                 pa.array(o_lab, pa.string()), pa.array(o_p1, pa.int32())],
+                names=["url", "page_no", "label", "p1_page"])
 
-    return (corpus.mapInArrow(labels,
-                              "url string, page_no int, label string")
-            .orderBy("url", "page_no"))
+    return (corpus.mapInArrow(
+        labels, "url string, page_no int, label string, p1_page int")
+        .orderBy("url", "page_no"))
 
 
 ORACLE_PAGE_LABELS = _LINES_CTE + """
-SELECT 'doc://' || doc_id AS url,
+, n AS (SELECT doc_id, count(*) AS nl FROM l GROUP BY doc_id)
+SELECT 'doc://' || l.doc_id AS url,
        cast(i AS int) AS page_no,
        CASE WHEN i = 1 THEN 'i' WHEN i = 2 THEN 'ii'
-            ELSE 'P-' || (i - 2) END AS label
-FROM l ORDER BY url, page_no
+            ELSE 'P-' || (i - 2) END AS label,
+       cast(CASE WHEN n.nl >= 3 THEN 3 END AS int) AS p1_page
+FROM l JOIN n ON l.doc_id = n.doc_id ORDER BY url, page_no
 """
 
 
-def q_doc_info(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/Info dict -> metadata columns (SURVEY D8): Producer + Title
-    decoded via PDFDocEncoding."""
+def q_doc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/Info dict metadata (SURVEY D8: Producer + Title via
+    PDFDocEncoding) joined with the CDDate plane (SURVEY §2.12: parse
+    /Info CreationDate D:YYYYMMDDHHmmSS+HH'mm and normalize to UTC).
+    Two fixture corpora (with_info, with_dates), one row per doc each,
+    equi-joined on url with the smaller side broadcast. (r3: merged
+    q_doc_info + q_dates.)"""
     import pyarrow as pa
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    corpus = gen_pdf_corpus(docs, classes=["with_info"])
+    info_corpus = gen_pdf_corpus(docs, classes=["with_info"])
+    dates_corpus = gen_pdf_corpus(docs, classes=["with_dates"])
 
     def info(batches):
         from pdfio_spark.pd.pagetree import PDDoc
@@ -652,68 +666,55 @@ def q_doc_info(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pa.array(o_title, pa.string())],
                 names=["url", "producer", "title"])
 
-    return (corpus.mapInArrow(
+    def dates(batches):
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.dates import CDDate
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o_url, o_raw, o_utc = [], [], []
+            for url, html in zip(urls, htmls):
+                try:
+                    raw = PDDoc(html).get_info().get("CreationDate")
+                    d = CDDate(raw)
+                    o_url.append(url)
+                    o_raw.append(raw)
+                    o_utc.append(d.utc().strftime("%Y-%m-%d %H:%M:%S"))
+                except Exception:
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_url, pa.string()), pa.array(o_raw, pa.string()),
+                 pa.array(o_utc, pa.string())],
+                names=["url", "raw_date", "utc"])
+
+    info_df = info_corpus.mapInArrow(
         info, "url string, producer string, title string")
-        .orderBy("url"))
+    dates_df = dates_corpus.mapInArrow(
+        dates, "url string, raw_date string, utc string")
+    return (info_df.join(F.broadcast(dates_df), "url")
+            .orderBy("url"))
 
 
-ORACLE_DOC_INFO = _LINES_CTE + """
+ORACLE_DOC_METADATA = _LINES_CTE + """
 SELECT 'doc://' || doc_id AS url,
        'pdfio-spark' AS producer,
-       substr(min(line) FILTER (WHERE i = 1), 1, 24) AS title
+       substr(min(line) FILTER (WHERE i = 1), 1, 24) AS title,
+       'D:20' || lpad(cast(doc_id % 100 AS varchar), 2, '0')
+           || '0315143000+05''30' AS raw_date,
+       '20' || lpad(cast(doc_id % 100 AS varchar), 2, '0')
+           || '-03-15 09:00:00' AS utc
 FROM l GROUP BY doc_id ORDER BY url
 """
 
 
-def q_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outline walk (SURVEY N1-N3): one 'Sec <i>' item per page, with
-    destinations resolved through direct arrays (even items) and the
-    /Names/Dests name tree (odd items — SURVEY T2 string keys)."""
-    import pyarrow as pa
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    corpus = gen_pdf_corpus(docs, classes=["outline_toc"])
-
-    def outlines(batches):
-        from pdfio_spark.pd.pagetree import PDDoc
-        from pdfio_spark.pd.navigation import get_outline
-        for batch in batches:
-            urls = batch.column("url").to_pylist()
-            htmls = batch.column("html").to_pylist()
-            o_url, o_lvl, o_title, o_page = [], [], [], []
-            for url, html in zip(urls, htmls):
-                try:
-                    doc = PDDoc(html)
-                    for item in get_outline(doc):
-                        o_url.append(url)
-                        o_lvl.append(item["level"])
-                        o_title.append(item["title"])
-                        o_page.append(item["page_no"])
-                except Exception:
-                    pass
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(o_url, pa.string()), pa.array(o_lvl, pa.int32()),
-                 pa.array(o_title, pa.string()),
-                 pa.array(o_page, pa.int32())],
-                names=["url", "level", "title", "page_no"])
-
-    return (corpus.mapInArrow(
-        outlines, "url string, level int, title string, page_no int")
-        .orderBy("url", "title"))
-
-
-ORACLE_OUTLINE = _LINES_CTE + """
-SELECT 'doc://' || doc_id AS url, 0 AS level, 'Sec ' || i AS title,
-       cast(i AS int) AS page_no
-FROM l ORDER BY url, title
-"""
-
-
 def q_outline_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Destination layout matrix (SURVEY N3; PDOutline.jl:32-67): the
-    outline fixture rotates XYZ/Fit/FitH/FitV/FitR/FitB/FitBH/FitBV on
-    direct-dest items; named-dest items resolve to Fit. Layout + all
-    coordinate slots + zoom are closed-form."""
+    """Outline walk + destination layout matrix (SURVEY N1-N3;
+    PDOutline.jl:32-67): one 'Sec <i>' item per page with nesting level,
+    destinations resolved through direct arrays (even items, rotating
+    XYZ/Fit/FitH/FitV/FitR/FitB/FitBH/FitBV) and the /Names/Dests name
+    tree (odd items — SURVEY T2 string keys, resolving to Fit). Layout +
+    all coordinate slots + zoom are closed-form. (r3: absorbed the
+    former q_outline — same walk, plus the dest matrix.)"""
     import pyarrow as pa
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -725,7 +726,8 @@ def q_outline_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
-            o = {k: [] for k in ("url", "title", "page_no", "layout",
+            o = {k: [] for k in ("url", "level", "title", "page_no",
+                                 "layout",
                                  "left", "bottom", "right", "top", "zoom")}
             for url, html in zip(urls, htmls):
                 try:
@@ -734,6 +736,7 @@ def q_outline_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         if d is None:
                             continue
                         o["url"].append(url)
+                        o["level"].append(item["level"])
                         o["title"].append(item["title"])
                         o["page_no"].append(d["page_no"])
                         o["layout"].append(d["layout"])
@@ -743,6 +746,7 @@ def q_outline_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pass
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o["url"], pa.string()),
+                 pa.array(o["level"], pa.int32()),
                  pa.array(o["title"], pa.string()),
                  pa.array(o["page_no"], pa.int32()),
                  pa.array(o["layout"], pa.string()),
@@ -754,7 +758,8 @@ def q_outline_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=list(o))
 
     return (corpus.mapInArrow(
-        dests, "url string, title string, page_no int, layout string, "
+        dests, "url string, level int, title string, page_no int, "
+               "layout string, "
                "left double, bottom double, right double, top double, "
                "zoom double")
         .orderBy("url", "title"))
@@ -762,6 +767,7 @@ def q_outline_dest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_OUTLINE_DEST = _LINES_CTE + """
 SELECT 'doc://' || doc_id AS url,
+       cast(0 AS int) AS level,
        'Sec ' || i AS title,
        cast(i AS int) AS page_no,
        CASE WHEN i % 2 = 0 THEN 'Fit'
@@ -904,49 +910,38 @@ ORDER BY c_custkey
 """
 
 
-def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable deterministic sampling (training-data splits must be
-    reproducible across engines): md5-bucket of the stable key, ~1/8."""
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling, uniform AND stratified, in one query
+    (method column). Training-data splits must be reproducible across
+    engines: md5 of the stable key, no RNG. uniform = first-hex-char
+    bucket ~1/8; stratified = per-language md5-nibble keep-rate
+    (en 4/16, others 8/16 — down-weight the majority class). Both are
+    one map-side filter; no shuffle before the sort. (r3: merged from
+    the two r2 sampling queries.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    return (docs.filter(bucket.isin("0", "1"))
-            .select("doc_id", "lang").orderBy("doc_id"))
-
-
-ORACLE_DETERMINISTIC_SAMPLE = """
-SELECT doc_id, lang FROM documents
-WHERE substr(md5(cast(doc_id AS varchar)), 1, 1) IN ('0', '1')
-ORDER BY doc_id
-"""
-
-
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified deterministic sampling: a different md5-bucket rate
-    per language stratum (training mixes re-weight sources/languages).
-    Engine-portable (md5 of the stable key), no RNG, exactly
-    reproducible — the split a 100 TB training pipeline must be able to
-    recompute. One map-side filter, no shuffle before the sort."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # hex bucket 0..15 from the first md5 nibble; per-lang keep-rate:
-    # en 4/16, others 8/16 (down-weight the majority class)
+    uni = (docs.filter(bucket.isin("0", "1"))
+           .select(F.lit("uniform").alias("method"), "doc_id", "lang"))
     nib = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
                  16, 10).cast("int")
     keep = F.when(F.col("lang") == "en", nib < 4).otherwise(nib < 8)
-    return (docs.filter(keep)
-            .select("doc_id", "lang")
-            .orderBy("doc_id"))
+    strat = (docs.filter(keep)
+             .select(F.lit("stratified").alias("method"), "doc_id", "lang"))
+    return uni.unionByName(strat).orderBy("method", "doc_id")
 
 
-ORACLE_STRATIFIED_SAMPLE = """
-WITH d AS (
+ORACLE_SAMPLE = """
+SELECT 'uniform' AS method, doc_id, lang FROM documents
+WHERE substr(md5(cast(doc_id AS varchar)), 1, 1) IN ('0', '1')
+UNION ALL
+SELECT 'stratified', doc_id, lang FROM (
   SELECT doc_id, lang,
          strpos('0123456789abcdef',
                 substr(md5(cast(doc_id AS varchar)), 1, 1)) - 1 AS nib
   FROM documents
-)
-SELECT doc_id, lang FROM d
+) d
 WHERE CASE WHEN lang = 'en' THEN nib < 4 ELSE nib < 8 END
-ORDER BY doc_id
+ORDER BY method, doc_id
 """
 
 
@@ -1012,33 +1007,78 @@ FROM documents GROUP BY 1 ORDER BY text_hash
 """
 
 
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish word/punct regex)."""
+def q_text_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text analytics in ONE pass: token counting (whitespace +
+    BPE-ish word/punct regex), quality scoring (length / punctuation /
+    stopword ratios), language-ID (stopword voting en/de/fr), and
+    document fingerprinting (content + first-8-token prefix md5).
+    All JVM-side expressions — no Python in the hot path, map-only
+    until the final sort; at 100 TB this is one scan of the corpus.
+    (r3: merged from the four single-metric r2 queries so the whole
+    analytics plane sits inside the driver's correctness window.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = F.coalesce("text", F.lit(""))
     ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
     bpe_ish = F.size(F.expr(
         r"regexp_extract_all(coalesce(text,''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"))
-    return (docs.select("doc_id",
-                        ws_tokens.alias("ws_tokens"),
-                        bpe_ish.alias("bpe_tokens"),
-                        F.length(t).alias("n_chars_actual"))
-            .orderBy("doc_id"))
+    n = F.length(t)
+    punct = n - F.length(F.regexp_replace(t, r"[.,:;!?]", ""))
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    nwords = F.size(words)
+    stop = F.size(F.filter(words, lambda w: w.isin(
+        "the", "a", "of", "and", "to", "in", "is", "it")))
+    en = F.size(F.filter(words, lambda w: w.isin("the", "and", "of", "is")))
+    de = F.size(F.filter(words, lambda w: w.isin("der", "und", "die", "ist")))
+    fr = F.size(F.filter(words, lambda w: w.isin("le", "et", "la", "est")))
+    pred = (F.when((en >= de) & (en >= fr), "en")
+            .when(de >= fr, "de").otherwise("fr"))
+    prefix = F.concat_ws(" ", F.slice(F.split(F.trim(t), r"\s+"), 1, 8))
+    return (docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_ish.alias("bpe_tokens"),
+        n.alias("n_chars_actual"),
+        F.round(punct / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop / F.greatest(nwords, F.lit(1)), 6).alias("stop_ratio"),
+        pred.alias("pred_lang"),
+        F.md5(t).alias("content_md5"),
+        F.md5(prefix).alias("prefix_md5"))
+        .orderBy("doc_id"))
 
 
-ORACLE_TOKEN_STATS = r"""
+ORACLE_TEXT_ANALYTICS = r"""
 WITH t AS (
   SELECT doc_id, coalesce(text,'') AS s,
          regexp_replace(trim(coalesce(text,'')), '\s+', ' ', 'g') AS c
   FROM documents
+), w AS (
+  SELECT doc_id, s, c,
+         string_split_regex(lower(trim(s)), '\s+') AS words
+  FROM t
 )
 SELECT doc_id,
        cast(length(c) - length(replace(c, ' ', '')) + 1 AS int) AS ws_tokens,
        cast(length(regexp_replace(
            regexp_replace(s, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 'x', 'g'),
            '\s+', '', 'g')) AS int) AS bpe_tokens,
-       cast(length(s) AS int) AS n_chars_actual
-FROM t ORDER BY doc_id
+       cast(length(s) AS int) AS n_chars_actual,
+       round((length(s) - length(regexp_replace(s, '[.,:;!?]', '', 'g')))
+             / greatest(length(s), 1), 6) AS punct_ratio,
+       round(len(list_filter(words, x -> x IN
+             ('the','a','of','and','to','in','is','it')))
+             / greatest(len(words), 1), 6) AS stop_ratio,
+       CASE WHEN len(list_filter(words, x -> x IN ('the','and','of','is')))
+                 >= len(list_filter(words, x -> x IN ('der','und','die','ist')))
+             AND len(list_filter(words, x -> x IN ('the','and','of','is')))
+                 >= len(list_filter(words, x -> x IN ('le','et','la','est')))
+            THEN 'en'
+            WHEN len(list_filter(words, x -> x IN ('der','und','die','ist')))
+                 >= len(list_filter(words, x -> x IN ('le','et','la','est')))
+            THEN 'de' ELSE 'fr' END AS pred_lang,
+       md5(s) AS content_md5,
+       md5(array_to_string(list_slice(
+           string_split_regex(trim(s), '\s+'), 1, 8), ' ')) AS prefix_md5
+FROM w ORDER BY doc_id
 """
 
 
@@ -1099,95 +1139,6 @@ SELECT doc_id, cast(nw AS int) AS n_words, dup_word_frac,
                 / (nw - 1)::double, 6)
         ELSE 0.0 END <= 0.18) AS kept
 FROM m ORDER BY doc_id
-"""
-
-
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, punctuation ratio, stopword ratio —
-    all JVM-side expressions (no Python in the hot path)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t = F.coalesce("text", F.lit(""))
-    n = F.length(t)
-    punct = n - F.length(F.regexp_replace(t, r"[.,:;!?]", ""))
-    words = F.split(F.lower(F.trim(t)), r"\s+")
-    stop = F.size(F.filter(words, lambda w: w.isin(
-        "the", "a", "of", "and", "to", "in", "is", "it")))
-    nwords = F.size(words)
-    return (docs.select(
-        "doc_id", n.alias("n_chars_actual"),
-        F.round(punct / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(stop / F.greatest(nwords, F.lit(1)), 6).alias("stop_ratio"))
-        .orderBy("doc_id"))
-
-
-ORACLE_QUALITY_SCORE = r"""
-WITH t AS (
-  SELECT doc_id, coalesce(text,'') AS s FROM documents
-), w AS (
-  SELECT doc_id, s,
-         string_split_regex(lower(trim(s)), '\s+') AS words
-  FROM t
-)
-SELECT doc_id, cast(length(s) AS int) AS n_chars_actual,
-       round((length(s) - length(regexp_replace(s, '[.,:;!?]', '', 'g')))
-             / greatest(length(s), 1), 6) AS punct_ratio,
-       round(len(list_filter(words, x -> x IN
-             ('the','a','of','and','to','in','is','it')))
-             / greatest(len(words), 1), 6) AS stop_ratio
-FROM w ORDER BY doc_id
-"""
-
-
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID heuristic: stopword voting en/de/fr (expression-only;
-    a production n-gram model would be a broadcast lookup + expressions)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
-    en = F.size(F.filter(words, lambda w: w.isin("the", "and", "of", "is")))
-    de = F.size(F.filter(words, lambda w: w.isin("der", "und", "die", "ist")))
-    fr = F.size(F.filter(words, lambda w: w.isin("le", "et", "la", "est")))
-    pred = (F.when((en >= de) & (en >= fr), "en")
-            .when(de >= fr, "de").otherwise("fr"))
-    return docs.select("doc_id", pred.alias("pred_lang")).orderBy("doc_id")
-
-
-ORACLE_LANGID = r"""
-WITH w AS (
-  SELECT doc_id,
-         string_split_regex(lower(trim(coalesce(text,''))), '\s+') AS ws
-  FROM documents
-), c AS (
-  SELECT doc_id,
-         len(list_filter(ws, x -> x IN ('the','and','of','is'))) AS en,
-         len(list_filter(ws, x -> x IN ('der','und','die','ist'))) AS de,
-         len(list_filter(ws, x -> x IN ('le','et','la','est'))) AS fr
-  FROM w
-)
-SELECT doc_id,
-       CASE WHEN en >= de AND en >= fr THEN 'en'
-            WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
-FROM c ORDER BY doc_id
-"""
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: content hash + first-8-token prefix hash
-    (both JVM hash functions, shuffle-free)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t = F.coalesce("text", F.lit(""))
-    prefix = F.concat_ws(" ", F.slice(F.split(F.trim(t), r"\s+"), 1, 8))
-    return (docs.select("doc_id",
-                        F.md5(t).alias("content_md5"),
-                        F.md5(prefix).alias("prefix_md5"))
-            .orderBy("doc_id"))
-
-
-ORACLE_FINGERPRINT = r"""
-SELECT doc_id, md5(coalesce(text,'')) AS content_md5,
-       md5(array_to_string(list_slice(
-           string_split_regex(trim(coalesce(text,'')), '\s+'), 1, 8), ' '))
-           AS prefix_md5
-FROM documents ORDER BY doc_id
 """
 
 
@@ -1572,50 +1523,6 @@ FROM documents ORDER BY url
 """
 
 
-def q_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDDate plane (SURVEY §2.12): parse /Info CreationDate
-    (D:YYYYMMDDHHmmSS+HH'mm) and normalize to UTC."""
-    import pyarrow as pa
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    corpus = gen_pdf_corpus(docs, classes=["with_dates"])
-
-    def dates(batches):
-        from pdfio_spark.pd.pagetree import PDDoc
-        from pdfio_spark.pd.dates import CDDate
-        for batch in batches:
-            urls = batch.column("url").to_pylist()
-            htmls = batch.column("html").to_pylist()
-            o_url, o_raw, o_utc = [], [], []
-            for url, html in zip(urls, htmls):
-                try:
-                    info = PDDoc(html).get_info()
-                    raw = info.get("CreationDate")
-                    d = CDDate(raw)
-                    o_url.append(url)
-                    o_raw.append(raw)
-                    o_utc.append(d.utc().strftime("%Y-%m-%d %H:%M:%S"))
-                except Exception:
-                    pass
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(o_url, pa.string()), pa.array(o_raw, pa.string()),
-                 pa.array(o_utc, pa.string())],
-                names=["url", "raw_date", "utc"])
-
-    return (corpus.mapInArrow(
-        dates, "url string, raw_date string, utc string").orderBy("url"))
-
-
-ORACLE_DATES = """
-SELECT 'doc://' || doc_id AS url,
-       'D:20' || lpad(cast(doc_id % 100 AS varchar), 2, '0')
-           || '0315143000+05''30' AS raw_date,
-       '20' || lpad(cast(doc_id % 100 AS varchar), 2, '0')
-           || '-03-15 09:00:00' AS utc
-FROM documents ORDER BY url
-"""
-
-
 def q_extract_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-sharded extraction of multipage docs (SURVEY R5): probe ->
     explode ranges -> range-extract -> applyInPandas ordered reassembly.
@@ -1626,44 +1533,6 @@ def q_extract_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = gen_pdf_corpus(docs, classes=["multipage"])
     return (extract_pdfs_sharded(corpus, pages_per_shard=3)
             .select("url", "n_pages", "text", "status"))
-
-
-def q_label_to_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverse page-label lookup (SURVEY T4): find the page whose label
-    is 'P-1' (decimal segment, page 3 for docs with >= 3 pages)."""
-    import pyarrow as pa
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    corpus = gen_pdf_corpus(docs, classes=["multipage_labels"])
-
-    def lookup(batches):
-        from pdfio_spark.pd.pagetree import PDDoc
-        from pdfio_spark.pd.navigation import find_page_for_label
-        for batch in batches:
-            urls = batch.column("url").to_pylist()
-            htmls = batch.column("html").to_pylist()
-            o_url, o_page = [], []
-            for url, html in zip(urls, htmls):
-                try:
-                    r = find_page_for_label(PDDoc(html), "P-1")
-                    if r is not None:
-                        o_url.append(url)
-                        o_page.append(r[0])
-                except Exception:
-                    pass
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(o_url, pa.string()), pa.array(o_page, pa.int32())],
-                names=["url", "page_no"])
-
-    return (corpus.mapInArrow(lookup, "url string, page_no int")
-            .orderBy("url"))
-
-
-ORACLE_LABEL_TO_PAGE = _LINES_CTE + """
-, np AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id)
-SELECT 'doc://' || doc_id AS url, 3 AS page_no
-FROM np WHERE n >= 3 ORDER BY url
-"""
 
 
 def q_page_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1858,43 +1727,37 @@ def _salted_bucket_pairs(b: DataFrame, pair_filter,
         & pair_filter(F.col("a.vec_id"), F.col("c.vec_id")))
 
 
-def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-bucket skew guard: vector count and the candidate-pair count
-    the within-bucket join would generate. At scale this runs BEFORE the
-    pair join; buckets whose n_pairs exceed budget get more LSH bits or
-    are capped — the observability half of the skew defense."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (emb.select(_bucket_expr(F.col("embedding")).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("n_vectors"))
-            .withColumn("n_pairs",
-                        (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2)
-                        .cast("long"))
-            .orderBy("bucket"))
-
-
-ORACLE_LSH_BUCKET_STATS = f"""
-WITH b AS (
-  SELECT {_bucket_sql('embedding')} AS bucket FROM embeddings
-)
-SELECT bucket, count(*) AS n_vectors,
-       cast(count(*) * (count(*) - 1) / 2 AS bigint) AS n_pairs
-FROM b GROUP BY bucket ORDER BY bucket
-"""
-
-
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket assignment — sign bits of 8
-    deterministic hyperplane dot products (JVM-side expressions)."""
+    """Random-hyperplane LSH bucket assignment (sign bits of 8
+    deterministic hyperplane dot products, JVM-side expressions) PLUS
+    the per-bucket skew guard: vector count and the candidate-pair
+    count the within-bucket join would generate, broadcast back onto
+    every row. At scale the stats half runs BEFORE the pair join;
+    buckets whose n_pairs exceed budget get more LSH bits or are
+    capped — the observability half of the skew defense. (r3: merged
+    q_lsh_bucket_stats into the assignment query.)"""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (emb.select("vec_id", _bucket_expr(F.col("embedding"))
-                       .alias("bucket"))
+    b = emb.select("vec_id", _bucket_expr(F.col("embedding")).alias("bucket"))
+    stats = (b.groupBy("bucket")
+             .agg(F.count("*").alias("n_vectors"))
+             .withColumn("n_pairs",
+                         (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2)
+                         .cast("long")))
+    return (b.join(F.broadcast(stats), "bucket")
+            .select("vec_id", "bucket", "n_vectors", "n_pairs")
             .orderBy("vec_id"))
 
 
 ORACLE_LSH_BUCKETS = f"""
-SELECT vec_id, {_bucket_sql('embedding')} AS bucket
-FROM embeddings ORDER BY vec_id
+WITH b AS (
+  SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+), s AS (
+  SELECT bucket, count(*) AS n_vectors,
+         cast(count(*) * (count(*) - 1) / 2 AS bigint) AS n_pairs
+  FROM b GROUP BY bucket
+)
+SELECT vec_id, b.bucket, n_vectors, n_pairs
+FROM b JOIN s ON b.bucket = s.bucket ORDER BY vec_id
 """
 
 
@@ -2081,65 +1944,50 @@ FROM documents GROUP BY lang ORDER BY lang
 # multimodal plane (binary containers + typed metadata)
 # ---------------------------------------------------------------------
 
-def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary container header parsing in an Arrow UDF; the oracle
-    recomputes the header fields from their generating formulas."""
-    from .multimodal import gen_media_corpus, media_metadata
+def q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plane in ONE query: binary container header parsing
+    (all media), thumbnail resize geometry (images, kind 0), and
+    per-second frame sampling (videos, kind 2) — Arrow UDF stages over
+    the same corpus, left-joined per media_id with the pruned sides
+    broadcast. Pixel/codec decode is the documented sandbox stub
+    (pipeline/multimodal.py); header parsing, Arrow batching, and the
+    resize/sample math are real and oracled. (r3: merged the three r2
+    media queries.)"""
+    from .multimodal import (gen_media_corpus, media_metadata,
+                             media_thumbnail, media_frame_sample)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return media_metadata(gen_media_corpus(emb)).orderBy("media_id")
-
-
-ORACLE_MEDIA_METADATA = """
-SELECT vec_id AS media_id,
-       cast(vec_id % 3 AS int) AS kind,
-       cast(64 + (vec_id * 7) % 512 AS int) AS width,
-       cast(64 + (vec_id * 13) % 512 AS int) AS height,
-       cast((vec_id * 31) % 60000 AS bigint) AS dur_ms,
-       cast(vec_id % 4 AS int) AS codec,
-       cast(256 + (vec_id * 11) % 1024 AS bigint) AS body_bytes
-FROM embeddings ORDER BY media_id
-"""
-
-
-def q_media_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thumbnail geometry (integer resize math; pixel decode stubbed)."""
-    from .multimodal import gen_media_corpus, media_thumbnail
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (media_thumbnail(gen_media_corpus(emb))
-            .select("media_id", "out_w", "out_h")
+    corpus = gen_media_corpus(emb)
+    md = media_metadata(corpus)
+    th = media_thumbnail(corpus).select("media_id", "out_w", "out_h")
+    fr = media_frame_sample(corpus)
+    return (md.join(F.broadcast(th), "media_id", "left")
+            .join(F.broadcast(fr), "media_id", "left")
             .orderBy("media_id"))
 
 
-ORACLE_MEDIA_THUMBNAIL = """
+ORACLE_MEDIA = """
 WITH m AS (
   SELECT vec_id AS media_id,
-         cast(64 + (vec_id * 7) % 512 AS int) AS w,
-         cast(64 + (vec_id * 13) % 512 AS int) AS h
-  FROM embeddings WHERE vec_id % 3 = 0
+         cast(vec_id % 3 AS int) AS kind,
+         cast(64 + (vec_id * 7) % 512 AS int) AS width,
+         cast(64 + (vec_id * 13) % 512 AS int) AS height,
+         cast((vec_id * 31) % 60000 AS bigint) AS dur_ms,
+         cast(vec_id % 4 AS int) AS codec,
+         cast(256 + (vec_id * 11) % 1024 AS bigint) AS body_bytes
+  FROM embeddings
 )
-SELECT media_id,
-       cast(CASE WHEN greatest(w, h) <= 128 THEN w
-            ELSE greatest(1, (w * 128) // greatest(w, h)) END AS int)
-           AS out_w,
-       cast(CASE WHEN greatest(w, h) <= 128 THEN h
-            ELSE greatest(1, (h * 128) // greatest(w, h)) END AS int)
-           AS out_h
+SELECT media_id, kind, width, height, dur_ms, codec, body_bytes,
+       cast(CASE WHEN kind = 0 THEN
+            CASE WHEN greatest(width, height) <= 128 THEN width
+                 ELSE greatest(1, (width * 128) // greatest(width, height))
+            END END AS int) AS out_w,
+       cast(CASE WHEN kind = 0 THEN
+            CASE WHEN greatest(width, height) <= 128 THEN height
+                 ELSE greatest(1, (height * 128) // greatest(width, height))
+            END END AS int) AS out_h,
+       cast(CASE WHEN kind = 2 THEN dur_ms // 1000 + 1 END AS int)
+           AS n_frames
 FROM m ORDER BY media_id
-"""
-
-
-def q_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: one frame per second incl. t=0."""
-    from .multimodal import gen_media_corpus, media_frame_sample
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (media_frame_sample(gen_media_corpus(emb))
-            .orderBy("media_id"))
-
-
-ORACLE_MEDIA_FRAMESAMPLE = """
-SELECT vec_id AS media_id,
-       cast((vec_id * 31) % 60000 // 1000 + 1 AS int) AS n_frames
-FROM embeddings WHERE vec_id % 3 = 2 ORDER BY media_id
 """
 
 
@@ -2147,41 +1995,37 @@ FROM embeddings WHERE vec_id % 3 = 2 ORDER BY media_id
 # registry
 # ---------------------------------------------------------------------
 
+# Registry ordering is a contract: the driver correctness-checks the
+# first 50 entries in insertion order, so the whole registry is kept at
+# <= 50 oracled queries (r3 consolidation; was 66 in r2, which silently
+# un-verified the dedup/ANN/media tail). The three rows-only queries sit
+# LAST — they carry the weakest signal, so they are the cheapest to lose
+# if the registry ever grows past the window again.
 QUERIES = {
     # extraction plane (full parse stack in the UDF)
-    "q_extract_flate": _extract_query(["flate_simple"]),
-    "q_extract_xrefstream_objstm": _extract_query(["objstm"]),
-    "q_extract_filters": _extract_query(
-        ["filter_asciihex", "filter_ascii85", "filter_rle", "filter_lzw"]),
-    "q_extract_cid": _extract_query(["font_cid"]),
-    "q_extract_winansi": _extract_query(["font_winansi"]),
-    "q_extract_macroman": _extract_query(["font_macroman"]),
-    "q_extract_symbol": _extract_query(["font_symbol", "font_zapf"]),
-    "q_extract_type3": _extract_query(["font_type3"]),
-    "q_extract_xobject": _extract_query(["xobject_form"]),
-    "q_extract_structure": _extract_query(
-        ["contents_array", "header_offset", "inline_image",
-         "marked_artifact", "plain_uncompressed", "xref_stream",
-         "filter_chain", "xref_hybrid", "flate_corrupt", "incremental",
-         "flate_tiff_pred"]),
+    "q_extract_core": _extract_query(
+        ["flate_simple", "plain_uncompressed", "xref_stream", "objstm",
+         "filter_asciihex", "filter_ascii85", "filter_rle", "filter_lzw",
+         "filter_chain", "contents_array", "header_offset", "inline_image",
+         "marked_artifact", "xref_hybrid", "flate_corrupt", "incremental",
+         "flate_tiff_pred", "xobject_form"]),
+    "q_extract_fonts": _extract_query(
+        ["font_cid", "font_winansi", "font_macroman", "font_symbol",
+         "font_zapf", "font_type3"]),
     "q_extract_multipage": _extract_query(["multipage"]),
     "q_extract_sharded": q_extract_sharded,
     "q_extract_encrypted": _extract_query(
         ["encrypt_rc4_128", "encrypt_aes256", "encrypt_rc4_40",
          "encrypt_aes128", "encrypt_owner_pw", "encrypt_pki"]),
+    "q_extract_quarantine": q_extract_quarantine,
+    "q_extract_spans_courier": q_extract_spans_courier,
     "q_page_labels": q_page_labels,
     "q_struct_roles": q_struct_roles,
     "q_signatures": q_signatures,
     "q_outline_dest": q_outline_dest,
     "q_attachments": q_attachments,
-    "q_outline": q_outline,
-    "q_doc_info": q_doc_info,
-    "q_label_to_page": q_label_to_page,
+    "q_doc_metadata": q_doc_metadata,
     "q_page_geometry": q_page_geometry,
-    "q_extract_spans": q_extract_spans,
-    "q_extract_spans_courier": q_extract_spans_courier,
-    "q_dates": q_dates,
-    "q_extract_quarantine": q_extract_quarantine,
     # pipeline plane
     "q_verify_join": q_verify_join,
     "q_extract_metrics": q_extract_metrics,
@@ -2197,65 +2041,48 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_events_running_window": q_events_running_window,
     "q_semijoin_customers": q_semijoin_customers,
-    "q_deterministic_sample": q_deterministic_sample,
-    "q_stratified_sample": q_stratified_sample,
+    "q_sample": q_sample,
     "q_rollup_revenue": q_rollup_revenue,
     "q_time_rollup": q_time_rollup,
     "q_embedding_neardup": q_embedding_neardup,
     "q_distinct_sanity": q_distinct_sanity,
     # training-data ops
     "q_dedup_exact": q_dedup_exact,
-    "q_token_stats": q_token_stats,
-    "q_quality_score": q_quality_score,
+    "q_text_analytics": q_text_analytics,
     "q_repetition_filter": q_repetition_filter,
-    "q_langid": q_langid,
-    "q_fingerprint": q_fingerprint,
     "q_ann_bruteforce": q_ann_bruteforce,
-    "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_minhash_md5": q_dedup_minhash_md5,
     "q_dedup_components": q_dedup_components,
-    "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_simhash_md5": q_dedup_simhash_md5,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_lsh_buckets": q_lsh_buckets,
-    "q_lsh_bucket_stats": q_lsh_bucket_stats,
     "q_ann_lsh_topk": q_ann_lsh_topk,
-    # multimodal plane
+    # multimodal / API-surface plane
     "q_extract_pages_udtf": q_extract_pages_udtf,
     "q_udaf_median": q_udaf_median,
-    "q_media_metadata": q_media_metadata,
-    "q_media_thumbnail": q_media_thumbnail,
-    "q_media_framesample": q_media_framesample,
+    "q_media": q_media,
+    # rows-only tail (hash-seed- or kern-dependent; each has an oracled
+    # twin above: _md5 variants, q_extract_spans_courier)
+    "q_extract_spans": q_extract_spans,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
 }
 
 ORACLES = {
-    "q_extract_flate": _ORACLE_SINGLEPAGE,
-    "q_extract_xrefstream_objstm": _ORACLE_SINGLEPAGE,
-    "q_extract_filters": _ORACLE_SINGLEPAGE,
-    "q_extract_cid": _ORACLE_SINGLEPAGE,
-    "q_extract_winansi": _ORACLE_SINGLEPAGE,
-    "q_extract_macroman": _ORACLE_MACROMAN,
-    "q_extract_symbol": _ORACLE_SYMBOL,
-    "q_extract_type3": _ORACLE_SINGLEPAGE,
-    "q_extract_xobject": _ORACLE_SINGLEPAGE,
-    "q_extract_structure": _ORACLE_SINGLEPAGE,
+    "q_extract_core": _ORACLE_SINGLEPAGE,
+    "q_extract_fonts": _ORACLE_FONTS,
     "q_extract_multipage": _ORACLE_MULTIPAGE,
     "q_extract_sharded": _ORACLE_MULTIPAGE,
     "q_extract_encrypted": _ORACLE_SINGLEPAGE,
+    "q_extract_quarantine": ORACLE_EXTRACT_QUARANTINE,
+    "q_extract_spans_courier": ORACLE_EXTRACT_SPANS_COURIER,
     "q_page_labels": ORACLE_PAGE_LABELS,
     "q_struct_roles": ORACLE_STRUCT_ROLES,
     "q_signatures": ORACLE_SIGNATURES,
     "q_outline_dest": ORACLE_OUTLINE_DEST,
     "q_attachments": ORACLE_ATTACHMENTS,
-    "q_extract_spans_courier": ORACLE_EXTRACT_SPANS_COURIER,
-    "q_outline": ORACLE_OUTLINE,
-    "q_doc_info": ORACLE_DOC_INFO,
-    "q_label_to_page": ORACLE_LABEL_TO_PAGE,
+    "q_doc_metadata": ORACLE_DOC_METADATA,
     "q_page_geometry": ORACLE_PAGE_GEOMETRY,
-    "q_dates": ORACLE_DATES,
-    "q_extract_quarantine": ORACLE_EXTRACT_QUARANTINE,
-    # q_extract_spans: span widths depend on AFM kerning sums ->
-    # rows-only driver check (unit-tested in tests/test_golden.py)
     "q_verify_join": ORACLE_VERIFY_JOIN,
     "q_extract_metrics": ORACLE_EXTRACT_METRICS,
     "q_resume_antijoin": ORACLE_RESUME_ANTIJOIN,
@@ -2269,30 +2096,26 @@ ORACLES = {
     "q_range_join": ORACLE_RANGE_JOIN,
     "q_events_running_window": ORACLE_EVENTS_RUNNING_WINDOW,
     "q_semijoin_customers": ORACLE_SEMIJOIN_CUSTOMERS,
-    "q_deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
-    "q_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "q_sample": ORACLE_SAMPLE,
     "q_rollup_revenue": ORACLE_ROLLUP_REVENUE,
     "q_time_rollup": ORACLE_TIME_ROLLUP,
     "q_embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "q_distinct_sanity": ORACLE_DISTINCT_SANITY,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
-    "q_token_stats": ORACLE_TOKEN_STATS,
-    "q_quality_score": ORACLE_QUALITY_SCORE,
+    "q_text_analytics": ORACLE_TEXT_ANALYTICS,
     "q_repetition_filter": ORACLE_REPETITION_FILTER,
-    "q_langid": ORACLE_LANGID,
-    "q_fingerprint": ORACLE_FINGERPRINT,
     "q_ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
-    "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
     "q_dedup_components": ORACLE_DEDUP_COMPONENTS,
     "q_dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
+    "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_lsh_buckets": ORACLE_LSH_BUCKETS,
-    "q_lsh_bucket_stats": ORACLE_LSH_BUCKET_STATS,
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "q_extract_pages_udtf": ORACLE_EXTRACT_PAGES_UDTF,
     "q_udaf_median": ORACLE_UDAF_MEDIAN,
-    "q_media_metadata": ORACLE_MEDIA_METADATA,
-    "q_media_thumbnail": ORACLE_MEDIA_THUMBNAIL,
-    "q_media_framesample": ORACLE_MEDIA_FRAMESAMPLE,
-    # q_dedup_minhash / q_dedup_simhash: hash-seed-dependent -> rows-only
+    "q_media": ORACLE_MEDIA,
+    # q_extract_spans: span widths depend on AFM kerning sums ->
+    # rows-only (oracled twin: q_extract_spans_courier)
+    # q_dedup_minhash / q_dedup_simhash: hash-seed-dependent ->
+    # rows-only (oracled twins: the _md5 variants)
 }

@@ -12,14 +12,13 @@ from pdfio_spark.pipeline.queries import ORACLES, QUERIES  # noqa: E402
 
 GROUPS = [
     ("Extraction plane (full parse stack in the Arrow UDF)", "q_extract"),
-    ("Document metadata / navigation", ("q_page", "q_outline", "q_doc",
-                                        "q_label", "q_dates")),
+    ("Document metadata / navigation", ("q_page", "q_outline", "q_doc")),
     ("Pipeline plane (verify / resume / metrics / skew)",
      ("q_verify", "q_resume", "q_skew")),
     ("SQL plane (joins / aggs / windows / set ops / sessions)",
      ("q_pricing", "q_top", "q_order", "q_regression", "q_events")),
     ("Training-data ops (dedup / similarity / text analysis)",
-     ("q_dedup", "q_token", "q_quality", "q_langid", "q_fingerprint",
+     ("q_dedup", "q_text", "q_repetition", "q_sample",
       "q_ann", "q_lsh", "q_ngram")),
     ("Multimodal plane", "q_media"),
 ]
