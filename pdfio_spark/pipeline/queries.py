@@ -1097,9 +1097,21 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = F.transform(F.sequence(F.lit(1), nw - 1),
                      lambda i: F.concat(F.element_at("w", i), F.lit(" "),
                                         F.element_at("w", i + 1)))
-    top = F.array_max(F.transform(
-        F.array_distinct(bg),
-        lambda x: F.size(F.filter(bg, lambda y: y == x))))
+    # top-bigram count = longest equal run in the SORTED bigram array:
+    # O(n log n) per row (was O(n^2): per-distinct-bigram F.filter —
+    # a 100k-word doc is ~10^10 comparisons inside one row, a per-row
+    # CPU bomb the row timeout would convert into data loss).
+    # Bigrams always contain a space, so the "" init can't match.
+    run0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def _run_step(acc, x):
+        r = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), r.alias("run"),
+                        F.greatest(acc["best"], r).alias("best"))
+
+    top = F.aggregate(F.array_sort(bg), run0, _run_step,
+                      lambda acc: acc["best"])
     top_bg_frac = F.when(nw >= 2,
                          F.round(top / (nw - 1).cast("double"), 6)) \
         .otherwise(F.lit(0.0))
@@ -1289,10 +1301,13 @@ WITH d AS (
 ), dd AS (
   SELECT doc_id, w FROM d WHERE len(w) >= 3
 ), sh AS (
+  -- enumerate ALL shingle starts (1..len(w)-2) per doc; no fixed cap,
+  -- so the oracle cannot silently diverge from Spark's full
+  -- sequence(0, size(w)-3) when fixtures grow
   SELECT DISTINCT doc_id,
-         array_to_string(list_slice(w, i, i+2), ' ') AS sh
-  FROM dd CROSS JOIN generate_series(1, 600) t(i)
-  WHERE i + 2 <= len(w)
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> array_to_string(list_slice(w, i, i+2), ' '))) AS sh
+  FROM dd
 ), sig AS (
   SELECT doc_id,
          {mins}
@@ -1477,10 +1492,11 @@ WITH d AS (
 ), dd AS (
   SELECT doc_id, w FROM d WHERE len(w) >= 3
 ), sh AS (
+  -- all shingle starts, uncapped (see _minhash_md5_oracle note)
   SELECT DISTINCT doc_id,
-         array_to_string(list_slice(w, i, i+2), ' ') AS sh
-  FROM dd CROSS JOIN generate_series(1, 600) t(i)
-  WHERE i + 2 <= len(w)
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> array_to_string(list_slice(w, i, i+2), ' '))) AS sh
+  FROM dd
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (

@@ -314,3 +314,63 @@ def test_read_warc_source(spark, tmp_path):
     ext = extract_pdfs(cc.select("url", "html", "nbytes"))
     texts = {r["url"]: r["text"] for r in ext.collect()}
     assert texts["https://ex.org/2.pdf"] == "         Doc 2: warc row\n"
+
+
+def test_repetition_filter_linear_on_huge_doc(spark, tmp_path):
+    """The top-bigram count must be O(n log n) per row (sorted-run
+    aggregate), not the r2 O(n^2) per-distinct-bigram filter: a
+    100k-word doc finishes in seconds, and the counts stay exact."""
+    import time
+    from pdfio_spark.pipeline import queries as Q
+
+    words = " ".join(f"w{i % 50}" for i in range(100_000))
+    df = spark.createDataFrame(
+        [(1, words, "en", "s", len(words)),
+         (2, "aa bb aa bb aa bb cc", "en", "s", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = tmp_path / "repsf"
+    df.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    t0 = time.perf_counter()
+    rows = {r["doc_id"]: r
+            for r in Q.q_repetition_filter(spark, str(sf)).collect()}
+    assert time.perf_counter() - t0 < 60  # r2 expression: hours
+    # doc 1: vocab 50, bigram (w49, w0 is unique per 50-cycle) ->
+    # every consecutive bigram repeats 2000x; top = 2000/99999
+    assert rows[1]["n_words"] == 100_000
+    assert rows[1]["top_bigram_frac"] == round(2000 / 99999, 6)
+    # doc 2: 'aa bb' appears 3x of 6 bigrams
+    assert rows[2]["top_bigram_frac"] == 0.5
+    assert rows[2]["dup_word_frac"] == round(4 / 7, 6)
+
+
+def test_shingle_oracle_no_cap_boundary(spark, tmp_path):
+    """Spark and DuckDB must enumerate the SAME shingle set at any doc
+    length — the r2 oracles silently capped at 600 starts. Pin parity
+    at 599/600/601 words (pairs of near-identical docs so candidate
+    pairs actually form)."""
+    duckdb = pytest.importorskip("duckdb")
+    from pdfio_spark.pipeline import queries as Q
+
+    rows = []
+    for i, n in enumerate((599, 600, 601)):
+        base = [f"t{j % 37}x{j % 11}" for j in range(n)]
+        rows.append((i * 2, " ".join(base), "en", "s", 0))
+        base[5] = "CHANGED"
+        rows.append((i * 2 + 1, " ".join(base), "en", "s", 0))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = tmp_path / "bndsf"
+    df.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'")
+    for name in ("q_dedup_minhash_md5", "q_ngram_jaccard"):
+        got = sorted(tuple(r) for r in
+                     Q.QUERIES[name](spark, str(sf)).collect())
+        want = sorted(con.sql(Q.ORACLES[name]).fetchall())
+        if name == "q_ngram_jaccard":
+            got = [(a, b, round(j, 6)) for a, b, j in got]
+            want = [(a, b, round(j, 6)) for a, b, j in want]
+        assert got == want, name
