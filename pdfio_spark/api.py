@@ -181,7 +181,9 @@ _FLAG_FORCEBOLD_SYNTH = 0x80000000
 
 
 def pdFontIsBold(font: PDFont) -> bool:
-    return bool(font.flags & (_FLAG_FORCEBOLD_SYNTH | (1 << 18)))
+    # reference parity (PDFonts.jl:538): ONLY the synthetic bold bit —
+    # a ForceBold-only FontDescriptor (spec bit 19) is NOT bold there
+    return bool(font.flags & _FLAG_FORCEBOLD_SYNTH)
 
 
 def pdFontIsItalic(font: PDFont) -> bool:

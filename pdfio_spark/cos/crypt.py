@@ -69,6 +69,19 @@ def _str_bytes(s) -> bytes:
     return b""
 
 
+#: Cache hits only happen for batch-produced corpora sharing one
+#: /Encrypt; millions of DISTINCT encrypted docs on a long-lived
+#: executor would otherwise grow these without bound (~200 B/doc), so
+#: cap and clear — a full reset is fine, the KDF just reruns.
+_CRYPT_CACHE_MAX = 4096
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    if len(cache) >= _CRYPT_CACHE_MAX:
+        cache.clear()
+    cache[key] = value
+
+
 #: (password, U, O, UE, OE) -> file key for R5/R6 (id-independent KDF)
 _R6_KEY_CACHE: dict[tuple, bytes] = {}
 #: recipients blobs -> decrypted CMS content (seed+perms) for PKI docs
@@ -186,7 +199,7 @@ class StdSecHandler:
             if h == self.u[:32]:
                 ikey = self._hash_2b(password, ksalt, b"")
                 key = _aes_cbc_decrypt(ikey, b"\x00" * 16, self.ue[:32])
-                _R6_KEY_CACHE[ck] = key
+                _cache_put(_R6_KEY_CACHE, ck, key)
                 return key
             # Algorithm 12: owner password
             vsalt, ksalt = self.o[32:40], self.o[40:48]
@@ -194,7 +207,7 @@ class StdSecHandler:
             if h == self.o[:32]:
                 ikey = self._hash_2b(password, ksalt, self.u[:48])
                 key = _aes_cbc_decrypt(ikey, b"\x00" * 16, self.oe[:32])
-                _R6_KEY_CACHE[ck] = key
+                _cache_put(_R6_KEY_CACHE, ck, key)
                 return key
             raise UnsupportedEncryption("password required")
         raise UnsupportedEncryption(f"unsupported /R {self.r}")
@@ -382,7 +395,7 @@ class PKISecHandler(StdSecHandler):
             if content is None or len(content) < 20:
                 raise UnsupportedEncryption(
                     "unable to decrypt with recipient certificate")
-            _PKI_SEED_CACHE[ck] = content
+            _cache_put(_PKI_SEED_CACHE, ck, content)
         self.perms = (struct.unpack(">I", content[20:24])[0]
                       if len(content) >= 24 else 0xFFFFFFFF)
         digest = content[:20] + b"".join(blobs)
@@ -390,8 +403,10 @@ class PKISecHandler(StdSecHandler):
             digest += b"\xff" * 4
         h = (hashlib.sha256(digest) if cfm == Name("AESV3")
              else hashlib.sha1(digest))
-        # CF /Length may be bits (spec) or bytes (seen in the wild)
-        nbytes = cf_length // 8 if cf_length > 40 else cf_length
+        # CF /Length may be bits (spec) or bytes (seen in the wild);
+        # exactly 40 is bits per spec (RC4-40 pkcs7.s3 docs) — the
+        # reference always divides by 8 (PKISecHandler.jl get_key)
+        nbytes = cf_length // 8 if cf_length >= 40 else cf_length
         self.key = h.digest()[:nbytes]
         # r>=5 short-circuits object_key to the file key (AESV3)
         self.r = 5 if cfm == Name("AESV3") else r

