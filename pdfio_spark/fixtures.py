@@ -195,6 +195,10 @@ def encode_filter(data: bytes, filt: str) -> bytes:
         return rle_encode(data)
     if filt == "LZWDecode":
         return lzw_encode(data)
+    if filt == "CCITTFaxDecode":
+        # no encoder: the decoder quarantines these rows by design
+        # (reference parity, CosStream.jl:49-53) — raw bytes suffice
+        return data
     raise ValueError(filt)
 
 
@@ -524,7 +528,8 @@ def make_pdf(page_contents: list[bytes],
              outline: bool = False,
              struct_elems: int = 0,
              attach: bytes | None = None,
-             tiff_predictor_cols: int | None = None) -> bytes:
+             tiff_predictor_cols: int | None = None,
+             ccitt_image: bool = False) -> bytes:
     """Assemble a complete PDF. One page per entry in page_contents."""
     counter = [0]
 
@@ -609,6 +614,20 @@ def make_pdf(page_contents: list[bytes],
         if inline_image:
             body = (b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x00\x01\x02\x03 EI\n"
                     + body)
+        img_n = None
+        if ccitt_image:
+            # fax-encoded Image XObject on the page: its pixels are
+            # unreachable (decoder raises, reference parity), but TEXT
+            # extraction must not be disturbed — image XObjects are
+            # never decoded on the text path (_NullXObject)
+            img_n = alloc()
+            imd = {"Type": NameN("XObject"), "Subtype": NameN("Image"),
+                   "Width": 8, "Height": 8, "BitsPerComponent": 1,
+                   "ColorSpace": NameN("DeviceGray"),
+                   "Filter": NameN("CCITTFaxDecode"),
+                   "DecodeParms": {"K": -1, "Columns": 8}}
+            page_objs.append((img_n, StreamN(imd, b"\x00" * 8)))
+            body = b"q 8 0 0 8 100 100 cm /Im1 Do Q\n" + body
         xn = None
         if form_xobject:
             xn = alloc()
@@ -676,6 +695,12 @@ def make_pdf(page_contents: list[bytes],
         if form_xobject:
             page_d["Resources"] = {"Font": {"F1": font_ref},
                                    "XObject": {"X1": RefN(xn)}}
+        if ccitt_image:
+            rd = dict(page_d["Resources"])
+            xo = dict(rd.get("XObject", {}))
+            xo["Im1"] = RefN(img_n)
+            rd["XObject"] = xo
+            page_d["Resources"] = rd
         page_objs.append((page_n, page_d))
         page_ns.append(page_n)
 
@@ -1095,20 +1120,22 @@ def make_incremental_pdf(lines_v1: list[str], lines_v2: list[str]) -> bytes:
 _SIG_HEX_LEN = 8192  # hex chars reserved for /Contents (4096 bytes)
 
 
-def _test_identity():
+def _test_identity(which: str = "default"):
     import importlib.resources as ir
     from cryptography import x509
     from cryptography.hazmat.primitives.serialization import (
         load_pem_private_key)
-    pem = (ir.files("pdfio_spark") / "data"
-           / "pki_test_identity.pem").read_bytes()
+    fname = ("sig_expired_identity.pem" if which == "expired"
+             else "pki_test_identity.pem")
+    pem = (ir.files("pdfio_spark") / "data" / fname).read_bytes()
     return (x509.load_pem_x509_certificate(pem),
             load_pem_private_key(pem, password=None))
 
 
 def make_signed_pdf(lines: list[str],
                     subfilter: str = "adbe.pkcs7.detached",
-                    tamper: bool = False) -> bytes:
+                    tamper: bool = False,
+                    identity: str = "default") -> bytes:
     """Digitally-signed PDF: base doc + incremental update carrying an
     AcroForm /Sig field whose /V has ByteRange + CMS (or PKCS#1)
     Contents, signed with the packaged test identity. Classic two-pass:
@@ -1131,7 +1158,7 @@ def make_signed_pdf(lines: list[str],
     old_size = base.count(b" 0 obj") + 1
     sig_n, fld_n = old_size, old_size + 1
 
-    cert, key = _test_identity()
+    cert, key = _test_identity(identity)
     out = bytearray(base)
 
     def emit(n: int, body: bytes) -> int:
@@ -1323,13 +1350,19 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         return make_pdf([c], encrypt="aes256",
                         attach=b"ATTACH:" + lines[0].encode("latin-1"))
     if cls == "signed":
-        # SubFilter rotates by doc_id across the reference's matrix
+        # SubFilter rotates by doc_id across the reference's matrix;
+        # (did // 3) % 3 so the rotation covers all three SubFilters
+        # when this class cycles with 2 siblings (did % 3 == 0 docs)
         did = int(lines[0][4:lines[0].index(":")])
         sub = ("adbe.pkcs7.detached", "adbe.pkcs7.sha1",
-               "adbe.x509.rsa_sha1")[(did % 6) // 2]
+               "adbe.x509.rsa_sha1")[(did // 3) % 3]
         return make_signed_pdf(lines, subfilter=sub)
     if cls == "signed_tampered":
         return make_signed_pdf(lines, tamper=True)
+    if cls == "signed_expired":
+        # cryptographically valid CMS whose signer cert window predates
+        # the /M signing time -> status must be 'certificate expired'
+        return make_signed_pdf(lines, identity="expired")
     if cls == "tagged":
         # one Para StructElem per text line (line count is the same
         # closed form the lines CTE predicts)
@@ -1348,6 +1381,14 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         return make_pdf([content_for_lines_cid(lines)], font="cid")
     if cls == "xobject_form":
         return make_pdf([c], form_xobject=True)
+    if cls == "ccitt_image":
+        # scanned-fax page shape: CCITT image + text overlay — the text
+        # must extract byte-identically; the image stays undecoded
+        return make_pdf([c], ccitt_image=True)
+    if cls == "ccitt_content":
+        # CCITT on the CONTENT stream (pathological): the row must
+        # quarantine as error, never fail the task
+        return make_pdf([c], content_filter="CCITTFaxDecode")
     if cls == "inline_image":
         return make_pdf([c], inline_image=True)
     if cls == "marked_artifact":

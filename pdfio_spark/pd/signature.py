@@ -206,7 +206,8 @@ def _verify_cms(contents: bytes, signed_bytes: bytes,
                     signer = cert.subject.rfc4514_string()
                 except Exception:
                     signer = ""
-                return {"passed": True, "signer": signer, "error": None}
+                return {"passed": True, "signer": signer, "error": None,
+                        "_cert": cert}
     return {"passed": False, "error": "signature verification failed"}
 
 
@@ -295,10 +296,40 @@ def validate_signatures(doc, data: bytes) -> list[dict]:
             else:
                 r = _verify_cms(contents, signed,
                                 embedded_digest=str(sub) == "adbe.pkcs7.sha1")
+            cert = r.pop("_cert", None)
             status.update(r)
+            if status["passed"] and cert is not None:
+                exp = _expiry_error(cert, status["m"])
+                if exp is not None:
+                    status["passed"] = False
+                    status["error"] = exp
         except Exception as e:
             status["error"] = f"{type(e).__name__}: {e}"
     return out
+
+
+def _expiry_error(cert, m: str | None) -> str | None:
+    """Signer-cert validity window vs the signing time (/M, CDDate):
+    the reference's OpenSSL store surfaces expired certs as failures
+    (test/runtests.jl:182-235 expired-cert case); full chain/trust
+    evaluation remains out of scope (documented in QUERIES.md)."""
+    if not m:
+        return None
+    from .dates import CDDate
+    try:
+        when = CDDate(m).utc()
+    except Exception:
+        return None
+    try:  # cryptography >= 42 tz-aware accessors
+        nb = cert.not_valid_before_utc.replace(tzinfo=None)
+        na = cert.not_valid_after_utc.replace(tzinfo=None)
+    except AttributeError:
+        nb, na = cert.not_valid_before, cert.not_valid_after
+    if when > na:
+        return "certificate expired"
+    if when < nb:
+        return "certificate not yet valid"
+    return None
 
 
 def _verify_x509_rsa_sha1(cos, sig: dict, contents: bytes,
@@ -320,5 +351,5 @@ def _verify_x509_rsa_sha1(cos, sig: dict, contents: bytes,
             sig_bytes = contents
     if _rsa_verify(cert, signed, sig_bytes, "sha1"):
         return {"passed": True, "signer": cert.subject.rfc4514_string(),
-                "error": None}
+                "error": None, "_cert": cert}
     return {"passed": False, "error": "signature verification failed"}

@@ -416,12 +416,16 @@ FROM rows_ ORDER BY url, seq
 def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature validation (SURVEY X11; PDSignature.jl:101-154): CMS /
     PKCS#1 verification over /ByteRange for the reference's SubFilter
-    matrix, plus a tampered negative class. All outcomes predicted in
-    closed form (signer identity is the packaged test certificate)."""
+    matrix, a tampered negative class, and an EXPIRED-certificate class
+    (cryptographically valid CMS whose signer-cert window predates the
+    /M signing time — mirrors the reference's expired-cert test,
+    runtests.jl:182-235). All outcomes predicted in closed form (signer
+    identities are the packaged synthetic certificates)."""
     import pyarrow as pa
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    corpus = gen_pdf_corpus(docs, classes=["signed", "signed_tampered"])
+    corpus = gen_pdf_corpus(
+        docs, classes=["signed", "signed_tampered", "signed_expired"])
 
     def sigs(batches):
         from pdfio_spark.pd.pagetree import PDDoc
@@ -458,14 +462,16 @@ def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SIGNATURES = """
 SELECT 'doc://' || doc_id AS url,
-       CASE WHEN doc_id % 2 = 1 THEN 'adbe.pkcs7.detached'
-            WHEN doc_id % 6 = 0 THEN 'adbe.pkcs7.detached'
-            WHEN doc_id % 6 = 2 THEN 'adbe.pkcs7.sha1'
-            ELSE 'adbe.x509.rsa_sha1' END AS subfilter,
-       (doc_id % 2 = 0) AS passed,
-       CASE WHEN doc_id % 2 = 0 THEN 'CN=pdfio-spark-test'
+       CASE WHEN doc_id % 3 = 0
+            THEN ['adbe.pkcs7.detached','adbe.pkcs7.sha1',
+                  'adbe.x509.rsa_sha1'][((doc_id // 3) % 3) + 1]
+            ELSE 'adbe.pkcs7.detached' END AS subfilter,
+       (doc_id % 3 = 0) AS passed,
+       CASE WHEN doc_id % 3 = 0 THEN 'CN=pdfio-spark-test'
+            WHEN doc_id % 3 = 2 THEN 'CN=pdfio-spark-expired'
             ELSE NULL END AS signer,
-       CASE WHEN doc_id % 2 = 0 THEN NULL
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            WHEN doc_id % 3 = 2 THEN 'certificate expired'
             ELSE 'signature verification failed' END AS err
 FROM documents ORDER BY url
 """
@@ -2024,7 +2030,7 @@ QUERIES = {
          "filter_asciihex", "filter_ascii85", "filter_rle", "filter_lzw",
          "filter_chain", "contents_array", "header_offset", "inline_image",
          "marked_artifact", "xref_hybrid", "flate_corrupt", "incremental",
-         "flate_tiff_pred", "xobject_form"]),
+         "flate_tiff_pred", "xobject_form", "ccitt_image"]),
     "q_extract_fonts": _extract_query(
         ["font_cid", "font_winansi", "font_macroman", "font_symbol",
          "font_zapf", "font_type3"]),

@@ -280,6 +280,32 @@ class TestSignatureValidation:
         assert PDDoc(make_signed_pdf(["x"])).has_signature()
         assert not PDDoc(build_fixture("flate_simple", ["x"])).has_signature()
 
+    def test_expired_certificate(self):
+        """Signer-cert validity window vs /M signing time (mirrors the
+        reference's expired-cert case, runtests.jl:182-235): the CMS
+        verifies cryptographically but the status must be expired."""
+        st, _ = self._validate(identity="expired")
+        assert not st["passed"]
+        assert st["error"] == "certificate expired"
+        # identity still surfaced — verification itself succeeded
+        assert st["signer"] == "CN=pdfio-spark-expired"
+        # expired under every SubFilter path
+        st, _ = self._validate(identity="expired",
+                               subfilter="adbe.x509.rsa_sha1")
+        assert not st["passed"] and st["error"] == "certificate expired"
+
+    def test_validity_window_edges(self):
+        from pdfio_spark.fixtures import _test_identity
+        from pdfio_spark.pd.signature import _expiry_error
+        cert, _ = _test_identity("expired")  # valid 2000..2001
+        assert _expiry_error(cert, "D:20260101000000Z") \
+            == "certificate expired"
+        assert _expiry_error(cert, "D:19990101000000Z") \
+            == "certificate not yet valid"
+        assert _expiry_error(cert, "D:20000601000000Z") is None
+        assert _expiry_error(cert, None) is None  # no /M -> no check
+        assert _expiry_error(cert, "D:garbage") is None
+
 
 class TestTiffPredictor2:
     """TIFF Predictor 2 (the reference quarantines it; we decode —
@@ -313,3 +339,33 @@ class TestTiffPredictor2:
         r = extract_doc(build_fixture("flate_tiff_pred", ["Doc 3: t2"]))
         assert r["status"] == "ok"
         assert r["text"] == "         Doc 3: t2\n"
+
+
+class TestCCITTPin:
+    """Formal pin: CCITTFaxDecode/JBIG2Decode are image-only by design
+    (reference parity — PDFIO.jl also raises, src/CosStream.jl:49-53;
+    fax pixels carry no extractable text either way). The contract is
+    (a) a fax IMAGE on a page never disturbs text extraction, (b) CCITT
+    on a CONTENT stream quarantines the row, never the task."""
+
+    def test_fax_image_text_extracts(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        r = extract_doc(build_fixture("ccitt_image", ["Doc 7: overlay"]))
+        assert r["status"] == "ok"
+        assert r["text"] == "         Doc 7: overlay\n"
+
+    def test_ccitt_content_quarantines(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        r = extract_doc(build_fixture("ccitt_content", ["Doc 7: x"]))
+        assert r["status"] == "error"
+        assert "NotImplementedError" in r["err"]
+
+    def test_decoder_raises(self):
+        import pytest as _pytest
+        from pdfio_spark.cos.filters import FUNCTION_MAP
+        from pdfio_spark.cos.objects import Name
+        for f in ("CCITTFaxDecode", "JBIG2Decode"):
+            with _pytest.raises(NotImplementedError):
+                FUNCTION_MAP[Name(f)](b"\x00" * 16, None)
