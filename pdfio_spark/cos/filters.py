@@ -12,8 +12,10 @@ the reference's tolerance quirks:
    (/root/reference/src/CosStream.jl:252-301).
  - PNG predictors assert a constant per-row tag equal to Predictor-10
    (/root/reference/src/CosStream.jl:172-188) — vectorized with numpy.
- - Predictor 2 (TIFF) and CCITT/JBIG2/Crypt raise NotImplementedError
-   (row-level quarantine upstream; never kills the partition).
+ - Predictor 2 (TIFF) decodes at every PDF bit depth (1/2/4/8/16 —
+   exceeds the reference, which raises E_NOT_IMPLEMENTED).
+ - CCITT/JBIG2/Crypt raise NotImplementedError (row-level quarantine
+   upstream; never kills the partition — image-only pin, see README).
  - DCTDecode / JPXDecode pass through (images are not decoded).
 """
 from __future__ import annotations
@@ -95,18 +97,52 @@ def apply_tiff_predictor2(data: bytes, columns: int,
     """TIFF Predictor 2 (horizontal differencing, TIFF 6.0 §14): each
     sample is a delta from the previous sample in the same row/channel.
     The REFERENCE leaves this unimplemented (CosStream.jl:125
-    E_NOT_IMPLEMENTED); we exceed parity for the common 8-bit case —
-    vectorized per-row cumsum mod 256."""
-    if bpc != 8:
-        raise NotImplementedError("TIFF predictor 2 with bpc != 8")
-    stride = columns * colors
-    if stride <= 0:
+    E_NOT_IMPLEMENTED); we exceed parity for all PDF bit depths —
+    vectorized per-row cumsum at the sample width (8-bit fast path;
+    1/2/4-bit via unpack/cumsum/repack, 16-bit big-endian words)."""
+    if bpc not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"TIFF predictor 2 with bpc {bpc}")
+    if columns * colors <= 0:
         return data
-    n = len(data) // stride
-    head = np.frombuffer(data[:n * stride], dtype=np.uint8) \
+    if bpc == 8:
+        stride = columns * colors
+        n = len(data) // stride
+        head = np.frombuffer(data[:n * stride], dtype=np.uint8) \
+            .reshape(n, columns, colors)
+        out = np.cumsum(head, axis=1, dtype=np.uint8).tobytes()
+        return out + data[n * stride:]
+    if bpc == 16:
+        stride = columns * colors * 2
+        n = len(data) // stride
+        head = (np.frombuffer(data[:n * stride], dtype=">u2")
+                .reshape(n, columns, colors))
+        out = np.cumsum(head, axis=1, dtype=np.uint16).astype(">u2") \
+            .tobytes()
+        return out + data[n * stride:]
+    # sub-byte depths: rows are byte-aligned (PDF 7.4.4.3); unpack each
+    # row to one sample per value, cumsum mod 2^bpc per channel, repack
+    samples_per_row = columns * colors
+    row_bytes = (samples_per_row * bpc + 7) // 8
+    n = len(data) // row_bytes
+    if n == 0:
+        return data
+    head = np.frombuffer(data[:n * row_bytes], dtype=np.uint8) \
+        .reshape(n, row_bytes)
+    bits = np.unpackbits(head, axis=1)
+    per = bits[:, :samples_per_row * bpc].reshape(n, samples_per_row, bpc)
+    weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint8)
+    vals = (per * weights).sum(axis=2, dtype=np.int64) \
         .reshape(n, columns, colors)
-    out = np.cumsum(head, axis=1, dtype=np.uint8).tobytes()
-    return out + data[n * stride:]
+    acc = np.cumsum(vals, axis=1) & ((1 << bpc) - 1)
+    acc = acc.reshape(n, samples_per_row).astype(np.uint8)
+    outbits = ((acc[:, :, None] >> np.arange(bpc - 1, -1, -1)) & 1) \
+        .astype(np.uint8).reshape(n, samples_per_row * bpc)
+    pad = row_bytes * 8 - samples_per_row * bpc
+    if pad:
+        outbits = np.concatenate(
+            [outbits, np.zeros((n, pad), dtype=np.uint8)], axis=1)
+    out = np.packbits(outbits, axis=1).tobytes()
+    return out + data[n * row_bytes:]
 
 
 def _apply_flate_params(data: bytes, parms) -> bytes:
