@@ -2017,6 +2017,38 @@ FROM m ORDER BY media_id
 # registry
 # ---------------------------------------------------------------------
 
+# --------------------------------------------------------------------
+# HTML main-content extraction (north-rule web-page half): synthetic
+# Common-Crawl-style pages around the same chunk contract the PDF
+# fixtures use, stripped by a DOM block-scoring heuristic (see
+# html_extract.py). Byte-identical main text per url, oracled by the
+# shared _LINES_CTE.
+# --------------------------------------------------------------------
+
+def q_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip via DOM block-scoring heuristics (the
+    north rule's web-page half): deterministic Common-Crawl-style pages
+    (nav/masthead/link-sidebar/footer/script around the doc text, the
+    content container cycling article/main/div by doc_id%3) are reduced
+    to main text by density scoring — drop semantic-boilerplate
+    ancestors, group blocks by nearest container, score containers by
+    non-link text mass x (1 - link density). Extracted main_text is
+    byte-identical to the source text contract per url."""
+    from .html_extract import extract_html, gen_html_corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_html(gen_html_corpus(docs))
+
+
+ORACLE_HTML_MAIN = _LINES_CTE + """
+SELECT 'doc://' || doc_id AS url,
+       'Doc ' || doc_id AS title,
+       string_agg(line, chr(10) ORDER BY i) AS main_text,
+       count(*) AS n_blocks,
+       'ok' AS status
+FROM l GROUP BY doc_id
+"""
+
+
 # Registry ordering is a contract: the driver correctness-checks the
 # first 50 entries in insertion order, so the whole registry is kept at
 # <= 50 oracled queries (r3 consolidation; was 66 in r2, which silently
@@ -2083,6 +2115,8 @@ QUERIES = {
     "q_extract_pages_udtf": q_extract_pages_udtf,
     "q_udaf_median": q_udaf_median,
     "q_media": q_media,
+    # web-page plane (north-rule HTML boilerplate strip)
+    "q_html_main": q_html_main,
     # rows-only tail (hash-seed- or kern-dependent; each has an oracled
     # twin above: _md5 variants, q_extract_spans_courier)
     "q_extract_spans": q_extract_spans,
@@ -2136,6 +2170,7 @@ ORACLES = {
     "q_extract_pages_udtf": ORACLE_EXTRACT_PAGES_UDTF,
     "q_udaf_median": ORACLE_UDAF_MEDIAN,
     "q_media": ORACLE_MEDIA,
+    "q_html_main": ORACLE_HTML_MAIN,
     # q_extract_spans: span widths depend on AFM kerning sums ->
     # rows-only (oracled twin: q_extract_spans_courier)
     # q_dedup_minhash / q_dedup_simhash: hash-seed-dependent ->

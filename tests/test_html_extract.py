@@ -1,0 +1,117 @@
+"""HTML main-content extraction: the boilerplate-strip heuristic must
+recover the document text byte-identically from the synthetic pages,
+and behave like a real extractor on hand-written/malformed HTML."""
+import pytest
+
+from pdfio_spark.fixtures import chunk_text, sanitize
+from pdfio_spark.pipeline.html_extract import (
+    build_html_for_doc, extract_main_html)
+
+
+def _expected(doc_id: int, text: str) -> str:
+    s = f"Doc {doc_id}: " + sanitize(text)
+    return "\n".join(chunk_text(s, 60, 8))
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5])  # all 3 containers x2
+    def test_byte_identical(self, doc_id):
+        text = "some words " * (7 + doc_id * 13)
+        r = extract_main_html(build_html_for_doc(doc_id, text))
+        assert r["status"] == "ok"
+        assert r["main_text"] == _expected(doc_id, text)
+        assert r["title"] == f"Doc {doc_id}"
+        assert r["n_blocks"] == len(chunk_text(
+            f"Doc {doc_id}: " + sanitize(text), 60, 8))
+
+    def test_empty_doc_text_still_wins(self):
+        # content is just the 'Doc N: ' prefix — shorter than some
+        # boilerplate, must still beat link-dense containers
+        r = extract_main_html(build_html_for_doc(42, ""))
+        assert r["status"] == "ok"
+        assert r["main_text"] == "Doc 42: "
+
+    def test_special_chars_sanitized(self):
+        # sanitize() replaces <, &, > before the page is built
+        r = extract_main_html(build_html_for_doc(7, "a<b&c>d"))
+        assert r["main_text"] == _expected(7, "a<b&c>d")
+        assert "<" not in r["main_text"]
+
+
+class TestBoilerplateDrop:
+    def test_nav_footer_sidebar_absent(self):
+        r = extract_main_html(build_html_for_doc(3, "real content here"))
+        for boiler in ("Home", "Archive", "Log in", "Related story",
+                       "rights reserved", "Privacy", "pageview",
+                       "Example Site"):
+            assert boiler not in r["main_text"], boiler
+        assert "real content here" in r["main_text"]
+
+    def test_link_farm_loses_without_semantic_tags(self):
+        # two plain divs: a link farm (more raw chars) vs short content
+        page = (b"<html><body>"
+                b'<div><p><a href="/1">A long related link text one</a>'
+                b'</p><p><a href="/2">A long related link text two</a>'
+                b'</p><p><a href="/3">A long related link text tri</a>'
+                b"</p></div>"
+                b"<div><p>short real article body</p></div>"
+                b"</body></html>")
+        r = extract_main_html(page)
+        assert r["main_text"] == "short real article body"
+
+    def test_mixed_block_link_density(self):
+        # a block that is half link text: the content div with more
+        # non-link mass must still win
+        page = (b"<html><body>"
+                b'<div><p>teaser <a href="/x">click here for more and '
+                b"more</a></p></div>"
+                b"<div><p>the actual article paragraph with plenty of "
+                b"plain prose text</p></div></body></html>")
+        r = extract_main_html(page)
+        assert r["main_text"].startswith("the actual article")
+
+
+class TestRealHtmlQuirks:
+    def test_entities_unescaped(self):
+        page = (b"<html><body><div><p>Fish &amp; Chips &#65;1 "
+                b"&lt;tasty&gt;</p></div></body></html>")
+        r = extract_main_html(page)
+        assert r["main_text"] == "Fish & Chips A1 <tasty>"
+
+    def test_comments_ignored(self):
+        page = (b"<html><body><div><!-- <p>not content</p> -->"
+                b"<p>visible</p></div></body></html>")
+        r = extract_main_html(page)
+        assert r["main_text"] == "visible"
+
+    def test_unclosed_tags_tolerated(self):
+        page = (b"<html><body><div><p>first para"
+                b"<p>second para</div>")  # no </p>, no </body>
+        r = extract_main_html(page)
+        assert r["main_text"] == "first para\nsecond para"
+
+    def test_script_style_never_leak(self):
+        page = (b"<html><head><style>p{color:red}</style></head><body>"
+                b"<div><script>var hidden = 'SECRET';</script>"
+                b"<p>shown</p></div></body></html>")
+        r = extract_main_html(page)
+        assert "SECRET" not in r["main_text"]
+        assert "color" not in r["main_text"]
+        assert r["main_text"] == "shown"
+
+    def test_garbage_bytes_quarantine(self):
+        r = extract_main_html(b"\x00\xff\xfe not html at all \x80")
+        assert r["status"] in ("empty", "ok")  # tolerant parse, no crash
+
+    def test_empty_input(self):
+        r = extract_main_html(b"")
+        assert r["status"] == "empty"
+        assert r["n_blocks"] == 0
+
+    def test_nested_blocks_merge(self):
+        # <li><p>..</p></li> is one block, not two
+        page = (b"<html><body><div><ul><li>item <p>detail</p></li>"
+                b"</ul></div></body></html>")
+        r = extract_main_html(page)
+        assert r["n_blocks"] == 1
+        assert r["main_text"] == "item detail"

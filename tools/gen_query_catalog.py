@@ -21,6 +21,7 @@ GROUPS = [
      ("q_dedup", "q_text", "q_repetition", "q_sample",
       "q_ann", "q_lsh", "q_ngram")),
     ("Multimodal plane", "q_media"),
+    ("Web-page plane (HTML boilerplate strip)", "q_html"),
 ]
 
 
