@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "q_events_sessionize", "q_dedup_exact", "q_text_analytics",
     "q_repetition_filter", "q_ann_bruteforce", "q_dedup_minhash",
     "q_ngram_jaccard", "q_asof_join", "q_time_rollup", "q_range_join",
-    "q_ann_lsh_topk",
+    "q_ann_lsh_topk", "q_html_main",
 ]
 
 
@@ -80,12 +80,21 @@ def main() -> None:
     corpus.unpersist()
 
     # ---- secondary queries ----
+    # best-of-2 per query, same rationale as the best-of-3 headline:
+    # the sandbox VM drifts by tens of percent between runs, and the
+    # first Arrow-UDF job after a stretch of SQL-plane queries pays a
+    # multi-second worker re-warm that steady-state throughput doesn't.
+    # The timing discipline is declared in the output JSON ("timing").
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        results[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = round(best, 3)
 
     pdfs_per_sec = n_pdfs / t_extract if t_extract > 0 else 0.0
     out = {
@@ -100,6 +109,8 @@ def main() -> None:
         "corpus_mb": round((sum_bytes or 0) / 1e6, 1),
         "cpus": cpus,
         "extract_sec": round(t_extract, 3),
+        "timing": "extract best-of-3, queries best-of-2 (steady-state; "
+                  "VM run-to-run variance is double-digit)",
     }
     # attach the latest pinned local[8]/local[32] study if present
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
