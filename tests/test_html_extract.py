@@ -115,3 +115,31 @@ class TestRealHtmlQuirks:
         r = extract_main_html(page)
         assert r["n_blocks"] == 1
         assert r["main_text"] == "item detail"
+
+
+# --------------------------------------------------------------- fuzz
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_html_extract_never_crashes_on_mutation(data):
+    """Bit-flipped web pages must produce a status row, never an
+    exception — same row-level quarantine contract as the PDF plane."""
+    page = bytearray(build_html_for_doc(11, "fuzz the web page"))
+    n_flips = data.draw(st.integers(min_value=1, max_value=8))
+    for _ in range(n_flips):
+        i = data.draw(st.integers(min_value=0, max_value=len(page) - 1))
+        page[i] = data.draw(st.integers(min_value=0, max_value=255))
+    r = extract_main_html(bytes(page))
+    assert r["status"] in ("ok", "empty", "error")
+    assert isinstance(r["main_text"], str)
+    assert isinstance(r["n_blocks"], int)
+
+
+@given(st.binary(min_size=0, max_size=2048))
+@settings(max_examples=60, deadline=None)
+def test_html_extract_never_crashes_on_garbage(blob):
+    r = extract_main_html(blob)
+    assert r["status"] in ("ok", "empty", "error")
