@@ -316,6 +316,46 @@ def test_read_warc_source(spark, tmp_path):
     assert texts["https://ex.org/2.pdf"] == "         Doc 2: warc row\n"
 
 
+def test_warc_to_html_main_content(spark, tmp_path):
+    """Common-Crawl web half end-to-end: WARC response records whose
+    payloads are HTML pages -> read_warc -> boilerplate strip ->
+    byte-identical main text per url."""
+    import gzip
+    from pdfio_spark.fixtures import chunk_text, sanitize
+    from pdfio_spark.pipeline.html_extract import (build_html_for_doc,
+                                                   extract_html)
+    from pdfio_spark.pipeline.sources import read_warc
+
+    def warc_record(url, ts, payload):
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + payload)
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                b"WARC-Date: " + ts.encode() + b"\r\n"
+                b"Content-Length: " + str(len(body)).encode() +
+                b"\r\n\r\n" + body + b"\r\n\r\n")
+
+    texts = {i: f"crawl page body {i} " * (i + 2) for i in range(3)}
+    recs = [warc_record(f"https://ex.org/p{i}.html",
+                        f"2026-02-0{i+1}T00:00:00Z",
+                        build_html_for_doc(i, texts[i]))
+            for i in range(3)]
+    d = tmp_path / "webwarc"
+    d.mkdir()
+    (d / "w.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+    out = extract_html(read_warc(spark, str(d)))
+    got = {r["url"]: r for r in out.collect()}
+    assert len(got) == 3
+    for i in range(3):
+        want = "\n".join(chunk_text(f"Doc {i}: " + sanitize(texts[i]),
+                                    60, 8))
+        r = got[f"https://ex.org/p{i}.html"]
+        assert r["status"] == "ok"
+        assert r["main_text"] == want
+        assert r["title"] == f"Doc {i}"
+
+
 def test_repetition_filter_linear_on_huge_doc(spark, tmp_path):
     """The top-bigram count must be O(n log n) per row (sorted-run
     aggregate), not the r2 O(n^2) per-distinct-bigram filter: a
