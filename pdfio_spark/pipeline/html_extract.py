@@ -135,6 +135,8 @@ class _Collector(HTMLParser):
     # -- tag events ---------------------------------------------------
     def handle_starttag(self, tag, attrs):
         if tag in _VOID_TAGS:
+            if tag == "br" and self._cur is not None:
+                self._cur.text += "\n"   # line break inside a block
             return
         # HTML5 implied end tags: a new <p>/<li>/<td>... closes a
         # still-open element of the same tag
@@ -158,7 +160,9 @@ class _Collector(HTMLParser):
                                self._boiler_depth > 0)
 
     def handle_startendtag(self, tag, attrs):
-        pass  # void/self-closed: no stack effect
+        # void/self-closed: no stack effect, but <br/> still breaks
+        if tag == "br" and self._cur is not None:
+            self._cur.text += "\n"
 
     def handle_endtag(self, tag):
         if tag in _VOID_TAGS or tag not in self.stack:

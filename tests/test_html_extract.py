@@ -143,3 +143,19 @@ def test_html_extract_never_crashes_on_mutation(data):
 def test_html_extract_never_crashes_on_garbage(blob):
     r = extract_main_html(blob)
     assert r["status"] in ("ok", "empty", "error")
+
+
+class TestInlineMarkup:
+    def test_inline_tags_do_not_split_blocks(self):
+        page = (b"<html><body><div><p>plain <b>bold</b> and "
+                b"<i>italic</i> and <span class=x>span</span> text</p>"
+                b"</div></body></html>")
+        r = extract_main_html(page)
+        assert r["n_blocks"] == 1
+        assert r["main_text"] == "plain bold and italic and span text"
+
+    def test_br_becomes_newline(self):
+        page = (b"<html><body><div><p>line one<br>line two<br/>line "
+                b"three</p></div></body></html>")
+        r = extract_main_html(page)
+        assert r["main_text"] == "line one\nline two\nline three"
