@@ -186,13 +186,48 @@ WHERE doc_id % 3 <> 0 ORDER BY url
 
 def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew window (SURVEY §2.12): ntile/percent_rank over doc size for
-    the salted range partitioning decision."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    return (docs.select(
+    the salted range partitioning decision.
+
+    Scalable exact-rank plan (r3 — was a single-partition global
+    Window.orderBy over the whole corpus): global order on
+    (n_chars, doc_id) is unique, so the global row number decomposes as
+    rank = (#rows with smaller n_chars) + (row_number within this
+    n_chars). The only global window runs over the DISTINCT-size
+    histogram (bounded by the key domain, not the corpus); the per-key
+    row_number shuffles once by n_chars and runs parallel. ntile /
+    percent_rank are then closed-form integer arithmetic on (rank, N),
+    matching the window-function definitions exactly (no ties)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "n_chars")
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    wk = (Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    base = hist.select(
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(wk), F.lit(0)).alias("base"))
+    total = hist.agg(F.sum("cnt").alias("n_total"))
+    wdoc = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = (docs.withColumn("rk", F.row_number().over(wdoc))
+              .join(F.broadcast(base), "n_chars")
+              .crossJoin(F.broadcast(total))
+              .withColumn("rn", F.col("base") + F.col("rk")))
+    q = F.floor(F.col("n_total") / 8).cast("long")
+    r = (F.col("n_total") % 8).cast("long")
+    rn = F.col("rn")
+    # ntile(8): first (N mod 8) buckets hold ceil(N/8) rows, the rest
+    # floor(N/8) — integer arithmetic, exact at any N
+    size_bucket = F.when(
+        rn <= (q + 1) * r,
+        F.floor((rn - 1) / (q + 1)) + 1
+    ).otherwise(
+        r + F.floor((rn - (q + 1) * r - 1) / F.greatest(q, F.lit(1))) + 1
+    ).cast("int")
+    pct_rank = F.when(F.col("n_total") == 1, F.lit(0.0)).otherwise(
+        F.round((rn - 1) / (F.col("n_total") - 1), 6))
+    return (ranked.select(
         "doc_id", "n_chars",
-        F.ntile(8).over(w).alias("size_bucket"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"))
+        size_bucket.alias("size_bucket"),
+        pct_rank.alias("pct_rank"))
         .orderBy("doc_id"))
 
 

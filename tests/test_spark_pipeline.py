@@ -414,3 +414,36 @@ def test_shingle_oracle_no_cap_boundary(spark, tmp_path):
             got = [(a, b, round(j, 6)) for a, b, j in got]
             want = [(a, b, round(j, 6)) for a, b, j in want]
         assert got == want, name
+
+
+def test_skew_diagnosis_rank_decomposition_matches_window(spark):
+    """The r3 scalable exact-rank plan (histogram cumsum + per-key
+    row_number + closed-form ntile/percent_rank) must equal the naive
+    single-partition window at every awkward N: N < tiles, N == 1,
+    N % 8 != 0, heavy ties on n_chars."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline import queries as Q
+
+    for n, tie_every in [(1, 1), (3, 1), (7, 2), (8, 3), (9, 3),
+                         (100, 7), (257, 5)]:
+        rows = [(i, (i // tie_every) * 10) for i in range(n)]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(doc_id BIGINT, n_chars BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = con.sql(
+            "SELECT doc_id, cast(ntile(8) OVER w AS int),"
+            " round(percent_rank() OVER w, 6) FROM t"
+            " WINDOW w AS (ORDER BY n_chars, doc_id)"
+            " ORDER BY doc_id").fetchall()
+        df = spark.createDataFrame(
+            [(d, c, "x", "s", c) for d, c in rows],
+            "doc_id long, n_chars long, lang string, source string, "
+            "extra long").select("doc_id", "n_chars")
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(f"{td}/documents.parquet")
+            got = [(r["doc_id"], r["size_bucket"], r["pct_rank"])
+                   for r in Q.q_skew_diagnosis(spark, td)
+                   .orderBy("doc_id").collect()]
+        assert [tuple(w) for w in want] == got, f"N={n} tie={tie_every}"
