@@ -1244,6 +1244,26 @@ ORDER BY q_id, rk
 """
 
 
+# Seeded element-hash factories for the minhash transforms. MUST be
+# single-parameter closures: a `lambda s, i=i:` spelling has TWO
+# parameters, and PySpark passes binary HOF lambdas (element, index) —
+# the array-position Column silently overrides the default, so every
+# "seed" collapses to the element index (xxhash64 case) or to a literal
+# containing the repr of an auto-named lambda variable whose
+# session-global counter makes the hash NON-DETERMINISTIC across query
+# conversions (md5 case). Caught r3 as a once-per-~10-runs flaky
+# candidate pair at sf0.1; tests/test_spark_pipeline.py pins both
+# properties (16 distinct hashes, conversion-independent values).
+def _xxhash_fn(seed: int):
+    lit = F.lit(seed)
+    return lambda s: F.xxhash64(s, lit)
+
+
+def _md5_fn(seed: int):
+    lit = F.lit(f":{seed}")
+    return lambda s: F.md5(F.concat(s, lit))
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: word-3-shingles -> 16 minhashes
     via seeded xxhash64 -> 4 bands of 4 -> bucket join. All JVM-side;
@@ -1263,8 +1283,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", shingles.alias("sh"),
     ).select(
         "doc_id",
-        *[F.array_min(F.transform(
-            "sh", lambda s, i=i: F.xxhash64(s, F.lit(i)))).alias(f"h{i}")
+        *[F.array_min(F.transform("sh", _xxhash_fn(i))).alias(f"h{i}")
           for i in range(16)])
     bands = []
     for b in range(4):
@@ -1287,17 +1306,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH with md5-string min hashing: engine-portable, so the
-    FULL candidate-pair output is oracle-verified (the xxhash64 variant
-    q_dedup_minhash is the faster production path). 16 minhashes,
-    4 bands of 4, band-bucket equi-join."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _minhash_md5_candidates(docs: DataFrame) -> DataFrame:
+    """Shared LSH filter stage: (doc_id, text) -> distinct candidate
+    pairs (doc_a < doc_b) sharing a band bucket. 16 md5 minhashes,
+    4 bands of 4; signatures are row-local (array_min over the in-row
+    shingle array) — no shingle explode/shuffle before the band join."""
     words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
     d = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
-    # Row-local signature (array_min over the in-row shingle array) —
-    # no shingle explode/shuffle; min() is duplicate-insensitive so the
-    # output is identical to the old explode+groupBy-min plan.
     shingles = F.transform(
         F.sequence(F.lit(0), F.size("w") - 3),
         lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)))
@@ -1305,9 +1320,8 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", shingles.alias("sh"),
     ).select(
         "doc_id",
-        *[F.array_min(F.transform(
-            "sh", lambda s, i=i: F.md5(F.concat(s, F.lit(f":{i}")))))
-          .alias(f"h{i}") for i in range(16)])
+        *[F.array_min(F.transform("sh", _md5_fn(i))).alias(f"h{i}")
+          for i in range(16)])
     bands = []
     for b in range(4):
         cols = [F.col(f"h{b * 4 + j}") for j in range(4)]
@@ -1323,8 +1337,16 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("a.doc_id") < F.col("c.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("c.doc_id").alias("doc_b"))
-            .distinct()
-            .orderBy("doc_a", "doc_b"))
+            .distinct())
+
+
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with md5-string min hashing: engine-portable, so the
+    FULL candidate-pair output is oracle-verified (the xxhash64 variant
+    q_dedup_minhash is the faster production path). 16 minhashes,
+    4 bands of 4, band-bucket equi-join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _minhash_md5_candidates(docs).orderBy("doc_a", "doc_b")
 
 
 def _minhash_md5_oracle() -> str:
@@ -1496,62 +1518,66 @@ ORACLE_DEDUP_SIMHASH_MD5 = _simhash_md5_oracle()
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard for a bounded candidate set (doc_id < 60):
-    explode 3-shingles, self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|).
-    SQL-expressible -> full oracle."""
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .filter(F.col("doc_id") < 60))
+    """Exact n-gram Jaccard as the VERIFY stage of filter-verify dedup
+    (r3 — was all-pairs bounded to doc_id < 60): candidates come from
+    the MinHash-LSH band join (the filter), then exact
+    |A∩B| / (|A|+|B|-|A∩B|) is computed row-locally per candidate pair
+    with array_intersect over the in-row distinct-shingle arrays — no
+    shingle explode, no all-pairs join, scales with the candidate
+    count, not the corpus squared."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = _minhash_md5_candidates(docs)
     words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
     d = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
-    sh = (d.select("doc_id", F.explode(F.array_distinct(F.transform(
+    sh_arr = d.select("doc_id", F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size("w") - 3),
-        lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3))))).alias("sh")))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("n_inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_sh").alias("nb"))
-    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
-            .select("doc_a", "doc_b",
-                    F.round(F.col("n_inter")
-                            / (F.col("na") + F.col("nb") - F.col("n_inter")),
-                            6).alias("jaccard"))
-            .orderBy("doc_a", "doc_b"))
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)))).alias("sh"))
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sh").alias("sa"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sh").alias("sb"))
+    paired = cand.join(a, "doc_a").join(b, "doc_b")
+    n_inter = F.size(F.array_intersect("sa", "sb"))
+    return (paired.select(
+        "doc_a", "doc_b",
+        F.round(n_inter / (F.size("sa") + F.size("sb") - n_inter), 6)
+        .alias("jaccard"))
+        .orderBy("doc_a", "doc_b"))
 
 
-ORACLE_NGRAM_JACCARD = r"""
-WITH d AS (
-  SELECT doc_id,
-         string_split_regex(lower(trim(coalesce(text,''))), '\s+') AS w
-  FROM documents WHERE doc_id < 60
-), dd AS (
-  SELECT doc_id, w FROM d WHERE len(w) >= 3
-), sh AS (
-  -- all shingle starts, uncapped (see _minhash_md5_oracle note)
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, len(w) - 1),
-                i -> array_to_string(list_slice(w, i, i+2), ' '))) AS sh
-  FROM dd
+def _ngram_jaccard_oracle() -> str:
+    core = _minhash_md5_oracle()
+    # reuse the LSH pair query as the candidate CTE (same pattern as
+    # the components oracle): strip WITH / final ORDER BY, wrap
+    body = core.strip()
+    assert body.startswith("WITH ") and "ORDER BY doc_a, doc_b" in body
+    body = body[len("WITH "):].replace("ORDER BY doc_a, doc_b", "")
+    head, sel = body.rsplit("SELECT DISTINCT", 1)
+    return f"""
+WITH {head.rstrip()}, cand AS (
+  SELECT DISTINCT {sel}
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-ORDER BY doc_a, doc_b
+SELECT c.doc_a, c.doc_b,
+       round(coalesce(i.n_inter, 0)
+             / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6)
+           AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b
 """
+
+
+ORACLE_NGRAM_JACCARD = _ngram_jaccard_oracle()
 
 
 def q_extract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -447,3 +447,41 @@ def test_skew_diagnosis_rank_decomposition_matches_window(spark):
                    for r in Q.q_skew_diagnosis(spark, td)
                    .orderBy("doc_id").collect()]
         assert [tuple(w) for w in want] == got, f"N={n} tie={tie_every}"
+
+
+def test_minhash_seeds_are_independent_and_deterministic(spark):
+    """r3 regression pin: `lambda s, i=i:` in a HOF is a BINARY lambda
+    to PySpark — the array index silently replaces the seed, collapsing
+    all 16 minhashes to one function (xxhash64) or poisoning the seed
+    literal with a session-counter-named lambda variable (md5, which
+    made candidate pairs flicker across query conversions). The seeded
+    closures must give 16 distinct hashes matching hashlib truth, and
+    identical values across two separate query conversions."""
+    import hashlib
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline import queries as Q
+
+    sh = ["aa bb cc", "bb cc dd", "cc dd ee"]
+    df = spark.createDataFrame([(sh,)], "sh array<string>")
+
+    def md5_sig():
+        row = df.select(
+            *[F.array_min(F.transform("sh", Q._md5_fn(i))).alias(f"h{i}")
+              for i in range(16)]).collect()[0]
+        return [row[f"h{i}"] for i in range(16)]
+
+    truth = [min(hashlib.md5((s + f":{i}").encode()).hexdigest()
+                 for s in sh) for i in range(16)]
+    first = md5_sig()
+    assert first == truth
+    assert len(set(first)) == 16  # seeds actually differ
+    # burn some lambda-variable counter state, then reconvert: values
+    # must not depend on how many lambdas the session created before
+    df.select(F.transform("sh", lambda x: F.upper(x))).collect()
+    assert md5_sig() == first
+
+    xrow = df.select(
+        *[F.array_min(F.transform("sh", Q._xxhash_fn(i))).alias(f"h{i}")
+          for i in range(16)]).collect()[0]
+    xvals = [xrow[f"h{i}"] for i in range(16)]
+    assert len(set(xvals)) == 16
