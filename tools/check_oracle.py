@@ -71,7 +71,18 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = sys.argv[1:] or list(qs)
+    args = sys.argv[1:]
+    # --repeat N: build + run each Spark query N times in ONE session.
+    # Catches conversion-dependent nondeterminism (the r3 binary-HOF-
+    # lambda bug made minhash values depend on the session-global
+    # lambda-variable counter, so a single conversion always looked
+    # deterministic).
+    repeat = 1
+    if "--repeat" in args:
+        k = args.index("--repeat")
+        repeat = int(args[k + 1])
+        args = args[:k] + args[k + 2:]
+    names = args or list(qs)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -86,6 +97,19 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             srows = [tuple(r) for r in df.collect()]
             scols = df.columns
+            unstable = False
+            for rep in range(1, repeat):
+                df2 = qs[name](spark, sf_dir)   # fresh conversion
+                srows2 = [tuple(r) for r in df2.collect()]
+                if sorted(map(repr, srows2)) != sorted(map(repr, srows)):
+                    print(f"{name:28s} FAIL nondeterministic across "
+                          f"conversions (rep {rep}: {len(srows2)} vs "
+                          f"{len(srows)} rows)")
+                    n_fail += 1
+                    unstable = True
+                    break
+            if unstable:
+                continue
             if name not in oracles:
                 print(f"{name:28s} ROWS-ONLY rows={len(srows)}")
                 continue
