@@ -3,7 +3,11 @@
     spark-submit --py-files pdfio_spark.zip pdfio_spark/pipeline/run.py \
         --input  <parquet/iceberg of (url, warc_ts, html, text, lang)> \
         --output <results dir/table> --metrics <metrics dir/table> \
-        [--resume] [--cpus N]
+        [--resume] [--cpus N] [--mode pdf|html]
+
+--mode pdf (default) runs the full PDF parse stack; --mode html runs
+the web-page boilerplate strip (html_extract) over the same table
+shape with the same resume/metrics contract.
 
 Input is the Common-Crawl-style table of the north rule (the binary
 `html` column carries PDF bytes). The job:
@@ -39,9 +43,14 @@ def make_cc_table(docs, classes=None):
 
 
 def run_job(spark, input_path: str, output_path: str,
-            metrics_path: str | None = None, resume: bool = False) -> dict:
+            metrics_path: str | None = None, resume: bool = False,
+            mode: str = "pdf") -> dict:
+    """mode='pdf' (default): full PDF parse stack. mode='html': the
+    web-page half — DOM block-scoring boilerplate strip over the same
+    (url, html binary) table shape, same resume/metrics contract."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
+    from .html_extract import extract_html, html_metrics
     from .job import extract_pdfs, extraction_metrics
 
     src = spark.read.parquet(input_path)
@@ -54,7 +63,13 @@ def run_job(spark, input_path: str, output_path: str,
         except AnalysisException:
             pass  # no prior output -> fresh run
 
-    extracted = extract_pdfs(corpus).cache()
+    if mode == "html":
+        extract_fn, metrics_fn = extract_html, html_metrics
+    elif mode == "pdf":
+        extract_fn, metrics_fn = extract_pdfs, extraction_metrics
+    else:
+        raise ValueError(f"unknown mode {mode!r} (pdf | html)")
+    extracted = extract_fn(corpus).cache()
     t0 = time.perf_counter()
     # materialize the cache BEFORE appending: the resume anti-join scans
     # output_path lazily, so any post-append recomputation would see the
@@ -62,7 +77,7 @@ def run_job(spark, input_path: str, output_path: str,
     stats = {r["status"]: r["count"] for r in
              extracted.groupBy("status").count().collect()}
     if metrics_path:
-        extraction_metrics(extracted).withColumn(
+        metrics_fn(extracted).withColumn(
             "ts", F.current_timestamp()).write.mode("append") \
             .parquet(metrics_path)
     extracted.write.mode("append").parquet(output_path)
@@ -79,12 +94,14 @@ def main(argv=None) -> None:
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--mode", choices=("pdf", "html"), default="pdf")
     args = ap.parse_args(argv)
 
     from .session import get_spark
     spark = get_spark(cpus=args.cpus, app="pdfio_spark_job")
     spark.sparkContext.setLogLevel("WARN")
-    out = run_job(spark, args.input, args.output, args.metrics, args.resume)
+    out = run_job(spark, args.input, args.output, args.metrics,
+                  args.resume, mode=args.mode)
     print(out)
     spark.stop()
 

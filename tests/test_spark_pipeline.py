@@ -485,3 +485,37 @@ def test_minhash_seeds_are_independent_and_deterministic(spark):
           for i in range(16)]).collect()[0]
     xvals = [xrow[f"h{i}"] for i in range(16)]
     assert len(set(xvals)) == 16
+
+
+def test_run_job_html_mode_resume(spark, tmp_path):
+    """--mode html: same launch surface and exactly-once resume contract
+    as the PDF job, over the web-page boilerplate-strip pipeline."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.fixtures import chunk_text, sanitize
+    from pdfio_spark.pipeline.html_extract import (build_html_for_doc,
+                                                   extract_html)
+    from pdfio_spark.pipeline.run import run_job
+
+    rows = [(f"doc://{i}", build_html_for_doc(i, f"page body {i} " * 9))
+            for i in range(40)]
+    inp = str(tmp_path / "html_in")
+    outp = str(tmp_path / "html_out")
+    met = str(tmp_path / "html_met")
+    spark.createDataFrame(rows, "url string, html binary") \
+        .write.parquet(inp)
+    # partial first run: 15 of 40 urls already written
+    first = spark.read.parquet(inp).limit(15)
+    extract_html(first).write.parquet(outp)
+    r = run_job(spark, inp, outp, met, resume=True, mode="html")
+    assert r["written"] == 25
+    assert r["by_status"] == {"ok": 25}
+    out = spark.read.parquet(outp)
+    assert out.count() == 40
+    assert out.select("url").distinct().count() == 40
+    got = {r["url"]: r["main_text"] for r in out.collect()}
+    want = "\n".join(chunk_text("Doc 7: " + sanitize("page body 7 " * 9),
+                                60, 8))
+    assert got["doc://7"] == want
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 25
+    assert m.agg(F.sum("n_ok")).collect()[0][0] == 25
