@@ -103,6 +103,27 @@ def stream_extract(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_extract_html(spark: SparkSession, input_dir: str,
+                        checkpoint_dir: str, output_dir: str,
+                        available_now: bool = True):
+    """Streaming twin of run.py --mode html: file-source stream of
+    (url, html) web pages -> boilerplate strip -> parquet sink,
+    exactly-once via the streaming checkpoint."""
+    from .html_extract import extract_html
+    src = (spark.readStream
+           .schema("url string, html binary")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    writer = (extract_html(src).writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_metrics(spark: SparkSession, input_dir: str,
                    checkpoint_dir: str,
                    window: str = "1 minute",

@@ -519,3 +519,30 @@ def test_run_job_html_mode_resume(spark, tmp_path):
     m = spark.read.parquet(met)
     assert m.agg(F.sum("n_docs")).collect()[0][0] == 25
     assert m.agg(F.sum("n_ok")).collect()[0][0] == 25
+
+
+def test_stream_extract_html(spark, tmp_path):
+    """Streaming HTML boilerplate strip: exactly-once over the
+    checkpoint, byte-identical main text."""
+    from pdfio_spark.fixtures import chunk_text, sanitize
+    from pdfio_spark.pipeline.html_extract import build_html_for_doc
+    from pdfio_spark.pipeline.streaming import stream_extract_html
+
+    rows = [(f"doc://{i}", build_html_for_doc(i, f"stream body {i} " * 6))
+            for i in range(30)]
+    inp, chk, outp = (str(tmp_path / d) for d in ("in", "chk", "out"))
+    spark.createDataFrame(rows, "url string, html binary") \
+        .write.parquet(inp)
+    q = stream_extract_html(spark, inp, chk, outp)
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    assert out.count() == 30
+    assert out.filter("status = 'ok'").count() == 30
+    got = {r["url"]: r["main_text"] for r in out.collect()}
+    want = "\n".join(chunk_text("Doc 3: " + sanitize("stream body 3 " * 6),
+                                60, 8))
+    assert got["doc://3"] == want
+    # restart with the same checkpoint: nothing reprocessed
+    q2 = stream_extract_html(spark, inp, chk, outp)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(outp).count() == 30
