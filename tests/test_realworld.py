@@ -23,3 +23,33 @@ def test_real_pdf(path, pages, marker):
     assert r["n_pages"] == pages
     assert marker in r["text"]
     assert len(r["text"]) > 1000
+
+
+REAL_HTML = [
+    ("/usr/share/doc/libffi8/html/The-Basics.html",
+     "The Basics", "pointer to the function"),
+    ("/usr/share/doc/libffi8/html/Introduction.html",
+     "Introduction", "Compilers for high level languages"),
+    ("/usr/share/doc/base-passwd/users-and-groups.html",
+     "Users and Groups", "superuser"),
+]
+
+
+@pytest.mark.parametrize("path,title_marker,content_marker", REAL_HTML)
+def test_real_html_main_content(path, title_marker, content_marker):
+    """Real third-party pages (texinfo- and DocBook-generated): the
+    block scorer must keep the article body and drop the per-page
+    Next/Previous navigation and any script/style text."""
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    from pdfio_spark.pipeline.html_extract import extract_main_html
+    r = extract_main_html(open(path, "rb").read())
+    assert r["status"] == "ok"
+    assert title_marker in r["title"]
+    assert content_marker in r["main_text"]
+    assert len(r["main_text"]) > 500
+    # texinfo nav bar ("Next: ..., Previous: ...") is link-dense boiler
+    assert "Next:" not in r["main_text"]
+    # no markup or script/style leakage into extracted text
+    assert "</" not in r["main_text"]
+    assert "javascript" not in r["main_text"].lower()
