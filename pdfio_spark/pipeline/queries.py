@@ -1264,6 +1264,92 @@ def _md5_fn(seed: int):
     return lambda s: F.md5(F.concat(s, lit))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the brief's named scale path alongside LSH):
+    coarse-quantize every vector to its nearest of K=8 deterministic
+    centroids (the vectors with vec_id < 8 — the 'training' step made
+    oracle-able), then search top-5 only within the probe's cell
+    (nprobe=1; raising nprobe trades cost for recall). Centroids are an
+    8-row broadcast, assignment is a broadcast cross join + per-vector
+    argmax window (parallel, partitioned by vec_id), and the search
+    join is an equi-join on cell id — candidates per probe shrink by
+    ~K, the whole point of IVF at 10^12 vectors. Same output schema as
+    q_ann_bruteforce for recall comparison."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        nrm = lambda c: F.sqrt(F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v))
+        return F.round(dot / (nrm(a) * nrm(b)), 6)
+
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "embedding", "c_id",
+                      cos(F.col("embedding"), F.col("c_emb"))
+                      .alias("c_sim")))
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"),
+                                              F.asc("c_id"))
+    cells = (scored.withColumn("r", F.row_number().over(wc))
+             .filter(F.col("r") == 1)
+             .select("vec_id", "embedding", "c_id"))
+    probes = (cells.filter(F.col("vec_id") % 100 == 0)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_emb"),
+                      F.col("c_id").alias("q_cell")))
+    pairs = (cells.join(F.broadcast(probes),
+                        (F.col("c_id") == F.col("q_cell"))
+                        & (F.col("vec_id") != F.col("q_id")))
+             .select("q_id", "vec_id",
+                     cos(F.col("embedding"), F.col("q_emb"))
+                     .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("vec_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .orderBy("q_id", "rk"))
+
+
+_SQL_COS = ("round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+            " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+            " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)")
+
+ORACLE_ANN_IVF = f"""
+WITH c AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.c_id,
+         {_SQL_COS.format(a='e.embedding', b='c.c_emb')} AS c_sim
+  FROM embeddings e CROSS JOIN c
+), cells AS (
+  SELECT vec_id, embedding, c_id FROM (
+    SELECT vec_id, embedding, c_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c_sim DESC, c_id ASC) AS r
+    FROM scored) WHERE r = 1
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell
+  FROM cells WHERE vec_id % 100 = 0
+), pairs AS (
+  SELECT q.q_id, e.vec_id,
+         {_SQL_COS.format(a='e.embedding', b='q.q_emb')} AS cos_sim
+  FROM cells e JOIN q ON e.c_id = q.q_cell AND e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         cast(row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS int) AS rk
+  FROM pairs
+)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
+ORDER BY q_id, rk
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: word-3-shingles -> 16 minhashes
     via seeded xxhash64 -> 4 bands of 4 -> bucket join. All JVM-side;
@@ -2172,6 +2258,7 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_lsh_buckets": q_lsh_buckets,
     "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_ann_ivf": q_ann_ivf,
     # multimodal / API-surface plane
     "q_extract_pages_udtf": q_extract_pages_udtf,
     "q_udaf_median": q_udaf_median,
@@ -2228,6 +2315,7 @@ ORACLES = {
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_lsh_buckets": ORACLE_LSH_BUCKETS,
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "q_ann_ivf": ORACLE_ANN_IVF,
     "q_extract_pages_udtf": ORACLE_EXTRACT_PAGES_UDTF,
     "q_udaf_median": ORACLE_UDAF_MEDIAN,
     "q_media": ORACLE_MEDIA,

@@ -546,3 +546,24 @@ def test_stream_extract_html(spark, tmp_path):
     q2 = stream_extract_html(spark, inp, chk, outp)
     q2.awaitTermination(60)
     assert spark.read.parquet(outp).count() == 30
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF (nprobe=1, K=8) must return exact-cosine-ranked results
+    within the probe's cell and keep reasonable recall vs brute force —
+    the cost/recall trade is the operator's contract."""
+    from pdfio_spark.pipeline import queries as Q
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.q_id, r.vec_id)
+          for r in Q.QUERIES["q_ann_bruteforce"](spark, sf).collect()}
+    ivf_rows = Q.QUERIES["q_ann_ivf"](spark, sf).collect()
+    ivf = {(r.q_id, r.vec_id) for r in ivf_rows}
+    assert ivf  # every probe has a non-empty cell
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.3, f"recall@5 {recall:.2f} collapsed"
+    # within-cell ordering is exact: ranks are 1..n without gaps per q
+    by_q = {}
+    for r in ivf_rows:
+        by_q.setdefault(r.q_id, []).append(r.rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_q.values())
