@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "q_events_sessionize", "q_dedup_exact", "q_text_analytics",
     "q_repetition_filter", "q_ann_bruteforce", "q_dedup_minhash",
     "q_ngram_jaccard", "q_asof_join", "q_time_rollup", "q_range_join",
-    "q_ann_lsh_topk", "q_html_main",
+    "q_ann_lsh_topk", "q_ann_ivf", "q_html_main",
 ]
 
 
