@@ -71,7 +71,12 @@ def build_html_for_doc(doc_id: int, text: str, lang: str = "en") -> bytes:
     Sanitized text contains no <, & or > so no escaping is needed —
     asserted, because byte-identity depends on it."""
     s = f"Doc {doc_id}: " + sanitize(text or "")
-    assert "<" not in s and "&" not in s and ">" not in s
+    if "<" in s or "&" in s or ">" in s:
+        # Explicit raise (not assert): must survive python -O on
+        # spark-submit executors — byte-identity depends on it.
+        raise ValueError(
+            "sanitize() let an HTML metachar through; oracle "
+            "byte-identity would silently diverge: %r" % s[:120])
     paras = "".join(f"<p>{c}</p>" for c in chunk_text(s, 60, 8))
     open_t, close_t = _CONTAINERS[doc_id % 3]
     page = (

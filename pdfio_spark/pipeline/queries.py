@@ -1435,15 +1435,21 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_md5_candidates(docs).orderBy("doc_a", "doc_b")
 
 
-def _minhash_md5_oracle() -> str:
+def _minhash_md5_parts() -> tuple[str, str]:
+    """Candidate-pair oracle as composable pieces: (cte_defs, pair_select).
+
+    cte_defs = the CTE definitions WITHOUT the leading ``WITH`` (so a
+    caller can prepend ``WITH`` / ``WITH RECURSIVE`` and append more
+    CTEs); pair_select = the final SELECT of (doc_a, doc_b) WITHOUT an
+    ORDER BY. Downstream oracles (components, jaccard) compose these
+    structurally — no string surgery on a finished query (ADVICE r3)."""
     mins = ",\n         ".join(
         f"min(md5(sh || ':{i}')) AS h{i}" for i in range(16))
     bands = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, "
         f"md5(h{b*4} || '|' || h{b*4+1} || '|' || h{b*4+2} || '|' || h{b*4+3})"
         f" AS bucket FROM sig" for b in range(4))
-    return rf"""
-WITH d AS (
+    cte_defs = rf"""d AS (
   SELECT doc_id,
          string_split_regex(lower(trim(coalesce(text,''))), '\s+') AS w
   FROM documents
@@ -1463,12 +1469,16 @@ WITH d AS (
   FROM sh GROUP BY doc_id
 ), bands AS (
 {bands}
-)
-SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+)"""
+    pair_select = """SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
 FROM bands a JOIN bands c
-  ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
-ORDER BY doc_a, doc_b
-"""
+  ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id"""
+    return cte_defs, pair_select
+
+
+def _minhash_md5_oracle() -> str:
+    cte_defs, pair_select = _minhash_md5_parts()
+    return f"\nWITH {cte_defs}\n{pair_select}\nORDER BY doc_a, doc_b\n"
 
 
 ORACLE_DEDUP_MINHASH_MD5 = _minhash_md5_oracle()
@@ -1511,16 +1521,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _components_oracle() -> str:
-    core = _minhash_md5_oracle()
-    # reuse the pair query as a CTE: strip the leading WITH and the
-    # final ORDER BY, then wrap
-    body = core.strip()
-    assert body.startswith("WITH ") and "ORDER BY doc_a, doc_b" in body
-    body = body[len("WITH "):].replace("ORDER BY doc_a, doc_b", "")
-    head, sel = body.rsplit("SELECT DISTINCT", 1)
+    cte_defs, pair_select = _minhash_md5_parts()
     return f"""
-WITH RECURSIVE {head.rstrip()}, pairs AS (
-  SELECT DISTINCT {sel}
+WITH RECURSIVE {cte_defs}, pairs AS (
+  {pair_select}
 ), e AS (
   SELECT doc_a AS s, doc_b AS t FROM pairs
   UNION
@@ -1603,16 +1607,21 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id
 ORACLE_DEDUP_SIMHASH_MD5 = _simhash_md5_oracle()
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard as the VERIFY stage of filter-verify dedup
-    (r3 — was all-pairs bounded to doc_id < 60): candidates come from
-    the MinHash-LSH band join (the filter), then exact
-    |A∩B| / (|A|+|B|-|A∩B|) is computed row-locally per candidate pair
-    with array_intersect over the in-row distinct-shingle arrays — no
-    shingle explode, no all-pairs join, scales with the candidate
-    count, not the corpus squared."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+# Max LSH candidates verified per doc_a. A pathological near-dup
+# clique of k docs otherwise makes the verify join replicate every
+# shingle array k times (VERDICT r3 caveat #1; PLANS.md names this
+# cap). Deterministic: kept pairs = lowest doc_b per doc_a.
+JACCARD_CAND_CAP = 20
+
+
+def ngram_jaccard_over(docs: DataFrame,
+                       cap: int = JACCARD_CAND_CAP) -> DataFrame:
+    """Exact n-gram Jaccard verify over LSH candidates for an arbitrary
+    documents-shaped DataFrame (doc_id, text). See q_ngram_jaccard."""
     cand = _minhash_md5_candidates(docs)
+    w_cap = Window.partitionBy("doc_a").orderBy("doc_b")
+    cand = (cand.withColumn("rn", F.row_number().over(w_cap))
+            .filter(F.col("rn") <= cap).drop("rn"))
     words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
     d = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
     sh_arr = d.select("doc_id", F.array_distinct(F.transform(
@@ -1631,17 +1640,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b"))
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard as the VERIFY stage of filter-verify dedup
+    (r3 — was all-pairs bounded to doc_id < 60): candidates come from
+    the MinHash-LSH band join (the filter), capped at
+    JACCARD_CAND_CAP candidates per doc_a (r4 — bounds shingle-array
+    replication under near-dup cliques), then exact
+    |A∩B| / (|A|+|B|-|A∩B|) is computed row-locally per candidate pair
+    with array_intersect over the in-row distinct-shingle arrays — no
+    shingle explode, no all-pairs join, scales with the candidate
+    count, not the corpus squared."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_over(docs)
+
+
 def _ngram_jaccard_oracle() -> str:
-    core = _minhash_md5_oracle()
-    # reuse the LSH pair query as the candidate CTE (same pattern as
-    # the components oracle): strip WITH / final ORDER BY, wrap
-    body = core.strip()
-    assert body.startswith("WITH ") and "ORDER BY doc_a, doc_b" in body
-    body = body[len("WITH "):].replace("ORDER BY doc_a, doc_b", "")
-    head, sel = body.rsplit("SELECT DISTINCT", 1)
+    cte_defs, pair_select = _minhash_md5_parts()
     return f"""
-WITH {head.rstrip()}, cand AS (
-  SELECT DISTINCT {sel}
+WITH {cte_defs}, cand_all AS (
+  {pair_select}
+), cand AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS rn
+    FROM cand_all
+  ) WHERE rn <= {JACCARD_CAND_CAP}
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (

@@ -567,3 +567,26 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
         by_q.setdefault(r.q_id, []).append(r.rk)
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in by_q.values())
+
+
+def test_jaccard_candidate_cap_bounds_clique(spark):
+    """VERDICT r3 caveat #1: a near-dup clique (k mutual candidates)
+    must NOT replicate each doc's shingle array k times through the
+    verify join. 60 identical docs form a full LSH clique (1770 pairs);
+    the per-doc_a cap bounds the verify join to <= JACCARD_CAND_CAP
+    pairs per doc, deterministically (lowest doc_b kept)."""
+    from pdfio_spark.pipeline import queries as Q
+    text = ("the quick brown fox jumps over the lazy dog again and "
+            "again until the corpus is thoroughly duplicated")
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(60)], "doc_id long, text string")
+    rows = Q.ngram_jaccard_over(docs).collect()
+    cap = Q.JACCARD_CAND_CAP
+    per_a = {}
+    for r in rows:
+        per_a[r.doc_a] = per_a.get(r.doc_a, 0) + 1
+        assert r.jaccard == 1.0  # identical docs
+        assert r.doc_b <= r.doc_a + cap  # lowest-doc_b determinism
+    assert max(per_a.values()) <= cap
+    # expected total: sum over doc_a of min(59 - doc_a, cap)
+    assert len(rows) == sum(min(59 - a, cap) for a in range(60))

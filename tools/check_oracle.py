@@ -71,6 +71,22 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Registry hygiene (driver reads the FIRST 50 in insertion order;
+    # the r2 window bug was queries silently falling off the end):
+    # hard cap at 50, and rows-only entries must sit at the tail so no
+    # oracled query is displaced by one that can't be value-checked.
+    if len(qs) > 50:
+        raise SystemExit(
+            f"registry has {len(qs)} entries > driver cap of 50 — "
+            "merge or retire a query (CLAUDE.md invariant)")
+    seen_rows_only = None
+    for qname in qs:
+        if qname not in oracles:
+            seen_rows_only = qname
+        elif seen_rows_only is not None:
+            raise SystemExit(
+                f"oracled query {qname!r} appears after rows-only "
+                f"{seen_rows_only!r} — rows-only entries must be last")
     args = sys.argv[1:]
     # --repeat N: build + run each Spark query N times in ONE session.
     # Catches conversion-dependent nondeterminism (the r3 binary-HOF-
@@ -102,9 +118,19 @@ def main() -> None:
                 df2 = qs[name](spark, sf_dir)   # fresh conversion
                 srows2 = [tuple(r) for r in df2.collect()]
                 if sorted(map(repr, srows2)) != sorted(map(repr, srows)):
+                    d21 = sorted(set(map(repr, srows2))
+                                 - set(map(repr, srows)))
+                    d12 = sorted(set(map(repr, srows))
+                                 - set(map(repr, srows2)))
                     print(f"{name:28s} FAIL nondeterministic across "
                           f"conversions (rep {rep}: {len(srows2)} vs "
                           f"{len(srows)} rows)")
+                    # Value-level flakes keep cardinality equal (the r3
+                    # md5-lambda case) — show the first differing row.
+                    if d21:
+                        print(f"  rep{rep}-only: {d21[0][:200]}")
+                    if d12:
+                        print(f"  rep0-only:    {d12[0][:200]}")
                     n_fail += 1
                     unstable = True
                     break
