@@ -129,11 +129,14 @@ def pdDocHasSignature(doc: PDDoc) -> bool:
 
 
 def pdDocValidateSignatures(doc: PDDoc, data: bytes | None = None,
-                            export: bool = False) -> list[dict]:
+                            export: bool = False,
+                            trust=None) -> list[dict]:
     """pdDocValidateSignatures (PDDoc.jl:519-562). The engine needs the
-    original bytes for /ByteRange; PDDoc keeps them."""
+    original bytes for /ByteRange; PDDoc keeps them. `trust` (a
+    pd.signature.TrustStore) enables chain-of-trust anchoring — the
+    reference's CertStore path (PDSignature.jl:13-48)."""
     return validate_signatures(
-        doc, data if data is not None else doc.cos.data)
+        doc, data if data is not None else doc.cos.data, trust=trust)
 
 
 def pdPageGetContents(page: PDPage) -> bytes:

@@ -1120,16 +1120,39 @@ def make_incremental_pdf(lines_v1: list[str], lines_v2: list[str]) -> bytes:
 _SIG_HEX_LEN = 8192  # hex chars reserved for /Contents (4096 bytes)
 
 
+_IDENTITY_FILES = {
+    "default": "pki_test_identity.pem",
+    "expired": "sig_expired_identity.pem",
+    "untrusted": "sig_untrusted_identity.pem",  # self-signed, NOT in store
+    "ec": "sig_ec_identity.pem",                # ECDSA P-256, in store
+    "leaf": "sig_leaf_identity.pem",            # CA-signed; CA in store
+}
+
+# Test trust-store membership (mirrors the reference's CertStore dir):
+# 'leaf' is trusted only via its chain to sig_ca; 'untrusted' never.
+TRUST_STORE_FILES = ("pki_test_identity.pem", "sig_expired_identity.pem",
+                     "sig_ca_identity.pem", "sig_ec_identity.pem")
+
+
+def test_trust_pems() -> list[bytes]:
+    """PEM blobs of the packaged trust anchors (certs; the PEMs also
+    carry keys, which TrustStore.from_pems ignores)."""
+    import importlib.resources as ir
+    return [(ir.files("pdfio_spark") / "data" / f).read_bytes()
+            for f in TRUST_STORE_FILES]
+
+
 def _test_identity(which: str = "default"):
+    """-> (signer_cert, key, extra_certs). extra_certs = further certs
+    in the PEM (e.g. the issuing CA for 'leaf') to embed in the CMS."""
     import importlib.resources as ir
     from cryptography import x509
     from cryptography.hazmat.primitives.serialization import (
         load_pem_private_key)
-    fname = ("sig_expired_identity.pem" if which == "expired"
-             else "pki_test_identity.pem")
-    pem = (ir.files("pdfio_spark") / "data" / fname).read_bytes()
-    return (x509.load_pem_x509_certificate(pem),
-            load_pem_private_key(pem, password=None))
+    pem = (ir.files("pdfio_spark") / "data"
+           / _IDENTITY_FILES[which]).read_bytes()
+    certs = x509.load_pem_x509_certificates(pem)
+    return certs[0], load_pem_private_key(pem, password=None), certs[1:]
 
 
 def make_signed_pdf(lines: list[str],
@@ -1158,7 +1181,7 @@ def make_signed_pdf(lines: list[str],
     old_size = base.count(b" 0 obj") + 1
     sig_n, fld_n = old_size, old_size + 1
 
-    cert, key = _test_identity(identity)
+    cert, key, extra_certs = _test_identity(identity)
     out = bytearray(base)
 
     def emit(n: int, body: bytes) -> int:
@@ -1207,14 +1230,18 @@ def make_signed_pdf(lines: list[str],
         # eContent = sha1(byterange); the CMS signer digest itself may
         # be any supported hash (builder refuses SHA-1 signing)
         digest = hashlib.sha1(signed).digest()
-        der = (pkcs7.PKCS7SignatureBuilder().set_data(digest)
-               .add_signer(cert, key, hashes.SHA256())
-               .sign(Encoding.DER, [pkcs7.PKCS7Options.Binary]))
+        b = (pkcs7.PKCS7SignatureBuilder().set_data(digest)
+             .add_signer(cert, key, hashes.SHA256()))
+        for c in extra_certs:
+            b = b.add_certificate(c)
+        der = b.sign(Encoding.DER, [pkcs7.PKCS7Options.Binary])
     else:
-        der = (pkcs7.PKCS7SignatureBuilder().set_data(signed)
-               .add_signer(cert, key, hashes.SHA256())
-               .sign(Encoding.DER, [pkcs7.PKCS7Options.DetachedSignature,
-                                    pkcs7.PKCS7Options.Binary]))
+        b = (pkcs7.PKCS7SignatureBuilder().set_data(signed)
+             .add_signer(cert, key, hashes.SHA256()))
+        for c in extra_certs:
+            b = b.add_certificate(c)
+        der = b.sign(Encoding.DER, [pkcs7.PKCS7Options.DetachedSignature,
+                                    pkcs7.PKCS7Options.Binary])
     hx = der.hex().encode()
     assert len(hx) <= _SIG_HEX_LEN, "signature larger than placeholder"
     out[lt + 1:lt + 1 + len(hx)] = hx
@@ -1351,11 +1378,11 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
                         attach=b"ATTACH:" + lines[0].encode("latin-1"))
     if cls == "signed":
         # SubFilter rotates by doc_id across the reference's matrix;
-        # (did // 3) % 3 so the rotation covers all three SubFilters
-        # when this class cycles with 2 siblings (did % 3 == 0 docs)
+        # (did // 4) % 3 so the rotation covers all three SubFilters
+        # when this class cycles with 3 siblings (did % 4 == 0 docs)
         did = int(lines[0][4:lines[0].index(":")])
         sub = ("adbe.pkcs7.detached", "adbe.pkcs7.sha1",
-               "adbe.x509.rsa_sha1")[(did // 3) % 3]
+               "adbe.x509.rsa_sha1")[(did // 4) % 3]
         return make_signed_pdf(lines, subfilter=sub)
     if cls == "signed_tampered":
         return make_signed_pdf(lines, tamper=True)
@@ -1363,6 +1390,13 @@ def build_fixture(cls: str, lines: list[str]) -> bytes:
         # cryptographically valid CMS whose signer cert window predates
         # the /M signing time -> status must be 'certificate expired'
         return make_signed_pdf(lines, identity="expired")
+    if cls == "signed_chain":
+        # trust-chain rotation (r4): leaf-via-CA (chain to store root
+        # passes), self-signed unknown issuer (untrusted), ECDSA P-256
+        # signer (trusted store member; EC verification path)
+        did = int(lines[0][4:lines[0].index(":")])
+        ident = ("leaf", "untrusted", "ec")[(did // 4) % 3]
+        return make_signed_pdf(lines, identity=ident)
     if cls == "tagged":
         # one Para StructElem per text line (line count is the same
         # closed form the lines CTE predicts)

@@ -10,10 +10,12 @@ Supports the reference's SubFilter matrix:
       certificate in /Cert.
 
 CMS parsing is a minimal DER walk (tag-length-value; SignedData layout
-per RFC 5652) — no external ASN.1 schema; RSA verification and X.509
-handling via the public `cryptography` package. Like the reference,
-validation is local (signature integrity + signer identity); trust-
-chain anchoring is the caller's policy.
+per RFC 5652) — no external ASN.1 schema; RSA/ECDSA verification and
+X.509 handling via the public `cryptography` package. Validation is
+local (signature integrity + signer identity + cert validity window vs
+the /M signing time); passing a TrustStore additionally anchors the
+signer chain to a caller-supplied root set, mirroring the reference's
+CertStore / verify_local_trust (src/PDSignature.jl:13-48).
 """
 from __future__ import annotations
 
@@ -21,7 +23,7 @@ import hashlib
 
 from ..cos.objects import HexStr, LitStr, Name
 
-__all__ = ["get_signature_fields", "validate_signatures"]
+__all__ = ["get_signature_fields", "validate_signatures", "TrustStore"]
 
 OID_SIGNED_DATA = "1.2.840.113549.1.7.2"
 OID_MESSAGE_DIGEST = "1.2.840.113549.1.9.4"
@@ -39,6 +41,11 @@ _OID_SIGALG_HASH = {
     "1.2.840.113549.1.1.11": "sha256",
     "1.2.840.113549.1.1.12": "sha384",
     "1.2.840.113549.1.1.13": "sha512",
+    # ECDSA (r4 — the reference gets these free via OpenSSL EVP)
+    "1.2.840.10045.4.1": "sha1",
+    "1.2.840.10045.4.3.2": "sha256",
+    "1.2.840.10045.4.3.3": "sha384",
+    "1.2.840.10045.4.3.4": "sha512",
 }
 
 
@@ -155,14 +162,27 @@ def _hash_name_to_obj(name: str):
             "sha384": hashes.SHA384, "sha512": hashes.SHA512}[name]()
 
 
-def _rsa_verify(cert, data: bytes, signature: bytes, hash_name: str) -> bool:
-    from cryptography.hazmat.primitives.asymmetric import padding
+def _key_verify(cert, data: bytes, signature: bytes, hash_name: str) -> bool:
+    """Verify `signature` over `data` with the cert's public key:
+    RSA PKCS#1 v1.5 or ECDSA (DER r/s), keyed on the key type — the
+    reference gets both free via OpenSSL EVP_Verify*."""
+    from cryptography.hazmat.primitives.asymmetric import ec, padding, rsa
     try:
-        cert.public_key().verify(signature, data, padding.PKCS1v15(),
-                                 _hash_name_to_obj(hash_name))
+        pub = cert.public_key()
+        if isinstance(pub, rsa.RSAPublicKey):
+            pub.verify(signature, data, padding.PKCS1v15(),
+                       _hash_name_to_obj(hash_name))
+        elif isinstance(pub, ec.EllipticCurvePublicKey):
+            pub.verify(signature, data,
+                       ec.ECDSA(_hash_name_to_obj(hash_name)))
+        else:
+            return False
         return True
     except Exception:
         return False
+
+
+_rsa_verify = _key_verify  # historical alias (RSA-only before r4)
 
 
 def _verify_cms(contents: bytes, signed_bytes: bytes,
@@ -207,8 +227,90 @@ def _verify_cms(contents: bytes, signed_bytes: bytes,
                 except Exception:
                     signer = ""
                 return {"passed": True, "signer": signer, "error": None,
-                        "_cert": cert}
+                        "_cert": cert, "_pool": certs}
     return {"passed": False, "error": "signature verification failed"}
+
+
+# ---------------------------------------------------------- trust store
+
+class TrustStore:
+    """Trust-anchor set (mirrors the reference's CertStore,
+    src/PDSignature.jl:13-28 verify_local_trust / verify!): a signer
+    cert is trusted if it is itself in the store, or if an issuer chain
+    built through the CMS-included certs and the store terminates at a
+    store member. Each chain link must have a verifying signature and a
+    validity window covering the signing time."""
+
+    def __init__(self, certs) -> None:
+        self._ders = {c.public_bytes(_der_enc()) for c in certs}
+        self._certs = list(certs)
+
+    @classmethod
+    def from_pems(cls, pems: list[bytes]) -> "TrustStore":
+        from cryptography import x509
+        certs = []
+        for pem in pems:
+            certs.extend(x509.load_pem_x509_certificates(pem))
+        return cls(certs)
+
+    def find(self, cert) -> bool:
+        return cert.public_bytes(_der_enc()) in self._ders
+
+    @property
+    def certs(self) -> list:
+        return self._certs
+
+
+def _der_enc():
+    from cryptography.hazmat.primitives.serialization import Encoding
+    return Encoding.DER
+
+
+def _cert_in_window(cert, when) -> bool:
+    if when is None:
+        return True
+    try:
+        nb = cert.not_valid_before_utc.replace(tzinfo=None)
+        na = cert.not_valid_after_utc.replace(tzinfo=None)
+    except AttributeError:
+        nb, na = cert.not_valid_before, cert.not_valid_after
+    return nb <= when <= na
+
+
+def _link_verifies(child, issuer) -> bool:
+    """issuer's public key verifies child's certificate signature."""
+    halg = child.signature_hash_algorithm
+    if halg is None:
+        return False
+    return _key_verify(issuer, child.tbs_certificate_bytes,
+                       child.signature, halg.name)
+
+
+def _trust_error(cert, pool, trust: TrustStore, when) -> str | None:
+    """None if `cert` chains to the trust store; else the error string.
+    Mirrors verify_local_trust semantics: a direct store member is
+    trusted outright; otherwise build the issuer chain through the CMS
+    cert pool + store (the reference's OpenSSL store does the same with
+    -attime = the /M signing time)."""
+    if trust.find(cert):
+        return None
+    candidates = list(pool) + trust.certs
+    cur = cert
+    for _ in range(8):  # depth guard
+        if cur.issuer == cur.subject:  # self-signed, not in store
+            break
+        nxt = None
+        for c in candidates:
+            if (c.subject == cur.issuer and _link_verifies(cur, c)
+                    and _cert_in_window(c, when)):
+                nxt = c
+                break
+        if nxt is None:
+            break
+        if trust.find(nxt):
+            return None
+        cur = nxt
+    return "untrusted signer certificate"
 
 
 # ----------------------------------------------------------- PDF plane
@@ -253,10 +355,16 @@ def _str_bytes(v) -> bytes:
     return b""
 
 
-def validate_signatures(doc, data: bytes) -> list[dict]:
+def validate_signatures(doc, data: bytes,
+                        trust: "TrustStore | None" = None) -> list[dict]:
     """pd_validate_signature (PDSignature.jl:101-154) over every /Sig
     field: returns one status dict per signature with passed/subfilter/
-    name/m/signer/error."""
+    name/m/signer/error. With a TrustStore, additionally anchors the
+    signer chain (verify_local_trust / verify!, PDSignature.jl:13-48):
+    a cryptographically valid signature from a cert that neither sits
+    in nor chains to the store fails with
+    'untrusted signer certificate'. trust=None preserves the pre-r4
+    local-validation-only behavior."""
     cos = doc.cos
     out = []
     for fld in get_signature_fields(doc):
@@ -297,15 +405,35 @@ def validate_signatures(doc, data: bytes) -> list[dict]:
                 r = _verify_cms(contents, signed,
                                 embedded_digest=str(sub) == "adbe.pkcs7.sha1")
             cert = r.pop("_cert", None)
+            pool = r.pop("_pool", [cert] if cert is not None else [])
             status.update(r)
             if status["passed"] and cert is not None:
                 exp = _expiry_error(cert, status["m"])
                 if exp is not None:
                     status["passed"] = False
                     status["error"] = exp
+            if status["passed"] and cert is not None and trust is not None:
+                when = _signing_time(status["m"])
+                terr = _trust_error(cert, pool, trust, when)
+                if terr is not None:
+                    status["passed"] = False
+                    status["error"] = terr
         except Exception as e:
             status["error"] = f"{type(e).__name__}: {e}"
     return out
+
+
+def _signing_time(m: str | None):
+    """/M (CDDate) -> naive UTC datetime, or None if absent/unparsable
+    (the reference sets the store's atepoch from /M the same way,
+    PDSignature.jl:33-40)."""
+    if not m:
+        return None
+    from .dates import CDDate
+    try:
+        return CDDate(m).utc()
+    except Exception:
+        return None
 
 
 def _expiry_error(cert, m: str | None) -> str | None:
@@ -349,7 +477,7 @@ def _verify_x509_rsa_sha1(cos, sig: dict, contents: bytes,
             _, _, sig_bytes, _, _ = _tlv(contents, 0)
         except Exception:
             sig_bytes = contents
-    if _rsa_verify(cert, signed, sig_bytes, "sha1"):
+    if _key_verify(cert, signed, sig_bytes, "sha1"):
         return {"passed": True, "signer": cert.subject.rfc4514_string(),
-                "error": None, "_cert": cert}
+                "error": None, "_cert": cert, "_pool": [cert]}
     return {"passed": False, "error": "signature verification failed"}

@@ -451,20 +451,27 @@ FROM rows_ ORDER BY url, seq
 def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature validation (SURVEY X11; PDSignature.jl:101-154): CMS /
     PKCS#1 verification over /ByteRange for the reference's SubFilter
-    matrix, a tampered negative class, and an EXPIRED-certificate class
+    matrix, a tampered negative class, an EXPIRED-certificate class
     (cryptographically valid CMS whose signer-cert window predates the
     /M signing time — mirrors the reference's expired-cert test,
-    runtests.jl:182-235). All outcomes predicted in closed form (signer
-    identities are the packaged synthetic certificates)."""
+    runtests.jl:182-235), and (r4) a TRUST-CHAIN class rotating
+    CA-chained leaf / self-signed-untrusted / ECDSA signers against the
+    packaged trust store (verify_local_trust / CertStore semantics,
+    PDSignature.jl:13-48). All outcomes predicted in closed form
+    (signer identities are the packaged synthetic certificates)."""
     import pyarrow as pa
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = gen_pdf_corpus(
-        docs, classes=["signed", "signed_tampered", "signed_expired"])
+        docs, classes=["signed", "signed_tampered", "signed_expired",
+                       "signed_chain"])
 
     def sigs(batches):
+        from pdfio_spark.fixtures import test_trust_pems
         from pdfio_spark.pd.pagetree import PDDoc
-        from pdfio_spark.pd.signature import validate_signatures
+        from pdfio_spark.pd.signature import (TrustStore,
+                                              validate_signatures)
+        trust = TrustStore.from_pems(test_trust_pems())
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
@@ -473,7 +480,7 @@ def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for url, html in zip(urls, htmls):
                 try:
                     doc = PDDoc(html)
-                    for st in validate_signatures(doc, html):
+                    for st in validate_signatures(doc, html, trust=trust):
                         o["url"].append(url)
                         o["subfilter"].append(st["subfilter"])
                         o["passed"].append(bool(st["passed"]))
@@ -497,17 +504,23 @@ def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SIGNATURES = """
 SELECT 'doc://' || doc_id AS url,
-       CASE WHEN doc_id % 3 = 0
+       CASE WHEN doc_id % 4 = 0
             THEN ['adbe.pkcs7.detached','adbe.pkcs7.sha1',
-                  'adbe.x509.rsa_sha1'][((doc_id // 3) % 3) + 1]
+                  'adbe.x509.rsa_sha1'][((doc_id // 4) % 3) + 1]
             ELSE 'adbe.pkcs7.detached' END AS subfilter,
-       (doc_id % 3 = 0) AS passed,
-       CASE WHEN doc_id % 3 = 0 THEN 'CN=pdfio-spark-test'
-            WHEN doc_id % 3 = 2 THEN 'CN=pdfio-spark-expired'
+       (doc_id % 4 = 0
+        OR (doc_id % 4 = 3 AND (doc_id // 4) % 3 != 1)) AS passed,
+       CASE WHEN doc_id % 4 = 0 THEN 'CN=pdfio-spark-test'
+            WHEN doc_id % 4 = 2 THEN 'CN=pdfio-spark-expired'
+            WHEN doc_id % 4 = 3 THEN
+                ['CN=pdfio-spark-leaf','CN=pdfio-spark-untrusted',
+                 'CN=pdfio-spark-ec'][((doc_id // 4) % 3) + 1]
             ELSE NULL END AS signer,
-       CASE WHEN doc_id % 3 = 0 THEN NULL
-            WHEN doc_id % 3 = 2 THEN 'certificate expired'
-            ELSE 'signature verification failed' END AS err
+       CASE WHEN doc_id % 4 = 1 THEN 'signature verification failed'
+            WHEN doc_id % 4 = 2 THEN 'certificate expired'
+            WHEN doc_id % 4 = 3 AND (doc_id // 4) % 3 = 1
+                THEN 'untrusted signer certificate'
+            ELSE NULL END AS err
 FROM documents ORDER BY url
 """
 
