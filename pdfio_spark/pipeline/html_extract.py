@@ -27,6 +27,8 @@ so the DuckDB oracle predicts extracted text byte-identically per url.
 """
 from __future__ import annotations
 
+import codecs
+import re
 from html.parser import HTMLParser
 from typing import Iterator
 
@@ -61,15 +63,47 @@ _FOOTER = ('<footer><p>&copy; 2026 Example Site. All rights reserved.'
            '<a href="/terms">Terms</a></p></footer>')
 
 
+# Charset rotation (r4): real Common Crawl is full of legacy-encoded
+# pages; the declared charset cycles by doc_id % 4. Non-UTF-8 cases
+# carry a constant non-ASCII probe paragraph so mojibake cannot pass
+# the byte-identity oracle (an undetected wrong decode garbles it).
+CP1252_PROBE = "café – naïve ½"
+SJIS_PROBE = "日本語のテキスト"
+_ENC_CASES = ("utf-8", "utf-16", "windows-1252", "shift_jis")
+_ENC_PROBE = {"windows-1252": CP1252_PROBE, "shift_jis": SJIS_PROBE}
+_ENC_META = {
+    "utf-8": '<meta charset="utf-8">',
+    # utf-16 pages are identified by their BOM (meta would be
+    # unreadable before decoding anyway); WHATWG sniffing does the same
+    "utf-16": '<meta charset="utf-16">',
+    "windows-1252": '<meta charset="windows-1252">',
+    # the http-equiv declaration form, equally common in old crawls
+    "shift_jis": ('<meta http-equiv="Content-Type" '
+                  'content="text/html; charset=shift_jis">'),
+}
+
+
+def expected_main_text(doc_id: int, text: str) -> str:
+    """The closed-form main_text contract for build_html_for_doc pages
+    (what the DuckDB oracle and the tests predict)."""
+    base = "\n".join(chunk_text(f"Doc {doc_id}: " + sanitize(text or ""),
+                                60, 8))
+    probe = _ENC_PROBE.get(_ENC_CASES[doc_id % 4])
+    return base + "\n" + probe if probe else base
+
+
 def build_html_for_doc(doc_id: int, text: str, lang: str = "en") -> bytes:
     """Deterministic Common-Crawl-style page for a documents-table row.
 
     Content = the sanitized, prefixed, 60-char/8-line chunked text (the
     exact contract `_LINES_CTE` mirrors in SQL), one <p> per chunk,
-    inside a container that cycles by doc_id % 3. Boilerplate (nav,
-    masthead, link sidebar, footer, script/style) surrounds it.
-    Sanitized text contains no <, & or > so no escaping is needed —
-    asserted, because byte-identity depends on it."""
+    inside a container that cycles by doc_id % 3, encoded in a charset
+    that cycles by doc_id % 4 (utf-8 / utf-16+BOM / windows-1252 /
+    shift_jis, with a constant non-ASCII probe paragraph on the legacy
+    encodings). Boilerplate (nav, masthead, link sidebar, footer,
+    script/style) surrounds it. Sanitized text contains no <, & or >
+    so no escaping is needed — enforced, because byte-identity depends
+    on it."""
     s = f"Doc {doc_id}: " + sanitize(text or "")
     if "<" in s or "&" in s or ">" in s:
         # Explicit raise (not assert): must survive python -O on
@@ -77,11 +111,15 @@ def build_html_for_doc(doc_id: int, text: str, lang: str = "en") -> bytes:
         raise ValueError(
             "sanitize() let an HTML metachar through; oracle "
             "byte-identity would silently diverge: %r" % s[:120])
+    enc = _ENC_CASES[doc_id % 4]
     paras = "".join(f"<p>{c}</p>" for c in chunk_text(s, 60, 8))
+    probe = _ENC_PROBE.get(enc)
+    if probe:
+        paras += f"<p>{probe}</p>"
     open_t, close_t = _CONTAINERS[doc_id % 3]
     page = (
         '<!DOCTYPE html>'
-        f'<html lang="{lang or "en"}"><head><meta charset="utf-8">'
+        f'<html lang="{lang or "en"}"><head>{_ENC_META[enc]}'
         f'<title>Doc {doc_id}</title>'
         '<style>body{margin:0;font:16px serif}nav{background:#eee}'
         '</style>'
@@ -94,7 +132,7 @@ def build_html_for_doc(doc_id: int, text: str, lang: str = "en") -> bytes:
         f'{open_t}{paras}{close_t}'
         f'{_FOOTER}'
         '</body></html>')
-    return page.encode("utf-8")
+    return page.encode(enc)
 
 
 # ----------------------------------------------------------- extractor
@@ -220,6 +258,45 @@ class _Collector(HTMLParser):
             self._cur = None
 
 
+# WHATWG-style charset sniffing (simplified): BOM wins, then the first
+# <meta charset=...> / <meta http-equiv content="...charset=..."> in
+# the head, then UTF-8-with-replace as the fallback.
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9_.:-]+)""", re.I)
+# WHATWG label aliases whose Python codec differs from the web meaning
+_CHARSET_ALIASES = {
+    "iso-8859-1": "windows-1252",  # the web's latin1 IS cp1252
+    "latin1": "windows-1252",
+    "us-ascii": "windows-1252",
+}
+
+
+def decode_html(data: bytes) -> str:
+    """Charset-sniffed decode (r4; was utf-8-replace only — real crawls
+    are full of windows-125x / shift-jis pages whose declared charset
+    must be honored or they extract mojibake 'successfully')."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:].decode("utf-8", "replace")
+    if data[:2] == b"\xff\xfe":
+        return data[2:].decode("utf-16-le", "replace")
+    if data[:2] == b"\xfe\xff":
+        return data[2:].decode("utf-16-be", "replace")
+    m = _META_CHARSET_RE.search(data[:1024])
+    if m:
+        label = m.group(1).decode("ascii", "ignore").strip().lower()
+        label = _CHARSET_ALIASES.get(label, label)
+        try:
+            codecs.lookup(label)
+        except LookupError:
+            label = None
+        if label:
+            try:
+                return data.decode(label, "replace")
+            except Exception:
+                pass
+    return data.decode("utf-8", "replace")
+
+
 def extract_main_html(data: bytes) -> dict:
     """bytes -> {title, main_text, n_blocks, status}.
 
@@ -227,7 +304,7 @@ def extract_main_html(data: bytes) -> dict:
     PDF extraction contract."""
     try:
         p = _Collector()
-        p.feed(data.decode("utf-8", "replace"))
+        p.feed(decode_html(data))
         p.close()
         scores: dict[int, list[int]] = {}
         for b in p.blocks:

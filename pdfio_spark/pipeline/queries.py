@@ -2222,14 +2222,26 @@ def q_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_html(gen_html_corpus(docs))
 
 
-ORACLE_HTML_MAIN = _LINES_CTE + """
+def _html_main_oracle() -> str:
+    # probe constants come from html_extract so the oracle cannot
+    # drift from the builder (same reason _LINES_CTE mirrors fixtures)
+    from .html_extract import CP1252_PROBE, SJIS_PROBE
+    return _LINES_CTE + f"""
 SELECT 'doc://' || doc_id AS url,
        'Doc ' || doc_id AS title,
-       string_agg(line, chr(10) ORDER BY i) AS main_text,
-       count(*) AS n_blocks,
+       string_agg(line, chr(10) ORDER BY i)
+         || CASE doc_id % 4
+              WHEN 2 THEN chr(10) || '{CP1252_PROBE}'
+              WHEN 3 THEN chr(10) || '{SJIS_PROBE}'
+              ELSE '' END AS main_text,
+       count(*) + CASE WHEN doc_id % 4 IN (2, 3) THEN 1 ELSE 0 END
+           AS n_blocks,
        'ok' AS status
 FROM l GROUP BY doc_id
 """
+
+
+ORACLE_HTML_MAIN = _html_main_oracle()
 
 
 # Registry ordering is a contract: the driver correctness-checks the

@@ -5,16 +5,14 @@ import pytest
 
 from pdfio_spark.fixtures import chunk_text, sanitize
 from pdfio_spark.pipeline.html_extract import (
-    build_html_for_doc, extract_main_html)
+    build_html_for_doc, expected_main_text, extract_main_html)
 
-
-def _expected(doc_id: int, text: str) -> str:
-    s = f"Doc {doc_id}: " + sanitize(text)
-    return "\n".join(chunk_text(s, 60, 8))
+_expected = expected_main_text  # probe-aware (charset rotation, r4)
 
 
 class TestRoundTrip:
-    @pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5])  # all 3 containers x2
+    # doc_ids 0..11 sweep all 3 containers x all 4 charsets
+    @pytest.mark.parametrize("doc_id", list(range(12)))
     def test_byte_identical(self, doc_id):
         text = "some words " * (7 + doc_id * 13)
         r = extract_main_html(build_html_for_doc(doc_id, text))
@@ -22,14 +20,16 @@ class TestRoundTrip:
         assert r["main_text"] == _expected(doc_id, text)
         assert r["title"] == f"Doc {doc_id}"
         assert r["n_blocks"] == len(chunk_text(
-            f"Doc {doc_id}: " + sanitize(text), 60, 8))
+            f"Doc {doc_id}: " + sanitize(text), 60, 8)) \
+            + (1 if doc_id % 4 in (2, 3) else 0)
 
     def test_empty_doc_text_still_wins(self):
         # content is just the 'Doc N: ' prefix — shorter than some
         # boilerplate, must still beat link-dense containers
         r = extract_main_html(build_html_for_doc(42, ""))
         assert r["status"] == "ok"
-        assert r["main_text"] == "Doc 42: "
+        assert r["main_text"] == _expected(42, "")
+        assert r["main_text"].startswith("Doc 42: ")
 
     def test_special_chars_sanitized(self):
         # sanitize() replaces <, &, > before the page is built
@@ -159,3 +159,59 @@ class TestInlineMarkup:
                 b"three</p></div></body></html>")
         r = extract_main_html(page)
         assert r["main_text"] == "line one\nline two\nline three"
+
+
+class TestCharsetSniffing:
+    """r4: BOM > <meta charset> > utf-8-replace (WHATWG-style). The
+    legacy-encoding pages carry non-ASCII probes that only decode
+    correctly through the sniffed charset."""
+
+    def test_windows_1252_meta(self):
+        from pdfio_spark.pipeline.html_extract import CP1252_PROBE
+        page = build_html_for_doc(2, "legacy page body")  # 2%4=2
+        assert b'charset="windows-1252"' in page
+        # the probe bytes are NOT valid utf-8 (0xe9 etc.) — a blind
+        # utf-8 decode would mojibake them
+        assert CP1252_PROBE.encode("cp1252") in page
+        r = extract_main_html(page)
+        assert r["status"] == "ok"
+        assert r["main_text"].endswith("\n" + CP1252_PROBE)
+        assert "�" not in r["main_text"]
+
+    def test_shift_jis_http_equiv(self):
+        from pdfio_spark.pipeline.html_extract import SJIS_PROBE
+        page = build_html_for_doc(3, "japanese page body")  # 3%4=3
+        assert b"charset=shift_jis" in page
+        assert SJIS_PROBE.encode("shift_jis") in page
+        r = extract_main_html(page)
+        assert r["status"] == "ok"
+        assert r["main_text"].endswith("\n" + SJIS_PROBE)
+        assert "�" not in r["main_text"]
+
+    def test_utf16_bom_wins(self):
+        page = build_html_for_doc(1, "utf16 page body")  # 1%4=1
+        assert page[:2] in (b"\xff\xfe", b"\xfe\xff")
+        r = extract_main_html(page)
+        assert r["status"] == "ok"
+        assert r["main_text"] == _expected(1, "utf16 page body")
+
+    def test_utf8_bom(self):
+        from pdfio_spark.pipeline.html_extract import decode_html
+        assert decode_html(b"\xef\xbb\xbfcaf\xc3\xa9") == "café"
+
+    def test_latin1_label_means_cp1252(self):
+        from pdfio_spark.pipeline.html_extract import decode_html
+        # 0x96 is an en dash in cp1252 but a C1 control in ISO-8859-1
+        html = b'<meta charset="iso-8859-1"><p>a\x96b</p>'
+        assert "a–b" in decode_html(html)
+
+    def test_unknown_label_falls_back_utf8(self):
+        from pdfio_spark.pipeline.html_extract import decode_html
+        html = '<meta charset="no-such-enc"><p>café</p>'.encode()
+        assert "café" in decode_html(html)
+
+    def test_meta_outside_first_1k_ignored(self):
+        from pdfio_spark.pipeline.html_extract import decode_html
+        html = b"<!--" + b"x" * 1100 + b'--><meta charset="utf-16">ok'
+        # sniff window passed: decoded as utf-8, not utf-16
+        assert "ok" in decode_html(html)

@@ -321,8 +321,8 @@ def test_warc_to_html_main_content(spark, tmp_path):
     payloads are HTML pages -> read_warc -> boilerplate strip ->
     byte-identical main text per url."""
     import gzip
-    from pdfio_spark.fixtures import chunk_text, sanitize
     from pdfio_spark.pipeline.html_extract import (build_html_for_doc,
+                                                   expected_main_text,
                                                    extract_html)
     from pdfio_spark.pipeline.sources import read_warc
 
@@ -348,8 +348,9 @@ def test_warc_to_html_main_content(spark, tmp_path):
     got = {r["url"]: r for r in out.collect()}
     assert len(got) == 3
     for i in range(3):
-        want = "\n".join(chunk_text(f"Doc {i}: " + sanitize(texts[i]),
-                                    60, 8))
+        # i=2 is a windows-1252 page (charset rotation): the expected
+        # text includes the cp1252 probe, proving the sniffed decode
+        want = expected_main_text(i, texts[i])
         r = got[f"https://ex.org/p{i}.html"]
         assert r["status"] == "ok"
         assert r["main_text"] == want
@@ -491,8 +492,8 @@ def test_run_job_html_mode_resume(spark, tmp_path):
     """--mode html: same launch surface and exactly-once resume contract
     as the PDF job, over the web-page boilerplate-strip pipeline."""
     from pyspark.sql import functions as F
-    from pdfio_spark.fixtures import chunk_text, sanitize
     from pdfio_spark.pipeline.html_extract import (build_html_for_doc,
+                                                   expected_main_text,
                                                    extract_html)
     from pdfio_spark.pipeline.run import run_job
 
@@ -513,8 +514,7 @@ def test_run_job_html_mode_resume(spark, tmp_path):
     assert out.count() == 40
     assert out.select("url").distinct().count() == 40
     got = {r["url"]: r["main_text"] for r in out.collect()}
-    want = "\n".join(chunk_text("Doc 7: " + sanitize("page body 7 " * 9),
-                                60, 8))
+    want = expected_main_text(7, "page body 7 " * 9)  # sjis page
     assert got["doc://7"] == want
     m = spark.read.parquet(met)
     assert m.agg(F.sum("n_docs")).collect()[0][0] == 25
@@ -524,8 +524,8 @@ def test_run_job_html_mode_resume(spark, tmp_path):
 def test_stream_extract_html(spark, tmp_path):
     """Streaming HTML boilerplate strip: exactly-once over the
     checkpoint, byte-identical main text."""
-    from pdfio_spark.fixtures import chunk_text, sanitize
-    from pdfio_spark.pipeline.html_extract import build_html_for_doc
+    from pdfio_spark.pipeline.html_extract import (build_html_for_doc,
+                                                   expected_main_text)
     from pdfio_spark.pipeline.streaming import stream_extract_html
 
     rows = [(f"doc://{i}", build_html_for_doc(i, f"stream body {i} " * 6))
@@ -539,8 +539,7 @@ def test_stream_extract_html(spark, tmp_path):
     assert out.count() == 30
     assert out.filter("status = 'ok'").count() == 30
     got = {r["url"]: r["main_text"] for r in out.collect()}
-    want = "\n".join(chunk_text("Doc 3: " + sanitize("stream body 3 " * 6),
-                                60, 8))
+    want = expected_main_text(3, "stream body 3 " * 6)  # sjis page
     assert got["doc://3"] == want
     # restart with the same checkpoint: nothing reprocessed
     q2 = stream_extract_html(spark, inp, chk, outp)
