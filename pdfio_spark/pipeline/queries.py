@@ -1497,39 +1497,77 @@ def _minhash_md5_oracle() -> str:
 ORACLE_DEDUP_MINHASH_MD5 = _minhash_md5_oracle()
 
 
+def connected_components(pairs: DataFrame, s: str = "s", t: str = "t",
+                         max_rounds: int = 24) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): converges in O(log n) rounds on ANY
+    graph vs O(diameter) for plain min-label propagation, so a
+    pathological chain of near-dups (long path graph) cannot blow the
+    round budget. Per round: one groupBy-min + one join per phase, all
+    shuffles on the node id; localCheckpoint cuts lineage. Returns
+    (labels(node, component=min node id), rounds_used)."""
+    # parent-pointer representation: every edge stored u > v
+    edges = (pairs.select(F.col(s).cast("long").alias("a"),
+                          F.col(t).cast("long").alias("b"))
+             .filter(F.col("a") != F.col("b"))
+             .select(F.greatest("a", "b").alias("u"),
+                     F.least("a", "b").alias("v"))
+             .distinct().localCheckpoint())
+    nodes = (edges.select(F.col("u").alias("node"))
+             .unionAll(edges.select(F.col("v").alias("node")))
+             .distinct().localCheckpoint())
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: center u over the SYMMETRIZED neighborhood; every
+        # strictly-larger neighbor hooks to min(N(u) ∪ {u})
+        sym = edges.unionAll(edges.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v")))
+        lmin = (sym.groupBy("u").agg(F.min("v").alias("m"))
+                .select("u", F.least("u", "m").alias("m")))
+        large = (sym.join(lmin, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        # small-star: edges already point u -> smaller v; all smaller
+        # neighbors (and u itself) hook to the minimum
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (large.join(smin, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .unionAll(smin)
+                 .distinct().localCheckpoint())
+        # order-insensitive edge-set fingerprint; bit_xor cannot
+        # overflow (ANSI mode rejects a plain sum of xxhash64)
+        sig = tuple(small.agg(
+            F.count("*"),
+            F.expr("bit_xor(xxhash64(u, v))")).collect()[0])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        edges = small
+    # fixed point = disjoint stars centered at each component's min
+    labels = (nodes.join(edges.select(F.col("u").alias("node"),
+                                      F.col("v").alias("root")),
+                         "node", "left")
+              .select("node",
+                      F.coalesce("root", "node").alias("component")))
+    return labels, rounds
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup candidate graph — the
     GROUPING stage of a fuzzy-dedup pipeline (pairs alone don't dedup;
-    the keep-one-per-group decision needs components). Iterative
-    min-label propagation: per round one join + one groupBy-min, driver
-    loop ends at fixpoint (O(component diameter) rounds — LSH dedup
-    graphs are shallow). Each round localCheckpoints to cut lineage; at
-    100 TB this is the standard large-scale CC shape (alternating
-    large/small-star is the next refinement; not needed at the
-    diameters dedup graphs have)."""
+    the keep-one-per-group decision needs components). r4: alternating
+    large-star/small-star (the escalation PLANS.md:158 named) replaces
+    min-label propagation — O(log n) rounds regardless of component
+    diameter, same output labels (component = min doc_id)."""
     pairs = q_dedup_minhash_md5(spark, sf_dir)
-    edges = (pairs.select(F.col("doc_a").alias("s"),
-                          F.col("doc_b").alias("t"))
-             .unionByName(pairs.select(F.col("doc_b").alias("s"),
-                                       F.col("doc_a").alias("t")))
-             .localCheckpoint())
-    labels = (edges.select(F.col("s").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
-    for _ in range(15):
-        prop = (edges.join(labels, edges["s"] == labels["node"])
-                .select(F.col("t").alias("node"), F.col("label")))
-        new_labels = (labels.unionByName(prop)
-                      .groupBy("node").agg(F.min("label").alias("label"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"),
-                         F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.label") < F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+    labels, _ = connected_components(pairs, s="doc_a", t="doc_b")
     return (labels.select(F.col("node").alias("doc_id"),
-                          F.col("label").alias("component"))
+                          F.col("component"))
             .orderBy("doc_id"))
 
 
