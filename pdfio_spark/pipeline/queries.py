@@ -1895,6 +1895,17 @@ def _hyperplanes(n: int = 8, dim: int = 64) -> list[list[float]]:
 
 _HP = _hyperplanes()
 
+#: Multi-table LSH (r4, PLANS.md escalation): a SECOND independent
+#: hash table with MORE bits. More bits shrink the worst bucket
+#: (~n/2^bits — the hot-bucket bound); the recall the finer buckets
+#: lose is recovered by unioning candidates across tables. Table 0
+#: keeps the original 8 coarse bits so the candidate set is a strict
+#: superset of the single-table design (recall can only go up); at
+#: 10^9 vectors every table runs at the fine setting and T is the
+#: recall knob.
+ANN_FINE_BITS = 12
+_HP_FINE = _hyperplanes(8 + ANN_FINE_BITS)[8:]  # independent planes
+
 
 def _dot_lit(col, vec):
     arr = F.array(*[F.lit(float(v)) for v in vec])
@@ -1903,17 +1914,17 @@ def _dot_lit(col, vec):
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _bucket_expr(col):
+def _bucket_expr(col, planes: list[list[float]] | None = None):
     b = None
-    for j, hp in enumerate(_HP):
+    for j, hp in enumerate(planes if planes is not None else _HP):
         bit = F.when(_dot_lit(col, hp) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         b = bit if b is None else b + bit
     return b.cast("int")
 
 
-def _bucket_sql(col: str) -> str:
+def _bucket_sql(col: str, planes: list[list[float]] | None = None) -> str:
     terms = []
-    for j, hp in enumerate(_HP):
+    for j, hp in enumerate(planes if planes is not None else _HP):
         lits = ",".join(repr(v) for v in hp)
         terms.append(
             f"CASE WHEN list_dot_product({col}::DOUBLE[], [{lits}]) >= 0 "
@@ -1978,39 +1989,69 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row. At scale the stats half runs BEFORE the pair join;
     buckets whose n_pairs exceed budget get more LSH bits or are
     capped — the observability half of the skew defense. (r3: merged
-    q_lsh_bucket_stats into the assignment query.)"""
+    q_lsh_bucket_stats into the assignment query; r4: fine-table
+    columns — the 12-bit second LSH table's bucket + size, whose worst
+    bucket is provably <= the coarse worst bucket, the bound the
+    multi-table escalation buys.)"""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = emb.select("vec_id", _bucket_expr(F.col("embedding")).alias("bucket"))
+    b = emb.select("vec_id",
+                   _bucket_expr(F.col("embedding")).alias("bucket"),
+                   _bucket_expr(F.col("embedding"), _HP_FINE)
+                   .alias("bucket_fine"))
     stats = (b.groupBy("bucket")
              .agg(F.count("*").alias("n_vectors"))
              .withColumn("n_pairs",
                          (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2)
                          .cast("long")))
+    fstats = (b.groupBy("bucket_fine")
+              .agg(F.count("*").alias("n_vectors_fine")))
     return (b.join(F.broadcast(stats), "bucket")
-            .select("vec_id", "bucket", "n_vectors", "n_pairs")
+            .join(F.broadcast(fstats), "bucket_fine")
+            .select("vec_id", "bucket", "n_vectors", "n_pairs",
+                    "bucket_fine", "n_vectors_fine")
             .orderBy("vec_id"))
 
 
 ORACLE_LSH_BUCKETS = f"""
 WITH b AS (
-  SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+  SELECT vec_id, {_bucket_sql('embedding')} AS bucket,
+         {_bucket_sql('embedding', _HP_FINE)} AS bucket_fine
+  FROM embeddings
 ), s AS (
   SELECT bucket, count(*) AS n_vectors,
          cast(count(*) * (count(*) - 1) / 2 AS bigint) AS n_pairs
   FROM b GROUP BY bucket
+), fs AS (
+  SELECT bucket_fine, count(*) AS n_vectors_fine
+  FROM b GROUP BY bucket_fine
 )
-SELECT vec_id, b.bucket, n_vectors, n_pairs
-FROM b JOIN s ON b.bucket = s.bucket ORDER BY vec_id
+SELECT vec_id, b.bucket, n_vectors, n_pairs, b.bucket_fine,
+       n_vectors_fine
+FROM b JOIN s ON b.bucket = s.bucket
+       JOIN fs ON b.bucket_fine = fs.bucket_fine
+ORDER BY vec_id
 """
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via LSH candidate pruning: exact cosine only WITHIN buckets,
-    top-3 per vector — the 100 TB-scale alternative to the brute-force
-    cross join (candidates shrink ~256x with 8 bits)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = emb.select("vec_id", "embedding",
-                   _bucket_expr(F.col("embedding")).alias("bucket"))
+def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
+                      k: int = 3) -> DataFrame:
+    """Multi-table LSH ANN over an embeddings-shaped DataFrame: each
+    vector is hashed into `tables` independent LSH tables (table 0 =
+    8 coarse bits, table 1 = ANN_FINE_BITS fine bits); within-bucket
+    exact-cosine candidates are unioned across tables (DISTINCT pairs)
+    and ranked top-k. One melt + ONE salted equi-join covers all
+    tables: bucket keys are made disjoint per table, so the adaptive
+    skew salting composes unchanged."""
+    cols = [_bucket_expr(F.col("embedding")).alias("b0")]
+    if tables > 1:
+        # offset keeps per-table key spaces disjoint in one join column
+        cols.append((F.lit(1 << ANN_FINE_BITS)
+                     + _bucket_expr(F.col("embedding"), _HP_FINE))
+                    .cast("int").alias("b1"))
+    b = (emb.select("vec_id", "embedding", *cols)
+         .select("vec_id", "embedding",
+                 F.explode(F.array("b0", "b1") if tables > 1
+                           else F.array("b0")).alias("bucket")))
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
                    lambda x, y: x.cast("double") * y.cast("double")),
@@ -2023,27 +2064,43 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (_salted_bucket_pairs(b, lambda a, c: a != c)
              .select(F.col("a.vec_id").alias("vec_id"),
                      F.col("c.vec_id").alias("nn_id"),
-                     sim.alias("cos_sim")))
+                     sim.alias("cos_sim"))
+             .distinct())   # a pair found by both tables ranks once
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
                                              F.asc("nn_id"))
     return (pairs.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 3)
+            .filter(F.col("rk") <= k)
             .orderBy("vec_id", "rk"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table LSH candidate pruning: exact cosine only
+    WITHIN buckets, candidates unioned across 2 independent hash tables
+    (8 coarse + 12 fine bits), top-3 per vector — the 100 TB-scale
+    alternative to the brute-force cross join. The fine table bounds
+    the worst bucket at ~n/4096; the coarse table keeps recall a
+    superset of the single-table design (r4; was 1 table x 8 bits)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk_over(emb)
 
 
 ORACLE_ANN_LSH_TOPK = f"""
 WITH b AS (
-  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  SELECT vec_id, embedding,
+         {_bucket_sql('embedding')} AS b0,
+         {1 << ANN_FINE_BITS} + {_bucket_sql('embedding', _HP_FINE)} AS b1
   FROM embeddings
+), m AS (
+  SELECT vec_id, embedding, unnest([b0, b1]) AS bucket FROM b
 ), pairs AS (
-  SELECT a.vec_id, c.vec_id AS nn_id,
+  SELECT DISTINCT a.vec_id, c.vec_id AS nn_id,
          round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
                / (sqrt(list_dot_product(a.embedding::DOUBLE[],
                                         a.embedding::DOUBLE[]))
                   * sqrt(list_dot_product(c.embedding::DOUBLE[],
                                           c.embedding::DOUBLE[]))), 6)
              AS cos_sim
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  FROM m a JOIN m c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
 ), ranked AS (
   SELECT vec_id, nn_id, cos_sim,
          cast(row_number() OVER (PARTITION BY vec_id
