@@ -8,7 +8,11 @@ training-data plane queries.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_REPLICATE (corpus multiplier, default 4 -> 20k PDFs at sf0.1).
+     BENCH_REPLICATE (corpus multiplier, default 4 -> 20k PDFs at sf0.1),
+     BENCH_PROTOCOL ("steady" = extract best-of-3 / queries best-of-2,
+     the default; "cold" = every timing single-shot, first-run warm-up
+     included — kept so round-over-round comparisons can be made under
+     either discipline, see BENCH/BASELINE.md r4 dual-protocol table).
 """
 from __future__ import annotations
 
@@ -52,6 +56,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     k = int(os.environ.get("BENCH_REPLICATE", "4"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    protocol = os.environ.get("BENCH_PROTOCOL", "steady")
+    reps_extract, reps_query = (3, 2) if protocol == "steady" else (1, 1)
 
     spark = get_spark(cpus=cpus, app="pdfio_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,7 +72,7 @@ def main() -> None:
 
     # best-of-3: the sandbox VM shows double-digit run-to-run variance
     t_extract = None
-    for _ in range(3):
+    for _ in range(reps_extract):
         t0 = time.perf_counter()
         ext = extract_pdfs(corpus)
         agg = (ext.groupBy("status")
@@ -88,7 +94,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]
         best = None
-        for _ in range(2):
+        for _ in range(reps_query):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -109,8 +115,11 @@ def main() -> None:
         "corpus_mb": round((sum_bytes or 0) / 1e6, 1),
         "cpus": cpus,
         "extract_sec": round(t_extract, 3),
-        "timing": "extract best-of-3, queries best-of-2 (steady-state; "
-                  "VM run-to-run variance is double-digit)",
+        "timing": ("extract best-of-3, queries best-of-2 (steady-state; "
+                   "VM run-to-run variance is double-digit)"
+                   if protocol == "steady" else
+                   "cold: every timing single-shot incl. first-run "
+                   "warm-up (r2-and-earlier protocol)"),
     }
     # attach the latest pinned local[8]/local[32] study if present
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
