@@ -53,3 +53,38 @@ def test_real_html_main_content(path, title_marker, content_marker):
     # no markup or script/style leakage into extracted text
     assert "</" not in r["main_text"]
     assert "javascript" not in r["main_text"].lower()
+
+
+def test_package_data_loads_from_zip(tmp_path):
+    """spark-submit --py-files ships the package as a ZIP: every data
+    file (encodings/AFM JSON, ALL signing/trust PEMs) must load through
+    importlib.resources from inside the archive — a plain open() on a
+    filesystem path would break exactly here (CLAUDE.md invariant; the
+    r4 trust-store PEMs are the newest way to regress it)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_base = str(tmp_path / "pdfio_spark_pkg")
+    staged = tmp_path / "stage"
+    shutil.copytree(os.path.join(repo, "pdfio_spark"),
+                    staged / "pdfio_spark")
+    shutil.make_archive(zip_base, "zip", staged)
+    probe = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from pdfio_spark.fixtures import test_trust_pems, _test_identity\n"
+        "import pdfio_spark.fixtures as fx\n"
+        "assert len(test_trust_pems()) == 4\n"
+        "for which in fx._IDENTITY_FILES:\n"
+        "    cert, key, extras = fx._test_identity(which)\n"
+        "    assert cert is not None and key is not None\n"
+        "import pdfio_spark.pd.fonts as fonts  # loads afm/encodings json\n"
+        "from pdfio_spark.fixtures import build_fixture\n"
+        "from pdfio_spark.pd.extract import extract_doc\n"
+        "r = extract_doc(build_fixture('flate_simple', ['zip probe']))\n"
+        "assert r['status'] == 'ok' and 'zip probe' in r['text']\n"
+        "print('ZIP-OK')\n")
+    r = subprocess.run([sys.executable, "-c", probe, zip_base + ".zip"],
+                       capture_output=True, text=True, cwd=str(tmp_path))
+    assert "ZIP-OK" in r.stdout, r.stderr[-2000:]
