@@ -134,9 +134,14 @@ def pdDocValidateSignatures(doc: PDDoc, data: bytes | None = None,
     """pdDocValidateSignatures (PDDoc.jl:519-562). The engine needs the
     original bytes for /ByteRange; PDDoc keeps them. `trust` (a
     pd.signature.TrustStore) enables chain-of-trust anchoring — the
-    reference's CertStore path (PDSignature.jl:13-48)."""
+    reference's CertStore path (PDSignature.jl:13-48). `export=True`
+    attaches each signer's certs (subject/issuer/PEM) to the status —
+    the reference writes them to `<pdf>.pem` (PDDoc.jl:548-559); here
+    the PEM text rides in the result so a Spark caller can persist it
+    to a column/sink instead of an executor-local file."""
     return validate_signatures(
-        doc, data if data is not None else doc.cos.data, trust=trust)
+        doc, data if data is not None else doc.cos.data, trust=trust,
+        export_certs=export)
 
 
 def pdPageGetContents(page: PDPage) -> bytes:

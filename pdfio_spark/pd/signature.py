@@ -355,8 +355,21 @@ def _str_bytes(v) -> bytes:
     return b""
 
 
+def _cert_info(cert) -> dict:
+    """subject/issuer/PEM text for a signer cert — the reference's
+    :certs entries (get_info + export path, PDDoc.jl:535-559)."""
+    from cryptography.hazmat.primitives.serialization import Encoding
+    try:
+        return {"subject": cert.subject.rfc4514_string(),
+                "issuer": cert.issuer.rfc4514_string(),
+                "pem": cert.public_bytes(Encoding.PEM).decode("ascii")}
+    except Exception:
+        return {"subject": "", "issuer": "", "pem": ""}
+
+
 def validate_signatures(doc, data: bytes,
-                        trust: "TrustStore | None" = None) -> list[dict]:
+                        trust: "TrustStore | None" = None,
+                        export_certs: bool = False) -> list[dict]:
     """pd_validate_signature (PDSignature.jl:101-154) over every /Sig
     field: returns one status dict per signature with passed/subfilter/
     name/m/signer/error. With a TrustStore, additionally anchors the
@@ -407,6 +420,12 @@ def validate_signatures(doc, data: bytes,
             cert = r.pop("_cert", None)
             pool = r.pop("_pool", [cert] if cert is not None else [])
             status.update(r)
+            if export_certs and pool:
+                # the reference writes these to <pdf>.pem
+                # (PDDoc.jl:548-559); executors must not write local
+                # files, so the PEM text rides in the status row and
+                # the caller persists it (e.g. to a certs column/sink)
+                status["certs"] = [_cert_info(c) for c in pool]
             if status["passed"] and cert is not None:
                 exp = _expiry_error(cert, status["m"])
                 if exp is not None:

@@ -515,3 +515,25 @@ class TestTiffPredictorAllDepths:
         from pdfio_spark.cos.filters import apply_tiff_predictor2
         with pytest.raises(NotImplementedError):
             apply_tiff_predictor2(b"\x00" * 8, 4, 1, 3)
+
+
+class TestSignatureCertExport:
+    def test_export_attaches_cert_info(self):
+        """pdDocValidateSignatures(export=True) parity: each status
+        carries the signer certs as subject/issuer/PEM (the reference
+        writes them to <pdf>.pem, PDDoc.jl:548-559; in Spark the PEM
+        rides in the row instead of an executor-local file)."""
+        from pdfio_spark.api import pdDocValidateSignatures
+        from pdfio_spark.fixtures import make_signed_pdf
+        from pdfio_spark.pd.pagetree import PDDoc
+        pdf = make_signed_pdf(["Doc 1: export body"], identity="leaf")
+        st = pdDocValidateSignatures(PDDoc(pdf), export=True)[0]
+        assert st["passed"]
+        subs = {c["subject"] for c in st["certs"]}
+        # leaf CMS embeds the signer AND its issuing CA
+        assert subs == {"CN=pdfio-spark-leaf", "CN=pdfio-spark-ca"}
+        assert all(c["pem"].startswith("-----BEGIN CERTIFICATE")
+                   for c in st["certs"])
+        # default (export omitted): no certs key
+        st2 = pdDocValidateSignatures(PDDoc(pdf))[0]
+        assert "certs" not in st2
