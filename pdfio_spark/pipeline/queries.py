@@ -1393,6 +1393,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     allb = bands[0]
     for b in bands[1:]:
         allb = allb.unionByName(b)
+    # materialize once — the self-join recomputes the 16-minhash
+    # pipeline on both sides otherwise (same as the md5 twin)
+    allb = allb.localCheckpoint()
     left = allb.alias("a")
     right = allb.alias("b")
     pairs = (left.join(right, (F.col("a.band") == F.col("b.band"))
@@ -1430,6 +1433,11 @@ def _minhash_md5_candidates(docs: DataFrame) -> DataFrame:
     allb = bands[0]
     for b in bands[1:]:
         allb = allb.unionByName(b)
+    # materialize band-bucket rows once: the self-join would recompute
+    # the whole shingle->16-minhash pipeline on BOTH sides (same
+    # rationale as the ANN melt checkpoint; at scale the signature
+    # table is persisted before the join anyway)
+    allb = allb.localCheckpoint()
     left, right = allb.alias("a"), allb.alias("c")
     return (left.join(right, (F.col("a.band") == F.col("c.band"))
                       & (F.col("a.bucket") == F.col("c.bucket"))
@@ -2048,10 +2056,15 @@ def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
         cols.append((F.lit(1 << ANN_FINE_BITS)
                      + _bucket_expr(F.col("embedding"), _HP_FINE))
                     .cast("int").alias("b1"))
+    # materialize the melted bucket table ONCE (localCheckpoint): the
+    # self-join would otherwise recompute all (8+12) hyperplane dot
+    # products on BOTH sides — measured 35% of query time at sf0.1; at
+    # 10^9 vectors the bucket assignment is a persisted table anyway
     b = (emb.select("vec_id", "embedding", *cols)
          .select("vec_id", "embedding",
                  F.explode(F.array("b0", "b1") if tables > 1
-                           else F.array("b0")).alias("bucket")))
+                           else F.array("b0")).alias("bucket"))
+         .localCheckpoint())
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
                    lambda x, y: x.cast("double") * y.cast("double")),
