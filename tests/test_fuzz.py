@@ -155,3 +155,29 @@ def test_signature_validation_never_crashes_on_mutation(data):
                 gap_end = sig_pdf.find(b">", gap_start) + 1
                 br_ok = gap_start <= i < gap_end
             assert br_ok, f"tampered byte {i} validated"
+
+
+@given(st.data())
+@settings(max_examples=20, deadline=None)
+def test_trust_validation_never_crashes_on_mutation(data):
+    """r4 trust path under mutation: bit-flipped chain-class PDFs
+    (leaf/untrusted/ec identities) through validate_signatures WITH a
+    trust store must always return status dicts, never raise — the
+    chain builder sees malformed certs, truncated CMS pools, and
+    corrupt signatures here."""
+    from pdfio_spark.fixtures import make_signed_pdf, test_trust_pems
+    from pdfio_spark.pd.pagetree import PDDoc
+    from pdfio_spark.pd.signature import TrustStore, validate_signatures
+    ident = data.draw(st.sampled_from(["leaf", "untrusted", "ec"]))
+    pdf = bytearray(make_signed_pdf(["fuzz trust"], identity=ident))
+    trust = TrustStore.from_pems(test_trust_pems())
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        i = data.draw(st.integers(min_value=0, max_value=len(pdf) - 1))
+        pdf[i] = data.draw(st.integers(min_value=0, max_value=255))
+    try:
+        doc = PDDoc(bytes(pdf))
+    except Exception:
+        return
+    for s in validate_signatures(doc, bytes(pdf), trust=trust):
+        assert isinstance(s, dict) and "passed" in s
+        assert isinstance(s["passed"], bool)
