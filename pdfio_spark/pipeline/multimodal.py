@@ -2,12 +2,16 @@
 metadata, processed by Arrow-batched UDFs.
 
 The Spark-side plumbing is real and tested: schemas, partitioning, UDF
-signatures, Arrow batch shapes, and the binary container parsing. The
-actual codec decode (JPEG/Opus/H.264) is STUBBED — the sandbox has no
-image/audio libraries — behind `_decode_pixels`, which raises
-NotImplementedError and falls back to a deterministic fake so the
-downstream geometry (resize math, frame sampling) is exercised for
-real.
+signatures, Arrow batch shapes, and the binary container parsing.
+Decode is REAL for the uncompressed formats (r4): BMP image bodies and
+WAV-PCM16 audio bodies are sniffed by magic and decoded with the
+pure-numpy codecs in pipeline/codecs.py (real pixels -> real resize +
+stats; real samples -> rate/RMS). Compressed codecs (JPEG/Opus/H.264)
+remain STUBBED — the sandbox has no image/audio libraries — behind the
+same `_decode_pixels`/`_decode_audio` hooks, which raise
+NotImplementedError and fall back to a deterministic fake so the
+downstream geometry is still exercised; real deployments plug
+Pillow/ffmpeg into those hooks.
 
 Synthetic container format (SMX1), generated from the embeddings table:
 
@@ -29,7 +33,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["gen_media_corpus", "media_metadata", "media_thumbnail",
-           "media_frame_sample", "synth_media", "parse_media_header"]
+           "media_frame_sample", "media_audio_stats", "synth_media",
+           "parse_media_header"]
 
 _HDR = struct.Struct(">4sBHHIB")
 
@@ -51,6 +56,13 @@ def synth_media(media_id: int) -> bytes:
     return hdr + bytes(stream[:body_len])
 
 
+def make_container(kind: int, width: int, height: int, dur_ms: int,
+                   codec: int, body: bytes) -> bytes:
+    """SMX1 container around an arbitrary body — e.g. a real BMP or
+    WAV payload (the r4 real-decode path)."""
+    return _HDR.pack(b"SMX1", kind, width, height, dur_ms, codec) + body
+
+
 def parse_media_header(payload: bytes) -> dict | None:
     if len(payload) < _HDR.size:
         return None
@@ -63,15 +75,42 @@ def parse_media_header(payload: bytes) -> dict | None:
 
 
 def _decode_pixels(body: bytes, width: int, height: int):
-    """Codec decode — STUB. Real deployments plug Pillow/ffmpeg here;
-    this container has no real codec, so raise and let callers use the
-    deterministic fallback."""
-    raise NotImplementedError("codec decode not available in this sandbox")
+    """Image decode hook: REAL for BMP (pure numpy, codecs.py); raises
+    NotImplementedError for compressed codecs (JPEG/...) — the sandbox
+    has no image libraries; real deployments plug Pillow here."""
+    if body[:2] == b"BM":
+        from .codecs import decode_bmp
+        px = decode_bmp(body)
+        if px.shape[:2] != (height, width):
+            raise ValueError(
+                f"container/BMP dim mismatch: {px.shape[:2]} vs "
+                f"({height}, {width})")
+        return px
+    raise NotImplementedError("compressed image codec not available")
+
+
+def _decode_audio(body: bytes):
+    """Audio decode hook: REAL for WAV PCM16 -> (rate, samples);
+    raises NotImplementedError for compressed codecs (Opus/...)."""
+    if body[:4] == b"RIFF":
+        from .codecs import decode_wav_pcm16
+        return decode_wav_pcm16(body)
+    raise NotImplementedError("compressed audio codec not available")
 
 
 def _fake_pixel_stat(body: bytes) -> float:
     """Deterministic stand-in for decoded-pixel statistics."""
     return sum(body) / max(len(body), 1)
+
+
+def _resize_nearest(px, out_w: int, out_h: int):
+    """Nearest-neighbor resize via index sampling — the real thumbnail
+    math over real decoded pixels, no image library needed."""
+    import numpy as np
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
 
 
 def gen_media_corpus(emb: DataFrame) -> DataFrame:
@@ -151,7 +190,9 @@ def media_thumbnail(media: DataFrame, max_side: int = 128) -> DataFrame:
                     ow = max(1, (w * max_side) // m)
                     oh = max(1, (ht * max_side) // m)
                 try:
-                    px = _decode_pixels(h["body"], w, ht)
+                    import numpy as np
+                    pixels = _decode_pixels(h["body"], w, ht)
+                    px = float(np.mean(_resize_nearest(pixels, ow, oh)))
                 except NotImplementedError:
                     px = _fake_pixel_stat(h["body"])
                 out["media_id"].append(mid)
@@ -167,6 +208,49 @@ def media_thumbnail(media: DataFrame, max_side: int = 128) -> DataFrame:
 
     return media.mapInArrow(
         thumb, "media_id long, out_w int, out_h int, px double")
+
+
+def media_audio_stats(media: DataFrame) -> DataFrame:
+    """Audio rows (kind 1): decode WAV-PCM16 bodies for real (rate,
+    frame count, RMS over int16 samples); compressed bodies fall back
+    to NULL stats with decoded=false — the honest split between the
+    real uncompressed path and the env-stubbed codec path."""
+
+    def stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            out = {k: [] for k in ("media_id", "decoded", "rate",
+                                   "n_frames", "rms")}
+            for mid, p in zip(ids, payloads):
+                h = parse_media_header(p or b"")
+                if h is None or h["kind"] != 1:
+                    continue
+                out["media_id"].append(mid)
+                try:
+                    rate, samples = _decode_audio(h["body"])
+                    out["decoded"].append(True)
+                    out["rate"].append(rate)
+                    out["n_frames"].append(samples.shape[0])
+                    out["rms"].append(float(np.sqrt(np.mean(
+                        samples.astype(np.float64) ** 2))))
+                except NotImplementedError:
+                    out["decoded"].append(False)
+                    out["rate"].append(None)
+                    out["n_frames"].append(None)
+                    out["rms"].append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["media_id"], pa.int64()),
+                 pa.array(out["decoded"], pa.bool_()),
+                 pa.array(out["rate"], pa.int32()),
+                 pa.array(out["n_frames"], pa.int64()),
+                 pa.array(out["rms"], pa.float64())],
+                names=["media_id", "decoded", "rate", "n_frames", "rms"])
+
+    return media.mapInArrow(
+        stats, "media_id long, decoded boolean, rate int, "
+               "n_frames long, rms double")
 
 
 def media_frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

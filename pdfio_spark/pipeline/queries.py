@@ -2262,10 +2262,12 @@ def q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all media), thumbnail resize geometry (images, kind 0), and
     per-second frame sampling (videos, kind 2) — Arrow UDF stages over
     the same corpus, left-joined per media_id with the pruned sides
-    broadcast. Pixel/codec decode is the documented sandbox stub
-    (pipeline/multimodal.py); header parsing, Arrow batching, and the
-    resize/sample math are real and oracled. (r3: merged the three r2
-    media queries.)"""
+    broadcast. Decode is REAL for uncompressed formats (r4: BMP +
+    WAV-PCM16, pure-numpy codecs.py, sniffed by magic in the decode
+    hooks); compressed codecs (JPEG/Opus/H.264) remain the documented
+    sandbox stub behind the same hooks. Header parsing, Arrow
+    batching, and the resize/sample math are real and oracled.
+    (r3: merged the three r2 media queries.)"""
     from .multimodal import (gen_media_corpus, media_metadata,
                              media_thumbnail, media_frame_sample)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

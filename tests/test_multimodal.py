@@ -46,3 +46,109 @@ def test_resize_geometry():
     assert dims(512, 256) == (128, 64)
     assert dims(300, 500) == ((300 * 128) // 500, 128)
     assert dims(10000, 1) == (128, 1)
+
+
+# ----------------------------------------------- r4: real codecs (BMP/WAV)
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+    from pdfio_spark.pipeline.codecs import decode_bmp, encode_bmp
+    rng = np.random.default_rng(7)
+    for h, w in ((1, 1), (5, 3), (16, 16), (7, 21)):  # odd widths pad
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_rejects_garbage_and_unsupported():
+    import numpy as np
+    from pdfio_spark.pipeline.codecs import decode_bmp, encode_bmp
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp at all")
+    data = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    data[28] = 8  # bpp=8 -> unsupported
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(data))
+    with pytest.raises(ValueError):  # truncated body
+        decode_bmp(bytes(encode_bmp(np.zeros((4, 4, 3), np.uint8))[:-5]))
+
+
+def test_wav_roundtrip_mono_stereo():
+    import numpy as np
+    from pdfio_spark.pipeline.codecs import (decode_wav_pcm16,
+                                             encode_wav_pcm16)
+    mono = (np.sin(np.arange(800) / 10) * 12000).astype(np.int16)
+    rate, out = decode_wav_pcm16(encode_wav_pcm16(mono, 16000))
+    assert rate == 16000 and np.array_equal(out[:, 0], mono)
+    st = np.stack([mono, -mono], axis=1).astype(np.int16)
+    rate, out = decode_wav_pcm16(encode_wav_pcm16(st, 44100, channels=2))
+    assert rate == 44100 and out.shape == (800, 2)
+    assert np.array_equal(out, st)
+
+
+def test_wav_tolerates_extra_chunks():
+    import numpy as np
+    import struct
+    from pdfio_spark.pipeline.codecs import (decode_wav_pcm16,
+                                             encode_wav_pcm16)
+    wav = bytearray(encode_wav_pcm16(np.arange(10, dtype=np.int16), 8000))
+    # splice a LIST chunk between fmt and data
+    fmt_end = wav.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = bytes(wav[:fmt_end]) + extra + bytes(wav[fmt_end:])
+    spliced = (b"RIFF" + struct.pack("<I", len(spliced) - 8)
+               + spliced[8:])
+    rate, out = decode_wav_pcm16(spliced)
+    assert rate == 8000 and out.shape[0] == 10
+
+
+def test_media_thumbnail_real_bmp_path(tmp_path):
+    """An SMX row whose body is a REAL BMP must go through the real
+    decode + nearest-neighbor resize: px is the mean of the resized
+    pixels (computed independently here), not the keystream fake."""
+    import numpy as np
+    from pdfio_spark.pipeline.multimodal import (_resize_nearest,
+                                                 make_container,
+                                                 media_thumbnail)
+    from pdfio_spark.pipeline.codecs import encode_bmp
+    from pdfio_spark.pipeline.session import get_spark
+    spark = get_spark(cpus=2, app="mm_codec_test", shuffle_partitions=4)
+    try:
+        rng = np.random.default_rng(42)
+        w, h = 200, 300
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = make_container(0, w, h, 0, 1, encode_bmp(px))
+        df = spark.createDataFrame(
+            [(1, 0, bytearray(payload))],
+            "media_id long, kind int, payload binary")
+        row = media_thumbnail(df).collect()[0]
+        ow, oh = (w * 128) // h, 128
+        assert (row.out_w, row.out_h) == (ow, oh)
+        want = float(np.mean(_resize_nearest(px, ow, oh)))
+        assert row.px == pytest.approx(want, abs=1e-9)
+    finally:
+        spark.stop()
+
+
+def test_media_audio_stats_real_and_stubbed():
+    import numpy as np
+    from pdfio_spark.pipeline.multimodal import (make_container,
+                                                 media_audio_stats)
+    from pdfio_spark.pipeline.codecs import encode_wav_pcm16
+    from pdfio_spark.pipeline.session import get_spark
+    spark = get_spark(cpus=2, app="mm_audio_test", shuffle_partitions=4)
+    try:
+        samples = (np.sin(np.arange(1600) / 5) * 9000).astype(np.int16)
+        wav_row = make_container(1, 0, 0, 100, 1,
+                                 encode_wav_pcm16(samples, 16000))
+        opus_row = make_container(1, 0, 0, 100, 2, b"\x01\x02\x03junk")
+        df = spark.createDataFrame(
+            [(1, 1, bytearray(wav_row)), (2, 1, bytearray(opus_row))],
+            "media_id long, kind int, payload binary")
+        rows = {r.media_id: r for r in media_audio_stats(df).collect()}
+        assert rows[1].decoded and rows[1].rate == 16000
+        assert rows[1].n_frames == 1600
+        want_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+        assert rows[1].rms == pytest.approx(want_rms, rel=1e-12)
+        assert not rows[2].decoded and rows[2].rms is None
+    finally:
+        spark.stop()
