@@ -1061,6 +1061,46 @@ FROM documents GROUP BY 1 ORDER BY text_hash
 """
 
 
+def dedup_keep_list(docs: DataFrame) -> DataFrame:
+    """END-TO-END dedup (the full training-pipeline operator, r4):
+    exact stage -> near-dup stage over exact representatives -> star
+    connected components -> one keep decision per input doc.
+
+    Pipeline order is the load-bearing part (measured in the 1M clique
+    soak, BENCH/BASELINE.md): heavy exact/near-identical duplication
+    forms k-cliques in the LSH candidate graph (k^2/2 pairs); the
+    exact hash-groupBy collapses identical docs FIRST, so MinHash runs
+    over one representative per exact group and the pair graph scales
+    with the distinct corpus, not the raw one.
+
+    Returns (doc_id, keep_id, is_kept): keep_id = min doc_id over the
+    doc's whole duplicate cluster (exact group ∪ near-dup component);
+    is_kept marks the one row per cluster a filtering job retains."""
+    norm = F.lower(F.regexp_replace(F.coalesce("text", F.lit("")),
+                                    r"\s+", " "))
+    hashed = docs.select("doc_id", "text", F.md5(norm).alias("h"))
+    groups = (hashed.groupBy("h")
+              .agg(F.min("doc_id").alias("rep_id"))
+              .localCheckpoint())
+    # near-dup candidates over ONE representative per exact group
+    # (groups is one row per DISTINCT hash — corpus-sized, so these are
+    # shuffle joins on h, NOT broadcasts)
+    reps = (hashed.join(groups, "h")
+            .filter(F.col("doc_id") == F.col("rep_id"))
+            .select(F.col("rep_id").alias("doc_id"), "text"))
+    pairs = _minhash_md5_candidates(reps)
+    labels, _ = connected_components(pairs, s="doc_a", t="doc_b")
+    rep_keep = labels.select(F.col("node").alias("rep_id"),
+                             F.col("component").alias("keep_id"))
+    out = (hashed.select("doc_id", "h")
+           .join(groups, "h")
+           .join(rep_keep, "rep_id", "left")
+           .select("doc_id",
+                   F.coalesce("keep_id", "rep_id").alias("keep_id")))
+    return (out.withColumn("is_kept", F.col("doc_id") == F.col("keep_id"))
+            .orderBy("doc_id"))
+
+
 def q_text_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text analytics in ONE pass: token counting (whitespace +
     BPE-ish word/punct regex), quality scoring (length / punctuation /

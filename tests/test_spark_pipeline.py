@@ -661,3 +661,55 @@ def test_multitable_lsh_recall_and_bucket_bound(spark):
     agg = stats.agg(F.max("n_vectors").alias("mc"),
                     F.max("n_vectors_fine").alias("mf")).collect()[0]
     assert agg.mf <= agg.mc, (agg.mf, agg.mc)
+
+
+def test_dedup_keep_list_end_to_end(spark):
+    """Full dedup operator: exact groups collapse FIRST, near-dup
+    components merge across exact groups, one is_kept row per cluster.
+    Corpus: 3 exact copies of text A (docs 0,1,2), a near-dup of A
+    (doc 3: one word changed), an unrelated doc 4, and an exact pair
+    (docs 5,6)."""
+    from pdfio_spark.pipeline.queries import dedup_keep_list
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide field all day long without rest")
+    # one word at the tail changed: verified to band-collide with base
+    # under the deterministic md5 minhash (field->meadow mid-text does
+    # NOT — only ~0.95 of variants collide at this similarity)
+    near = base.replace("rest", "pause")
+    other = ("completely different content about spark catalyst "
+             "optimizer internals and adaptive query execution plans")
+    pairtxt = "an exact duplicate pair lives here with its twin today"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base), (3, near), (4, other),
+         (5, pairtxt), (6, pairtxt)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in dedup_keep_list(docs).collect()}
+    assert len(rows) == 7
+    # docs 0-3 form one cluster (exact trio + near-dup) kept by doc 0
+    assert all(rows[i].keep_id == 0 for i in (0, 1, 2, 3))
+    assert rows[0].is_kept and not any(rows[i].is_kept for i in (1, 2, 3))
+    # unrelated doc keeps itself
+    assert rows[4].keep_id == 4 and rows[4].is_kept
+    # exact pair kept by 5
+    assert rows[5].keep_id == 5 and rows[6].keep_id == 5
+    assert rows[5].is_kept and not rows[6].is_kept
+
+
+def test_dedup_keep_list_collapses_cliques(spark):
+    """The 1M-soak lesson as a unit test: 40 identical docs would form
+    a 780-pair LSH clique if minhash ran on the raw corpus; the exact
+    stage must reduce the near-dup input to ONE representative (zero
+    candidate pairs), and all 40 rows still map to one keep_id."""
+    from pdfio_spark.pipeline import queries as Q
+    docs = spark.createDataFrame(
+        [(i, "forty identical documents stress the clique path today "
+              "with enough words to clear the shingle minimum")
+         for i in range(40)], "doc_id long, text string")
+    rows = Q.dedup_keep_list(docs).collect()
+    assert len(rows) == 40
+    assert all(r.keep_id == 0 for r in rows)
+    assert sum(r.is_kept for r in rows) == 1
+    # and the minhash stage really saw only one representative
+    norm = "forty identical documents"
+    reps_pairs = Q._minhash_md5_candidates(
+        spark.createDataFrame([(0, norm)], "doc_id long, text string"))
+    assert reps_pairs.count() == 0
