@@ -1040,25 +1040,60 @@ FROM documents
 # training-data ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on normalized text; keeps min doc_id
-    per group (map-side partial agg, single shuffle on the hash)."""
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup (r4; evolved from q_dedup_exact, whose exact
+    hash-groupBy stage is the pipeline's first step and remains fully
+    oracled through the group columns): exact groups collapse first,
+    MinHash-LSH runs over one representative per exact group, star
+    connected components merge near-dup clusters, and every input doc
+    gets (text_hash, n_dups, exact_keep, keep_id, is_kept). Pipeline
+    order is the scale lesson from the 1M clique soak
+    (BENCH/BASELINE.md): 18.6 s vs 111 s + GC collapse raw-order."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    norm = F.lower(F.regexp_replace(F.coalesce("text", F.lit("")),
-                                    r"\s+", " "))
-    return (docs.select("doc_id", F.md5(norm).alias("text_hash"))
-            .groupBy("text_hash")
-            .agg(F.count("*").alias("n_dups"),
-                 F.min("doc_id").alias("keep_id"))
-            .orderBy("text_hash"))
+    return dedup_keep_list(docs)
 
 
-ORACLE_DEDUP_EXACT = r"""
-SELECT md5(lower(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))
-           AS text_hash,
-       count(*) AS n_dups, min(doc_id) AS keep_id
-FROM documents GROUP BY 1 ORDER BY text_hash
+def _dedup_pipeline_oracle() -> str:
+    cte_defs, pair_select = _minhash_md5_parts(source="reps")
+    return rf"""
+WITH RECURSIVE hashed AS (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')))
+             AS h
+  FROM documents
+), groups AS (
+  SELECT h, min(doc_id) AS rep_id, count(*) AS n_dups
+  FROM hashed GROUP BY h
+), reps AS (
+  SELECT g.rep_id AS doc_id, hx.text
+  FROM groups g JOIN hashed hx ON hx.doc_id = g.rep_id
+), {cte_defs}, pairs AS (
+  {pair_select}
+), e AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT s AS src, s AS node FROM e
+  UNION
+  SELECT r.src, e2.t FROM reach r JOIN e e2 ON r.node = e2.s
+), cc AS (
+  SELECT src AS rep_id, min(node) AS component
+  FROM reach GROUP BY src
+)
+SELECT hx.doc_id, hx.h AS text_hash, g.n_dups,
+       g.rep_id AS exact_keep,
+       coalesce(cc.component, g.rep_id) AS keep_id,
+       (hx.doc_id = coalesce(cc.component, g.rep_id)) AS is_kept
+FROM hashed hx
+JOIN groups g ON g.h = hx.h
+LEFT JOIN cc ON cc.rep_id = g.rep_id
+ORDER BY hx.doc_id
 """
+
+
+# NOTE: ORACLE_DEDUP_PIPELINE is assigned after _minhash_md5_parts is
+# defined (it composes the shingle/band CTEs over the reps relation).
 
 
 def dedup_keep_list(docs: DataFrame) -> DataFrame:
@@ -1073,14 +1108,18 @@ def dedup_keep_list(docs: DataFrame) -> DataFrame:
     over one representative per exact group and the pair graph scales
     with the distinct corpus, not the raw one.
 
-    Returns (doc_id, keep_id, is_kept): keep_id = min doc_id over the
-    doc's whole duplicate cluster (exact group ∪ near-dup component);
-    is_kept marks the one row per cluster a filtering job retains."""
+    Returns one row per input doc: (doc_id, text_hash, n_dups,
+    exact_keep, keep_id, is_kept) — the exact-stage group info
+    (text_hash, group size, min doc_id of the exact group) plus the
+    final cluster decision: keep_id = min doc_id over the doc's whole
+    duplicate cluster (exact group ∪ near-dup component); is_kept
+    marks the one row per cluster a filtering job retains."""
     norm = F.lower(F.regexp_replace(F.coalesce("text", F.lit("")),
                                     r"\s+", " "))
     hashed = docs.select("doc_id", "text", F.md5(norm).alias("h"))
     groups = (hashed.groupBy("h")
-              .agg(F.min("doc_id").alias("rep_id"))
+              .agg(F.min("doc_id").alias("rep_id"),
+                   F.count("*").alias("n_dups"))
               .localCheckpoint())
     # near-dup candidates over ONE representative per exact group
     # (groups is one row per DISTINCT hash — corpus-sized, so these are
@@ -1095,7 +1134,8 @@ def dedup_keep_list(docs: DataFrame) -> DataFrame:
     out = (hashed.select("doc_id", "h")
            .join(groups, "h")
            .join(rep_keep, "rep_id", "left")
-           .select("doc_id",
+           .select("doc_id", F.col("h").alias("text_hash"), "n_dups",
+                   F.col("rep_id").alias("exact_keep"),
                    F.coalesce("keep_id", "rep_id").alias("keep_id")))
     return (out.withColumn("is_kept", F.col("doc_id") == F.col("keep_id"))
             .orderBy("doc_id"))
@@ -1496,14 +1536,16 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_md5_candidates(docs).orderBy("doc_a", "doc_b")
 
 
-def _minhash_md5_parts() -> tuple[str, str]:
+def _minhash_md5_parts(source: str = "documents") -> tuple[str, str]:
     """Candidate-pair oracle as composable pieces: (cte_defs, pair_select).
 
     cte_defs = the CTE definitions WITHOUT the leading ``WITH`` (so a
     caller can prepend ``WITH`` / ``WITH RECURSIVE`` and append more
     CTEs); pair_select = the final SELECT of (doc_a, doc_b) WITHOUT an
-    ORDER BY. Downstream oracles (components, jaccard) compose these
-    structurally — no string surgery on a finished query (ADVICE r3)."""
+    ORDER BY. Downstream oracles (components, jaccard, dedup pipeline)
+    compose these structurally — no string surgery on a finished query
+    (ADVICE r3). `source` is the (doc_id, text) relation to shingle —
+    ``documents`` or an upstream CTE like the pipeline's ``reps``."""
     mins = ",\n         ".join(
         f"min(md5(sh || ':{i}')) AS h{i}" for i in range(16))
     bands = "\n  UNION ALL\n".join(
@@ -1513,7 +1555,7 @@ def _minhash_md5_parts() -> tuple[str, str]:
     cte_defs = rf"""d AS (
   SELECT doc_id,
          string_split_regex(lower(trim(coalesce(text,''))), '\s+') AS w
-  FROM documents
+  FROM {source}
 ), dd AS (
   SELECT doc_id, w FROM d WHERE len(w) >= 3
 ), sh AS (
@@ -1543,6 +1585,7 @@ def _minhash_md5_oracle() -> str:
 
 
 ORACLE_DEDUP_MINHASH_MD5 = _minhash_md5_oracle()
+ORACLE_DEDUP_PIPELINE = _dedup_pipeline_oracle()
 
 
 def connected_components(pairs: DataFrame, s: str = "s", t: str = "t",
@@ -2446,7 +2489,7 @@ QUERIES = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_distinct_sanity": q_distinct_sanity,
     # training-data ops
-    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_pipeline": q_dedup_pipeline,
     "q_text_analytics": q_text_analytics,
     "q_repetition_filter": q_repetition_filter,
     "q_ann_bruteforce": q_ann_bruteforce,
@@ -2503,7 +2546,7 @@ ORACLES = {
     "q_time_rollup": ORACLE_TIME_ROLLUP,
     "q_embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "q_distinct_sanity": ORACLE_DISTINCT_SANITY,
-    "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_dedup_pipeline": ORACLE_DEDUP_PIPELINE,
     "q_text_analytics": ORACLE_TEXT_ANALYTICS,
     "q_repetition_filter": ORACLE_REPETITION_FILTER,
     "q_ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
