@@ -4,8 +4,12 @@ a script): materialize an N-doc corpus to parquet, then time the
 extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
-Usage: python3 tools/soak.py [pdf|html] [n_docs]   (default pdf 1e6)
+Usage: python3 tools/soak.py [pdf|html|dedup] [n_docs]  (default pdf 1e6)
 Env:   SPARK_GRAFT_CPUS (default 32), SOAK_DIR (default /tmp/soak)
+
+dedup mode: the corpus is n_docs with 200-way exact duplication (the
+clique stress from BENCH/BASELINE.md) run through dedup_keep_list —
+the composed operator whose exact-first ordering is the point.
 """
 from __future__ import annotations
 
@@ -30,6 +34,27 @@ def main() -> None:
     from pdfio_spark.pipeline.session import get_spark
     spark = get_spark(cpus=cpus, app=f"pdfio_soak_{mode}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if mode == "dedup":
+        from pdfio_spark.pipeline.queries import dedup_keep_list
+        tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        k = max(1, n_docs // max(tbl.count(), 1))
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        docs = (tbl.select("doc_id", "text").crossJoin(reps)
+                .select((F.col("doc_id") * k + F.col("rep"))
+                        .alias("doc_id"), "text")
+                .limit(n_docs).repartition(cpus * 2).localCheckpoint())
+        n = docs.count()
+        t0 = time.perf_counter()
+        out = dedup_keep_list(docs)
+        n_rows = out.count()
+        n_kept = out.filter("is_kept").count()
+        dt = time.perf_counter() - t0
+        print(json.dumps({"mode": mode, "n_docs": n, "rows": n_rows,
+                          "kept": n_kept, "sec": round(dt, 1),
+                          "docs_per_sec": round(n / dt, 1)}))
+        spark.stop()
+        return
 
     tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = tbl.count()
