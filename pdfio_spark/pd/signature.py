@@ -182,9 +182,6 @@ def _key_verify(cert, data: bytes, signature: bytes, hash_name: str) -> bool:
         return False
 
 
-_rsa_verify = _key_verify  # historical alias (RSA-only before r4)
-
-
 def _verify_cms(contents: bytes, signed_bytes: bytes,
                 embedded_digest: bool = False) -> dict:
     """Verify a CMS SignedData blob against the ByteRange bytes.
@@ -221,7 +218,7 @@ def _verify_cms(contents: bytes, signed_bytes: bytes,
             to_verify = content
         vh = si["sig_hash"] or h
         for cert in certs:
-            if _rsa_verify(cert, to_verify, si["signature"], vh):
+            if _key_verify(cert, to_verify, si["signature"], vh):
                 try:
                     signer = cert.subject.rfc4514_string()
                 except Exception:
@@ -458,8 +455,9 @@ def _signing_time(m: str | None):
 def _expiry_error(cert, m: str | None) -> str | None:
     """Signer-cert validity window vs the signing time (/M, CDDate):
     the reference's OpenSSL store surfaces expired certs as failures
-    (test/runtests.jl:182-235 expired-cert case); full chain/trust
-    evaluation remains out of scope (documented in QUERIES.md)."""
+    (test/runtests.jl:182-235 expired-cert case). Chain/trust
+    anchoring is the separate TrustStore/_trust_error pass (r4) —
+    this check runs regardless of whether a store was supplied."""
     if not m:
         return None
     from .dates import CDDate

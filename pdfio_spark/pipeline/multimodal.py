@@ -193,7 +193,12 @@ def media_thumbnail(media: DataFrame, max_side: int = 128) -> DataFrame:
                     import numpy as np
                     pixels = _decode_pixels(h["body"], w, ht)
                     px = float(np.mean(_resize_nearest(pixels, ow, oh)))
-                except NotImplementedError:
+                except Exception:
+                    # NotImplementedError (compressed codec) AND any
+                    # malformed-body decode error (a keystream body
+                    # starting with b'BM' raises ValueError at ~2^-16
+                    # per row — a real corpus row must fall back, not
+                    # fail the task)
                     px = _fake_pixel_stat(h["body"])
                 out["media_id"].append(mid)
                 out["out_w"].append(ow)
@@ -235,7 +240,11 @@ def media_audio_stats(media: DataFrame) -> DataFrame:
                     out["n_frames"].append(samples.shape[0])
                     out["rms"].append(float(np.sqrt(np.mean(
                         samples.astype(np.float64) ** 2))))
-                except NotImplementedError:
+                except Exception:
+                    # compressed codec (NotImplementedError) or a
+                    # corrupt/truncated RIFF body (ValueError /
+                    # struct.error) — both are per-row fallbacks, never
+                    # task failures
                     out["decoded"].append(False)
                     out["rate"].append(None)
                     out["n_frames"].append(None)

@@ -1116,23 +1116,26 @@ def dedup_keep_list(docs: DataFrame) -> DataFrame:
     marks the one row per cluster a filtering job retains."""
     norm = F.lower(F.regexp_replace(F.coalesce("text", F.lit("")),
                                     r"\s+", " "))
-    hashed = docs.select("doc_id", "text", F.md5(norm).alias("h"))
-    groups = (hashed.groupBy("h")
+    # (doc_id, hash) materialized ONCE — two downstream branches (reps
+    # selection and the final per-doc join) would otherwise each re-run
+    # the full-text normalize+md5 scan; the checkpoint is id+hash only,
+    # never the text
+    ids = (docs.select("doc_id", F.md5(norm).alias("h"))
+           .localCheckpoint())
+    groups = (ids.groupBy("h")
               .agg(F.min("doc_id").alias("rep_id"),
                    F.count("*").alias("n_dups"))
               .localCheckpoint())
-    # near-dup candidates over ONE representative per exact group
-    # (groups is one row per DISTINCT hash — corpus-sized, so these are
-    # shuffle joins on h, NOT broadcasts)
-    reps = (hashed.join(groups, "h")
-            .filter(F.col("doc_id") == F.col("rep_id"))
-            .select(F.col("rep_id").alias("doc_id"), "text"))
+    # near-dup candidates over ONE representative per exact group; text
+    # comes straight off the source scan by doc_id (groups is one row
+    # per DISTINCT hash — corpus-sized, so shuffle joins, NOT broadcasts)
+    reps = docs.select("doc_id", "text").join(
+        groups.select(F.col("rep_id").alias("doc_id")), "doc_id")
     pairs = _minhash_md5_candidates(reps)
     labels, _ = connected_components(pairs, s="doc_a", t="doc_b")
     rep_keep = labels.select(F.col("node").alias("rep_id"),
                              F.col("component").alias("keep_id"))
-    out = (hashed.select("doc_id", "h")
-           .join(groups, "h")
+    out = (ids.join(groups, "h")
            .join(rep_keep, "rep_id", "left")
            .select("doc_id", F.col("h").alias("text_hash"), "n_dups",
                    F.col("rep_id").alias("exact_keep"),
@@ -2085,10 +2088,13 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket is provably <= the coarse worst bucket, the bound the
     multi-table escalation buys.)"""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # materialize once: three consumers (coarse stats, fine stats, the
+    # final join) would otherwise each recompute all 20 hyperplane dot
+    # products (same rationale as the ann_lsh_topk_over checkpoint)
     b = emb.select("vec_id",
                    _bucket_expr(F.col("embedding")).alias("bucket"),
                    _bucket_expr(F.col("embedding"), _HP_FINE)
-                   .alias("bucket_fine"))
+                   .alias("bucket_fine")).localCheckpoint()
     stats = (b.groupBy("bucket")
              .agg(F.count("*").alias("n_vectors"))
              .withColumn("n_pairs",

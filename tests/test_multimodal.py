@@ -152,3 +152,40 @@ def test_media_audio_stats_real_and_stubbed():
         assert not rows[2].decoded and rows[2].rms is None
     finally:
         spark.stop()
+
+
+def test_decode_fallbacks_on_malformed_magic_bodies():
+    """Review finding (r4): a keystream body that happens to start with
+    b'BM' or b'RIFF' raises ValueError inside the real decoders — the
+    Spark stages must fall back per-row (fake stat / decoded=false),
+    never fail the task. P(BM prefix) is 2^-16 per image row, so a
+    large corpus WILL hit it."""
+    import numpy as np
+    import struct
+    from pdfio_spark.pipeline.multimodal import (make_container,
+                                                 media_audio_stats,
+                                                 media_thumbnail)
+    from pdfio_spark.pipeline.codecs import encode_wav_pcm16
+    from pdfio_spark.pipeline.session import get_spark
+    spark = get_spark(cpus=2, app="mm_fallback_test", shuffle_partitions=4)
+    try:
+        bm_garbage = make_container(0, 100, 50, 0, 0,
+                                    b"BM" + b"\x99" * 60)
+        # valid stereo WAV truncated to an odd sample count
+        st = np.stack([np.arange(10, dtype=np.int16)] * 2, axis=1)
+        wav = bytearray(encode_wav_pcm16(st, 8000, channels=2))
+        trunc = bytes(wav[:-6])  # cuts mid-frame
+        riff_bad = make_container(1, 0, 0, 10, 0, trunc)
+        img_df = spark.createDataFrame(
+            [(1, 0, bytearray(bm_garbage))],
+            "media_id long, kind int, payload binary")
+        row = media_thumbnail(img_df).collect()[0]
+        assert row.px == pytest.approx(
+            sum(b"BM" + b"\x99" * 60) / 62)  # fake-stat fallback
+        aud_df = spark.createDataFrame(
+            [(2, 1, bytearray(riff_bad))],
+            "media_id long, kind int, payload binary")
+        arow = media_audio_stats(aud_df).collect()[0]
+        assert arow.decoded is False and arow.rms is None
+    finally:
+        spark.stop()
