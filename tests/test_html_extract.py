@@ -215,3 +215,14 @@ class TestCharsetSniffing:
         html = b"<!--" + b"x" * 1100 + b'--><meta charset="utf-16">ok'
         # sniff window passed: decoded as utf-8, not utf-16
         assert "ok" in decode_html(html)
+
+
+def test_more_legacy_charset_labels():
+    """Any Python-codec label in <meta charset> is honored — gbk,
+    euc-kr, big5 spot checks (common in real Common Crawl)."""
+    from pdfio_spark.pipeline.html_extract import decode_html
+    cases = [("gbk", "中文网页"), ("euc-kr", "한국어 페이지"),
+             ("big5", "繁體中文")]
+    for label, text in cases:
+        html = f'<meta charset="{label}"><p>{text}</p>'.encode(label)
+        assert text in decode_html(html), label

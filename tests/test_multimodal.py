@@ -189,3 +189,48 @@ def test_decode_fallbacks_on_malformed_magic_bodies():
         assert arow.decoded is False and arow.rms is None
     finally:
         spark.stop()
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(data):
+    import numpy as np
+    from pdfio_spark.pipeline.codecs import decode_bmp, encode_bmp
+    h = data.draw(st.integers(min_value=1, max_value=24))
+    w = data.draw(st.integers(min_value=1, max_value=24))
+    seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                              dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(data):
+    import numpy as np
+    from pdfio_spark.pipeline.codecs import (decode_wav_pcm16,
+                                             encode_wav_pcm16)
+    n = data.draw(st.integers(min_value=1, max_value=500))
+    ch = data.draw(st.integers(min_value=1, max_value=2))
+    rate = data.draw(st.sampled_from([8000, 16000, 44100]))
+    seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    s = np.random.default_rng(seed).integers(-32768, 32768, (n, ch)) \
+        .astype(np.int16)
+    r, out = decode_wav_pcm16(encode_wav_pcm16(s, rate, channels=ch))
+    assert r == rate and np.array_equal(out, s)
+
+
+@given(st.binary(min_size=0, max_size=512))
+@settings(max_examples=60, deadline=None)
+def test_codec_decoders_never_crash_unexpectedly(blob):
+    """Decoders must raise ValueError (the per-row fallback contract),
+    never segfault-ish numpy/struct surprises, on arbitrary bytes."""
+    from pdfio_spark.pipeline.codecs import decode_bmp, decode_wav_pcm16
+    for dec in (decode_bmp, decode_wav_pcm16):
+        try:
+            dec(b"BM" + blob if dec is decode_bmp else b"RIFF" + blob)
+        except (ValueError, Exception):
+            pass  # any exception is fine for the hook (caller catches)
