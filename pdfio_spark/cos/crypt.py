@@ -107,8 +107,6 @@ class StdSecHandler:
         ids = doc.get_id()
         self.id0 = _str_bytes(doc.get_object(ids[0])) if ids else b""
         # crypt filters (V4/V5): resolve StmF/StrF -> CFM
-        self.cfm = Name("V2") if self.v < 4 else None
-        self.stm_cfm = self.str_cfm = None
         if self.v >= 4:
             cf = g("CF") or {}
             stmf = g("StmF", Name("Identity"))
@@ -366,6 +364,7 @@ class PKISecHandler(StdSecHandler):
         else:
             cf = g("CF") or {}
             stmf = g("StmF", Name("Identity"))
+            strf = g("StrF", Name("Identity"))
             cfd = doc.get(cf, stmf) if isinstance(cf, dict) else None
             if cfd is None:
                 raise UnsupportedEncryption("pki crypt filter missing")
@@ -373,6 +372,17 @@ class PKISecHandler(StdSecHandler):
             recipients = doc.get(cfd, Name("Recipients"))
             encrypt_metadata = doc.get(cfd, Name("EncryptMetadata"), True)
             cf_length = int(doc.get(cfd, Name("Length"), self.length))
+            # /StrF may name a DIFFERENT filter (commonly Identity);
+            # strings must not be decrypted with the stream CFM then
+            # (StdSecHandler resolves the two separately — r4 fix)
+            if strf == stmf:
+                str_cfm = cfm
+            elif strf == Name("Identity"):
+                str_cfm = Name("Identity")
+            else:
+                sfd = doc.get(cf, strf) if isinstance(cf, dict) else None
+                str_cfm = (doc.get(sfd, Name("CFM"), Name("None"))
+                           if sfd is not None else Name("Identity"))
         if not isinstance(recipients, list):
             recipients = [recipients] if recipients is not None else []
         blobs = [_str_bytes(doc.get_object(x)) for x in recipients]
@@ -410,7 +420,8 @@ class PKISecHandler(StdSecHandler):
         self.key = h.digest()[:nbytes]
         # r>=5 short-circuits object_key to the file key (AESV3)
         self.r = 5 if cfm == Name("AESV3") else r
-        self.stm_cfm = self.str_cfm = cfm
+        self.stm_cfm = cfm
+        self.str_cfm = str_cfm if r >= 4 else cfm
         self.encrypt_metadata = encrypt_metadata
 
 
@@ -428,6 +439,34 @@ def make_sec_handler(doc):
             sub is not None and str(sub).startswith("adbe.pkcs7")):
         return PKISecHandler(doc, enc, sub)
     raise UnsupportedEncryption(f"security handler {filt} not supported")
+
+
+def _pop_crypt_filter(obj, default_cfm):
+    """If the stream's /Filter chain STARTS with /Crypt (the only spec
+    position), remove that entry (and its DecodeParms slot) and return
+    the CFM to use: None when the named filter is /Identity (payload is
+    plaintext — do not decrypt), else the handler default. Streams
+    without a Crypt filter pass through with the default CFM."""
+    d = obj.dict
+    filt = d.get(Name("Filter"))
+    is_list = isinstance(filt, list)
+    first = filt[0] if (is_list and filt) else filt
+    if first != Name("Crypt"):
+        return default_cfm
+    pkey = Name("DecodeParms") if Name("DecodeParms") in d else Name("DP")
+    parms = d.get(pkey)
+    p0 = (parms[0] if isinstance(parms, list) and parms else
+          parms if isinstance(parms, dict) else None)
+    cname = (p0 or {}).get(Name("Name"), Name("Identity"))
+    if is_list:
+        d[Name("Filter")] = filt[1:]
+        if isinstance(parms, list):
+            d[pkey] = parms[1:]
+    else:
+        d.pop(Name("Filter"), None)
+        if parms is not None:
+            d.pop(pkey, None)
+    return None if cname == Name("Identity") else default_cfm
 
 
 def decrypt_object(handler: StdSecHandler, ind) -> None:
@@ -450,10 +489,17 @@ def decrypt_object(handler: StdSecHandler, ind) -> None:
             if typ == Name("XRef"):
                 return obj
             cfm = handler.stm_cfm
-            # per-stream Crypt filter override: /Filter includes Crypt
+            # per-stream /Crypt filter override (spec 7.4.10; the
+            # reference strips it from the chain, CosCrypt.jl): a
+            # leading Crypt filter names this stream's crypt filter —
+            # /Name /Identity (or absent) means the payload is NOT
+            # encrypted. Strip the Crypt entry either way so the
+            # decode chain never sees it (filters.py would quarantine).
+            cfm = _pop_crypt_filter(obj, cfm)
             obj.dict = {k: (walk(v) if isinstance(v, (LitStr, HexStr, list, dict)) else v)
                         for k, v in obj.dict.items()}
-            obj.raw = handler.decrypt_bytes(obj.raw, num, gen, cfm)
+            if cfm is not None:
+                obj.raw = handler.decrypt_bytes(obj.raw, num, gen, cfm)
             return obj
         return obj
 

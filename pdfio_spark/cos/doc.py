@@ -126,8 +126,11 @@ class CosDoc:
             self._read_xref_tables(b)
 
     def _read_xref_streams(self, b: Buf) -> None:
-        """Walk the Prev chain of /Type /XRef streams (CosDoc.jl:437-455)."""
+        """Walk the Prev chain of /Type /XRef streams (CosDoc.jl:437-455).
+        Visited offsets are tracked: a corrupt /Prev that points back
+        into the chain must terminate, not loop forever (r4)."""
         found = False
+        seen: set[int] = set()
         while True:
             stm = self._parse_indirect_obj(b).obj
             if not isinstance(stm, (Stream, ObjStm)):
@@ -141,14 +144,17 @@ class CosDoc:
             self.xrefstm.append(stm)
             self._read_xref_stream(stm)
             prev = stm.dict.get(Name("Prev"))
-            if prev is None:
+            if prev is None or int(prev) in seen:
                 break
+            seen.add(int(prev))
             b = self._seek(int(prev))
 
     def _read_xref_tables(self, b: Buf) -> None:
         """Walk the Prev chain of classic xref tables, loading hybrid
-        /XRefStm streams too (CosDoc.jl:457-483)."""
+        /XRefStm streams too (CosDoc.jl:457-483). Visited offsets are
+        tracked so a cyclic /Prev terminates (r4)."""
         found = False
+        seen: set[int] = set()
         while True:
             self._read_xref_table(b)
             trailer = self._read_trailer_dict(b)
@@ -166,8 +172,9 @@ class CosDoc:
                 if isinstance(stm, Stream):
                     self._read_xref_stream(stm)
             prev = trailer.get(Name("Prev"))
-            if prev is None:
+            if prev is None or int(prev) in seen:
                 break
+            seen.add(int(prev))
             b = self._seek(int(prev))
 
     def _read_trailer_dict(self, b: Buf) -> dict:
@@ -185,6 +192,10 @@ class CosDoc:
         """Classic 20-byte-record xref section (CosDoc.jl:490-519);
         first-seen entry wins across incremental updates. Sections are
         decoded with numpy (real PDFs carry thousands of records)."""
+        # tolerate a /Prev offset landing on whitespace before 'xref'
+        # (common writer off-by-one; the FIRST table already got this
+        # tolerance through _read_trailers' chomp_space)
+        b.chomp_space()
         b.skipv(_XREF)
         b.chomp_eol()
         while True:
@@ -227,7 +238,10 @@ class CosDoc:
             start_oid = int(index[i])
             count = int(index[i + 1])
             for j in range(count):
-                if it >= datasize:
+                if it + recsize > datasize:
+                    # partial final record (truncated stream): keep the
+                    # entries already decoded — `it >= datasize` alone
+                    # let data[p+k] index past the end (r4)
                     return
                 oid = start_oid + j
                 rec = []
@@ -293,6 +307,12 @@ class CosDoc:
         if isinstance(stmlen, Ref):
             stmlen = self.get_object(stmlen)
             obj[Name("Length")] = stmlen
+        if stmlen is None:
+            # missing /Length or its ref resolved to nothing: ParseError
+            # keeps the failure inside get_object's object-level
+            # quarantine (int(None) raised TypeError, which escaped it
+            # and failed the whole document — r4)
+            raise ParseError("stream /Length missing or unresolvable")
         ln = int(stmlen)
         data = self.data[pos:pos + ln]
         b.pos = pos + ln
@@ -398,7 +418,13 @@ class CosDoc:
         return self.get(self.trailer, Name("Info"))
 
     def get_id(self):
-        return self.trailer.get(Name("ID"))
+        """Trailer /ID, dereferenced (an indirect /ID is nonstandard
+        but occurs in the wild; an unresolved Ref used to reach the
+        security handler and silently yield id0=b'' — r4)."""
+        ids = self.get_object(self.trailer.get(Name("ID")))
+        if isinstance(ids, list):
+            return [self.get_object(x) for x in ids]
+        return ids
 
     def is_encrypted(self) -> bool:
         return self.encrypt is not None

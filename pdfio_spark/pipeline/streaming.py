@@ -49,7 +49,14 @@ def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
             state.remove()
             return iter(())
         if state.exists:
-            return iter(())  # already emitted this url
+            # already emitted this url — but MUST re-arm the timeout:
+            # Spark removes a GroupState timeout on every invocation
+            # that does not set it again, so without this a duplicate
+            # arrival would cancel the TTL and the key would live
+            # forever (exactly the hot keys dedup exists for)
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return iter(())
         first = None
         for pdf in pdf_iter:
             if len(pdf) and first is None:
@@ -130,7 +137,15 @@ def stream_metrics(spark: SparkSession, input_dir: str,
                    watermark: str = "5 minutes"):
     """Watermarked windowed counts over a stream of extraction events
     (ts, status, nbytes): the late-data-tolerant metrics rollup.
-    Sinks to an in-memory table named 'stream_metrics'."""
+    Sinks to an in-memory table named 'stream_metrics'.
+
+    outputMode is UPDATE (r4 fix): with 'complete', Spark ignores the
+    watermark entirely — no aggregation state is ever evicted and late
+    data is never dropped, so the TTL contract was not what actually
+    ran. Update mode emits changed groups per trigger and lets the
+    watermark evict finalized windows; a sink consumer upserts by
+    (window, status) — for the memory-sink demo that means taking the
+    LAST emission per key."""
     src = (spark.readStream
            .schema("ts timestamp, status string, nbytes long")
            .parquet(input_dir))
@@ -141,6 +156,6 @@ def stream_metrics(spark: SparkSession, input_dir: str,
     return (agg.writeStream
             .format("memory")
             .queryName("stream_metrics")
-            .outputMode("complete")
+            .outputMode("update")
             .trigger(availableNow=True)
             .start())

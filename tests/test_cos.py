@@ -537,3 +537,136 @@ class TestSignatureCertExport:
         # default (export omitted): no certs key
         st2 = pdDocValidateSignatures(PDDoc(pdf))[0]
         assert "certs" not in st2
+
+
+class TestR4ReviewFixes:
+    """Regression pins for the round-4 focused-review findings on the
+    older COS plane (crafted corrupt inputs, no fixture class)."""
+
+    def test_cyclic_prev_chain_terminates(self):
+        """A /Prev pointing back at its own xref offset must terminate
+        (was an infinite loop saved only by the SIGALRM row budget)."""
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        pdf = bytearray(build_fixture("flate_simple", ["cycle test"]))
+        sx = pdf.rfind(b"startxref")
+        xref_off = int(bytes(pdf[sx + 9:pdf.rfind(b"%%EOF")]).strip())
+        # splice /Prev <xref_off> into the trailer dict -> self-cycle
+        t = pdf.find(b"trailer", xref_off)
+        lt = pdf.find(b"<<", t) + 2
+        pdf[lt:lt] = f" /Prev {xref_off} ".encode()
+        # startxref offset unchanged (trailer sits after the table)
+        r = extract_doc(bytes(pdf))
+        assert r["status"] in ("ok", "error")  # returned, not hung
+        if r["status"] == "ok":
+            assert "cycle test" in r["text"]
+
+    def test_stream_length_unresolvable_is_object_level(self):
+        """/Length as a ref to a missing object: the row must extract
+        (or error) WITHOUT the TypeError that used to escape the
+        object-level quarantine and kill the whole doc."""
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.cos.objects import Name, Ref
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+               b"3 0 obj\n<< /Length 9 0 R >>\nstream\nabcde\nendstream\n"
+               b"endobj\n")
+        offs = {n: pdf.find(f"{n} 0 obj".encode()) for n in (1, 2, 3)}
+        xref_pos = len(pdf)
+        pdf += (b"xref\n0 4\n0000000000 65535 f \n"
+                + b"".join(f"{offs[n]:010d} 00000 n \n".encode()
+                           for n in (1, 2, 3))
+                + b"trailer\n<< /Size 4 /Root 1 0 R >>\n"
+                + f"startxref\n{xref_pos}\n%%EOF".encode())
+        doc = CosDoc(pdf)
+        assert doc.get_object(Ref(3, 0)) is None  # quarantined object
+        assert doc.get_root() is not None          # doc still opens
+
+    def test_truncated_xref_stream_partial_record(self):
+        """_read_xref_stream with a payload cut mid-record keeps the
+        decoded entries instead of raising IndexError."""
+        from pdfio_spark.cos.doc import CosDoc, PDFError
+        from pdfio_spark.cos.objects import Name, Stream
+        import zlib
+        # W [1 2 1], 3 records but data truncated inside the 3rd
+        recs = (b"\x01\x00\x10\x00" b"\x01\x00\x20\x00" b"\x01\x00")
+        stm = Stream({Name("Type"): Name("XRef"), Name("Size"): 3,
+                      Name("W"): [1, 2, 1], Name("Index"): [0, 3],
+                      Name("Filter"): Name("FlateDecode"),
+                      Name("Length"): 0}, zlib.compress(recs))
+        doc = CosDoc.__new__(CosDoc)
+        doc.xref = {}
+        doc._read_xref_stream(stm)
+        assert len(doc.xref) == 2  # first two records kept
+
+    def test_prev_offset_on_whitespace_tolerated(self):
+        """A /Prev landing one byte early (on the EOL before 'xref')
+        must still parse — chomp_space before the keyword."""
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        pdf = bytearray(build_fixture("incremental", ["prev tolerance"]))
+        # find the /Prev N in the newest trailer and shift it back onto
+        # the preceding newline
+        import re
+        m = list(re.finditer(rb"/Prev (\d+)", pdf))
+        assert m
+        last = m[-1]
+        off = int(last.group(1))
+        assert pdf[off - 1:off] in (b"\n", b"\r")
+        pdf[last.start(1):last.end(1)] = str(off - 1).encode().rjust(
+            last.end(1) - last.start(1), b"0")
+        r = extract_doc(bytes(pdf))
+        assert r["status"] == "ok"
+        assert "prev tolerance" in r["text"]
+
+    def test_identity_crypt_filter_stream_passthrough(self):
+        """A stream declared /Filter /Crypt with /Name /Identity inside
+        an encrypted doc is PLAINTEXT: decrypt_object must strip the
+        Crypt entry and leave the payload alone (it used to garble it
+        and then quarantine on filters.py's NotImplementedError)."""
+        from pdfio_spark.cos.crypt import decrypt_object
+        from pdfio_spark.cos.objects import (IndirectObject, LitStr,
+                                             Name, Stream)
+
+        class FakeHandler:
+            stm_cfm = Name("V2")
+            str_cfm = Name("V2")
+
+            def decrypt_bytes(self, raw, num, gen, cfm):
+                return b"GARBLED" + raw
+
+        s = Stream({Name("Filter"): [Name("Crypt"), Name("FlateDecode")],
+                    Name("DecodeParms"): [{Name("Name"): Name("Identity")},
+                                          None],
+                    Name("Length"): 5}, b"plain")
+        ind = IndirectObject(7, 0, s)
+        decrypt_object(FakeHandler(), ind)
+        assert ind.obj.raw == b"plain"                 # untouched
+        assert ind.obj.dict[Name("Filter")] == [Name("FlateDecode")]
+        assert ind.obj.dict[Name("DecodeParms")] == [None]
+        # and a normal stream still decrypts
+        s2 = Stream({Name("Length"): 2}, b"xy")
+        ind2 = IndirectObject(8, 0, s2)
+        decrypt_object(FakeHandler(), ind2)
+        assert ind2.obj.raw == b"GARBLEDxy"
+
+    def test_indirect_trailer_id_resolves(self):
+        """get_id dereferences an indirect /ID (nonstandard, seen in
+        the wild) so the security handler sees the string bytes."""
+        from pdfio_spark.cos.doc import CosDoc
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [] /Count 0 >>\nendobj\n"
+               b"3 0 obj\n[ <4142> <4344> ]\nendobj\n")
+        offs = {n: pdf.find(f"{n} 0 obj".encode()) for n in (1, 2, 3)}
+        xref_pos = len(pdf)
+        pdf += (b"xref\n0 4\n0000000000 65535 f \n"
+                + b"".join(f"{offs[n]:010d} 00000 n \n".encode()
+                           for n in (1, 2, 3))
+                + b"trailer\n<< /Size 4 /Root 1 0 R /ID 3 0 R >>\n"
+                + f"startxref\n{xref_pos}\n%%EOF".encode())
+        doc = CosDoc(pdf)
+        ids = doc.get_id()
+        assert [bytes(x.binary if hasattr(x, 'binary') else x)
+                for x in ids] == [b"AB", b"CD"]
