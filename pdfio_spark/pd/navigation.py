@@ -32,7 +32,11 @@ def to_roman(n: int, lower: bool = True) -> str:
 
 
 def to_alpha(n: int, lower: bool = True) -> str:
-    """AlphaNumeral style: A..Z, AA..ZZ, AAA... (1-based)."""
+    """AlphaNumeral style: A..Z, AA..ZZ, AAA... (1-based). n < 1
+    (corrupt /St) yields '' deliberately — negative divmod used to
+    produce a WRONG label ('z' for 0 via wraparound) silently."""
+    if n < 1:
+        return ""
     q, r = divmod(n - 1, 26)
     ch = chr(ord("a") + r)
     s = ch * (q + 1)
@@ -57,10 +61,9 @@ def _collect_number_tree(doc, node, out: list, depth: int = 0) -> None:
 
 
 def _format_label(doc, pl_dict, num: int) -> str:
+    # /St is already folded into `num` by the caller (get_page_label)
     s = doc.get(pl_dict, Name("S"))
     p = doc.get(pl_dict, Name("P"))
-    st = doc.get(pl_dict, Name("St"))
-    start = int(st) if st is not None else 1
     pfx = ""
     if p is not None and isinstance(p, (bytes,)):
         from .fonts import pdf_doc_decode
@@ -263,23 +266,36 @@ def get_attachments(doc) -> list[dict]:
     return out
 
 
+def _lookup_named_dest(doc, key: str):
+    """Named-destination lookup with the reference's precedence
+    (PDOutline.jl:159-230): the PDF-1.1 catalog /Dests DICTIONARY
+    first, then the /Names/Dests name tree (r4 — the dict form used to
+    be skipped entirely). <</D [...]>> wrappers are unwrapped."""
+    cos = doc.cos
+    d = None
+    dests_dict = cos.get(doc.catalog, Name("Dests"))
+    if isinstance(dests_dict, dict):
+        d = cos.get(dests_dict, Name(key))
+    if d is None:
+        names = cos.get(doc.catalog, Name("Names"))
+        if names is not None:
+            d = _find_name_tree(cos, cos.get(names, Name("Dests")), key)
+    if isinstance(d, dict):  # <</D [...]>> form
+        d = cos.get(d, Name("D"))
+    return d
+
+
 def _resolve_dest_page(doc, dest) -> int | None:
     """PDDestination resolution (PDOutline.jl:32-67,159-230): direct
-    [page /Fit...] arrays, or named destinations through the
-    /Names/Dests name tree; returns the 1-based page number."""
+    [page /Fit...] arrays, or named destinations through the catalog
+    /Dests dict or /Names/Dests name tree; 1-based page number."""
     from ..cos.objects import LitStr, HexStr
     cos = doc.cos
     if isinstance(dest, (LitStr, HexStr, bytes)) or (
             isinstance(dest, Name)):
         from .fonts import pdf_doc_decode
         key = str(dest) if isinstance(dest, Name) else pdf_doc_decode(dest)
-        names = cos.get(doc.catalog, Name("Names"))
-        if names is None:
-            return None
-        dests = cos.get(names, Name("Dests"))
-        dest = _find_name_tree(cos, dests, key)
-        if isinstance(dest, dict):  # <</D [...]>> form
-            dest = cos.get(dest, Name("D"))
+        dest = _lookup_named_dest(doc, key)
     if isinstance(dest, list) and dest:
         page_obj = cos.get_object(dest[0])
         for i, pref in enumerate(doc.pagerefs):
@@ -305,13 +321,7 @@ def pd_destination(doc, dest) -> dict | None:
     if isinstance(dest, (LitStr, HexStr, bytes, Name)):
         from .fonts import pdf_doc_decode
         key = str(dest) if isinstance(dest, Name) else pdf_doc_decode(dest)
-        names = cos.get(doc.catalog, Name("Names"))
-        if names is None:
-            return None
-        d = _find_name_tree(cos, cos.get(names, Name("Dests")), key)
-        if isinstance(d, dict):
-            d = cos.get(d, Name("D"))
-        dest = d
+        dest = _lookup_named_dest(doc, key)
     if not isinstance(dest, list) or not dest:
         return None
     page_obj = cos.get_object(dest[0])
@@ -322,6 +332,10 @@ def pd_destination(doc, dest) -> dict | None:
             break
     v = [cos.get_object(x) for x in dest]
     layout = str(v[1]) if len(v) > 1 and isinstance(v[1], Name) else "Fit"
+    if layout not in _DEST_LAYOUTS:
+        # unknown layout name (corrupt doc): normalize to Fit (all-zero
+        # slots) rather than emit a made-up layout string downstream
+        layout = "Fit"
 
     def num(i: int) -> float:
         import numpy as np
@@ -383,7 +397,10 @@ def get_outline(doc, max_items: int = 1000) -> list[dict]:
                             "page_no": d["page_no"] if d else None,
                             "dest": d})
             first = doc.cos.get(item, Name("First"))
-            if first is not None:
+            if first is not None and level < 64:
+                # depth cap: a corrupt /First chain of fresh dicts
+                # would otherwise recurse past the interpreter limit
+                # (RecursionError) instead of truncating (r4)
                 walk(first, level + 1)
             item = doc.cos.get(item, Name("Next"))
 

@@ -72,7 +72,11 @@ class PDDoc:
         return len(self.pagerefs)
 
     def get_page(self, num: int) -> "PDPage":
-        """1-based like the reference."""
+        """1-based like the reference; num < 1 raises instead of
+        silently wrapping to the tail via Python negative indexing
+        (get_page(0) used to return the LAST page — r4 review fix)."""
+        if num < 1:
+            raise IndexError(f"page number {num} out of range (1-based)")
         return PDPage(self, self.pagerefs[num - 1], num)
 
     def get_info(self) -> dict:
@@ -137,12 +141,16 @@ class PDDoc:
             elem = self.cos.get_object(node)
             if not isinstance(elem, dict):
                 continue  # marked-content ids (ints) / MCR dicts: leaf
-            s = elem.get(Name("S"))
+            # /S (and the RoleMap value) may be indirect — resolve like
+            # every other field here (r4 review fix; a Ref used to
+            # stringify into its repr)
+            s = self.cos.get(elem, Name("S"))
             if s is None:
                 continue
             role = str(s)
             mapped = role_map.get(Name(role)) if isinstance(role_map, dict) \
                 else None
+            mapped = self.cos.get_object(mapped)
             r = self.cos.get(elem, Name("R"))
             yield {
                 "role": role,

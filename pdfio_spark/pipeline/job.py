@@ -112,22 +112,30 @@ ROW_TIMEOUT_SEC = float(__import__("os").environ.get(
     "PDFIO_ROW_TIMEOUT_SEC", "120"))
 
 
-def _extract_with_timeout(html: bytes, timeout_sec: float) -> dict:
+class RowTimeout(BaseException):
+    """SIGALRM row-budget signal. Derives from BaseException ON PURPOSE:
+    the extraction kernel quarantines `Exception` at doc AND page level
+    (pd/extract.py), so a TimeoutError raised mid-page used to be
+    recorded as that page's error while the disarmed one-shot timer let
+    the remaining pages run with no budget at all (r4 review fix)."""
+
+
+def _extract_with_timeout(html: bytes, timeout_sec: float, **kw) -> dict:
     from ..pd.extract import extract_doc
     if timeout_sec <= 0:
-        return extract_doc(html)
+        return extract_doc(html, **kw)
     import signal
     try:
         def _on_alarm(signum, frame):
-            raise TimeoutError("row extraction budget exceeded")
+            raise RowTimeout("row extraction budget exceeded")
         old = signal.signal(signal.SIGALRM, _on_alarm)
     except ValueError:
         # not the worker's main thread -> no alarm available
-        return extract_doc(html)
+        return extract_doc(html, **kw)
     signal.setitimer(signal.ITIMER_REAL, timeout_sec)
     try:
-        return extract_doc(html)
-    except TimeoutError as e:
+        return extract_doc(html, **kw)
+    except RowTimeout as e:
         return {"n_pages": 0, "text": "", "pages": [],
                 "status": "timeout", "err": str(e)}
     finally:
@@ -256,7 +264,6 @@ def extract_pdfs_sharded(corpus: DataFrame, pages_per_shard: int = 4,
     shards = shards.repartition(shard_partitions, "url", "shard_id")
 
     def extract_range(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..pd.extract import extract_doc
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
@@ -267,8 +274,12 @@ def extract_pdfs_sharded(corpus: DataFrame, pages_per_shard: int = 4,
             for url, html, np_, sid in zip(urls, htmls, nps, sids):
                 first = sid * pages_per_shard + 1
                 last = min((sid + 1) * pages_per_shard, np_)
-                r = extract_doc(html or b"", first_page=first,
-                                last_page=last)
+                # same per-row budget as the plain path: the sharded
+                # path exists FOR pathological docs, so a CPU-bomb
+                # page must yield a 'timeout' shard, not a stalled task
+                r = _extract_with_timeout(html or b"", ROW_TIMEOUT_SEC,
+                                          first_page=first,
+                                          last_page=last)
                 out["url"].append(url)
                 out["shard_id"].append(sid)
                 out["n_pages"].append(np_)
@@ -293,7 +304,10 @@ def extract_pdfs_sharded(corpus: DataFrame, pages_per_shard: int = 4,
     def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("shard_id")
         status = "ok"
-        if (pdf["status"] == "error").all():
+        if (pdf["status"] != "ok").all():
+            # NO shard succeeded — whatever the failure mix
+            # (error/empty/timeout), 'partial' would mislabel an
+            # all-failed doc as usable (r4 review fix)
             status = "error"
         elif (pdf["status"] != "ok").any():
             status = "partial"

@@ -670,3 +670,71 @@ class TestR4ReviewFixes:
         ids = doc.get_id()
         assert [bytes(x.binary if hasattr(x, 'binary') else x)
                 for x in ids] == [b"AB", b"CD"]
+
+
+class TestR4NavJobFixes:
+    def test_row_timeout_survives_exception_swallowing(self, monkeypatch):
+        """The extraction kernel quarantines `Exception` internally; the
+        row budget must still fire — RowTimeout derives from
+        BaseException so no quarantine net can swallow it (r4)."""
+        import time as _time
+        import pdfio_spark.pd.extract as ex
+        from pdfio_spark.pipeline import job
+
+        def swallowing_extract(html, **kw):
+            # simulates the per-page quarantine: catches Exception
+            # (which used to eat the TimeoutError and disarm the timer)
+            try:
+                _time.sleep(5)
+            except Exception:
+                pass
+            return {"n_pages": 1, "text": "late", "pages": [],
+                    "status": "ok", "err": ""}
+
+        monkeypatch.setattr(ex, "extract_doc", swallowing_extract)
+        r = job._extract_with_timeout(b"xx", 0.3)
+        assert r["status"] == "timeout"
+
+    def test_get_page_rejects_nonpositive(self):
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.pagetree import PDDoc
+        doc = PDDoc(build_fixture("flate_simple", ["one page"]))
+        with pytest.raises(IndexError):
+            doc.get_page(0)
+        with pytest.raises(IndexError):
+            doc.get_page(-1)
+        assert doc.get_page(1) is not None
+
+    def test_to_alpha_roman_guard_nonpositive(self):
+        from pdfio_spark.pd.navigation import to_alpha, to_roman
+        assert to_alpha(0) == "" and to_alpha(-3) == ""
+        assert to_roman(0) == ""
+        assert to_alpha(1) == "a" and to_alpha(27) == "aa"
+
+    def test_catalog_dests_dictionary_fallback(self):
+        """PDF-1.1 named destinations live in a catalog /Dests DICT
+        (no /Names tree); both resolvers must find them (r4 —
+        reference precedence, PDOutline.jl:159-230)."""
+        from pdfio_spark.cos.objects import Name
+        from pdfio_spark.pd.navigation import (_resolve_dest_page,
+                                               pd_destination)
+        from pdfio_spark.pd.pagetree import PDDoc
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R "
+               b"/Dests << /target [3 0 R /XYZ 10 20 0] >> >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"
+               b"endobj\n"
+               b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+               b"/MediaBox [0 0 612 792] >>\nendobj\n")
+        offs = {n: pdf.find(f"{n} 0 obj".encode()) for n in (1, 2, 3)}
+        xref_pos = len(pdf)
+        pdf += (b"xref\n0 4\n0000000000 65535 f \n"
+                + b"".join(f"{offs[n]:010d} 00000 n \n".encode()
+                           for n in (1, 2, 3))
+                + b"trailer\n<< /Size 4 /Root 1 0 R >>\n"
+                + f"startxref\n{xref_pos}\n%%EOF".encode())
+        doc = PDDoc(pdf)
+        assert _resolve_dest_page(doc, Name("target")) == 1
+        d = pd_destination(doc, Name("target"))
+        assert d and d["page_no"] == 1 and d["layout"] == "XYZ"
+        assert (d["left"], d["top"]) == (10.0, 20.0)
