@@ -68,17 +68,27 @@ def apply_png_predictor(data: bytes, pred: int, columns: int) -> bytes:
     elif rule == 2:                    # Up: cumsum down columns
         out = np.cumsum(rows, axis=0, dtype=np.uint8)
     elif rule in (3, 4):               # Average / Paeth: row-sequential
+        # PNG-SPEC arithmetic (9-bit Average sums, signed Paeth; RFC
+        # 2083 §6.3-6.4). DOCUMENTED DIVERGENCE from the reference:
+        # CosStream.jl's png_predictor_rule runs both rules on WRAPPING
+        # UInt8 arithmetic (the Average sum wraps mod 256 before
+        # halving; Paeth's a+b-c wraps), which disagrees with the spec
+        # whenever a neighbor sum exceeds 255. Real PDF streams come
+        # from spec-conformant encoders, so we follow the spec — the
+        # same policy as the FitV off-by-one (see pd/navigation.py).
         out = np.zeros_like(rows)
         prev = np.zeros(columns, dtype=np.uint8)
         for i in range(n):
             row = rows[i]
             curr = np.zeros(columns, dtype=np.uint8)
             if rule == 3:
-                curr[0] = prev[0] + row[0]
+                # first column: a (left) = 0 -> + floor(b/2), NOT + b
+                curr[0] = (int(prev[0]) // 2 + row[0]) & 0xFF
                 for j in range(1, columns):
                     curr[j] = ((int(curr[j - 1]) + int(prev[j])) // 2 + row[j]) & 0xFF
             else:
-                curr[0] = prev[0] + row[0]
+                # first column: Paeth(0, b, 0) selects b
+                curr[0] = (int(prev[0]) + row[0]) & 0xFF
                 for j in range(1, columns):
                     a, b, c = int(curr[j - 1]), int(prev[j]), int(prev[j - 1])
                     p = a + b - c
@@ -192,6 +202,11 @@ def decode_lzw(data: bytes, early: int = 1) -> bytes:
                 continue
             s = table[n]
         elif n == it:
+            if old < 0:
+                # first code after a table reset cannot be the
+                # next-to-assign code; table[old] with old=-1 used to
+                # fabricate bytes from the table tail silently (r4)
+                raise ValueError("LZW: invalid first code after reset")
             s = table[old] + bytes([c])
         else:
             raise ValueError(f"LZW code out of range {n}:{it}")

@@ -125,12 +125,10 @@ class Buf:
         self.pos = p
 
     def locate_keyword(self, keyword: bytes, maxoffset: int | None = None) -> int:
-        """bytes.find within a bounded window; cursor to keyword start on
-        hit (so the caller can consume it), unchanged on miss. Returns
-        the offset from the entry position, or -1.
-
-        Mirrors locate_keyword! (/root/reference/src/BufferParser.jl:52-87)
-        which leaves the cursor AFTER the keyword on a hit."""
+        """bytes.find within a bounded window; on a hit the cursor is
+        left AFTER the keyword (mirrors locate_keyword!,
+        /root/reference/src/BufferParser.jl:52-87); unchanged on miss.
+        Returns the offset from the entry position, or -1."""
         if maxoffset is None:
             maxoffset = len(keyword)
         end = min(len(self.data), self.pos + maxoffset)
@@ -312,7 +310,11 @@ class Buf:
         chunk = data[p:end]
         out = chunk.translate(None, b"\x00\t\n\x0c\r ")
         if len(out) % 2 != 0:
-            out += b"0"  # pad '0' (CosReader.jl:197)
+            # odd length: append a zero nibble per spec 7.3.4.3.
+            # DIVERGENCE: the reference pushes NUL into its hex vector
+            # (CosReader.jl:197) which later makes hex2bytes THROW —
+            # it rejects the doc; we tolerate per spec.
+            out += b"0"
         self.pos = end + 1
         self.chomp_space()
         return HexStr(out)

@@ -284,7 +284,12 @@ def _on_cmap_command(buf: Buf, command: str, params: list[int],
 
 def get_unicode_chars(barr: bytes) -> list[int]:
     """UTF-16BE decode incl. surrogate pairs (PDFonts.jl:297-326);
-    returns a list of codepoints."""
+    returns a list of codepoints.
+
+    DIVERGENCE (documented): for multi-unit payloads the reference
+    re-reads bytes 1-2 on EVERY loop iteration (a stale-index bug —
+    bfchar <00660069> decodes to 'ff', not 'fi'); we advance through
+    the buffer, the plain UTF-16 reading (FitV policy)."""
     out: list[int] = []
     nb, ln = 0, len(barr)
     while nb < ln:
@@ -340,7 +345,13 @@ def _cmap_first_byte(cmap: CMap, b1: int) -> tuple:
 
 
 def cmap_decode(barr: bytes, cmap: CMap) -> list[int]:
-    """get_encoded_string(barr, cmap) (PDFonts.jl:331-381)."""
+    """get_encoded_string(barr, cmap) (PDFonts.jl:331-381).
+
+    DIVERGENCE (documented): unmapped / out-of-codespace bytes emit
+    one NUL here, deterministically. The reference's carr buffer is
+    stateful across iterations — its NUL pushes can be silently
+    dropped or PRIOR characters re-appended on irregular CMaps (a
+    rebinding bug); regular CMaps (every oracled fixture) agree."""
     cache = cmap.cache
     out: list[int] = []
     i, ln = 0, len(barr)
@@ -393,6 +404,12 @@ def get_agl_unicode(g: str) -> list[int]:
                     return ret
         else:
             c = int(uni, 16)
+            # DIVERGENCE (documented): the reference's range check is
+            # `0<=c<=0xD7FF && 0xE000<=c<=0x10FFFF` (PDFonts.jl:83) —
+            # unsatisfiable, so it NEVER maps uniXXXX by codepoint and
+            # falls through to the AGL table (usually NUL). We apply
+            # the AGL-spec rule (disjunction) — real fonts name glyphs
+            # uni20AC etc. and losing them drops real text.
             if 0x0000 <= c <= 0xD7FF or 0xE000 <= c <= 0x10FFFF:
                 return [c]
     v = AGL.get(g)
@@ -754,7 +771,15 @@ def get_encoded_string(s, pdfont) -> str:
 
 def pdf_doc_decode(s) -> str:
     """CDTextString conversion: UTF-16BE with BOM, else PDFDocEncoding
-    (CosObjectHelpers.jl:8-48)."""
+    (CosObjectHelpers.jl:8-48).
+
+    DIVERGENCE (documented): the reference gives only HEX strings the
+    UTF-16 path; a LITERAL string with a FE FF BOM goes through
+    PDFDocEncoding unconditionally (CosObjectHelpers.jl:46), turning
+    real UTF-16 titles into thorn/NUL soup. Spec 7.9.2.2 applies the
+    BOM rule to both string forms; we follow the spec (FitV policy).
+    Odd-length UTF-16 payloads decode with errors='replace' (U+FFFD)
+    where the reference would truncate — tolerant by design."""
     if isinstance(s, HexStr):
         raw = s.binary
         hexchars = bytes(s)

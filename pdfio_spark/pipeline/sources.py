@@ -56,11 +56,14 @@ def _split_gzip_members(data: bytes) -> Iterator[bytes]:
         return
     pos = 0
     n = len(data)
+    # memoryview: data[pos:] copied the whole remaining shard per
+    # member — O(members x bytes) memcpy on a real .warc.gz (r4)
+    mv = memoryview(data)
     while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(31)
-        out = d.decompress(data[pos:])
+        out = d.decompress(mv[pos:])
         yield out
-        consumed = len(data) - pos - len(d.unused_data)
+        consumed = n - pos - len(d.unused_data)
         if consumed <= 0:
             break
         pos += consumed

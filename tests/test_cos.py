@@ -738,3 +738,60 @@ class TestR4NavJobFixes:
         d = pd_destination(doc, Name("target"))
         assert d and d["page_no"] == 1 and d["layout"] == "XYZ"
         assert (d["left"], d["top"]) == (10.0, 20.0)
+
+
+class TestPngPredictorSpecRules:
+    """Rules 3 (Average) and 4 (Paeth) against an independent RFC-2083
+    encoder (r4 — these rules had no coverage; the first-column
+    Average term was wrong: +b instead of +floor(b/2))."""
+
+    @staticmethod
+    def _encode(raw: bytes, cols: int, rule: int) -> bytes:
+        rows = [raw[i:i + cols] for i in range(0, len(raw), cols)]
+        enc = bytearray()
+        prev = bytes(cols)
+        for r in rows:
+            enc.append(rule)
+            for j in range(cols):
+                a = r[j - 1] if j else 0
+                b = prev[j]
+                c = prev[j - 1] if j else 0
+                if rule == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                enc.append((r[j] - pred) & 0xFF)
+            prev = r
+        return bytes(enc)
+
+    @pytest.mark.parametrize("rule", [3, 4])
+    def test_roundtrip_spec(self, rule):
+        import numpy as np
+        rng = np.random.default_rng(rule)
+        cols = 7
+        # include high bytes so neighbor sums exceed 255 (the case
+        # where spec and the reference's wrapping UInt8 math differ)
+        raw = bytes(rng.integers(0, 256, cols * 9, dtype=np.uint8))
+        dec = apply_png_predictor(
+            self._encode(raw, cols, rule), 10 + rule, cols)
+        assert dec == raw
+
+    def test_average_first_column_uses_half_up(self):
+        # two rows, 1 column: recon2 = filt2 + floor(recon1 / 2)
+        enc = bytes([3, 200, 3, 10])
+        dec = apply_png_predictor(enc, 13, 1)
+        assert dec == bytes([200, (100 + 10) & 0xFF])
+
+
+def test_lzw_invalid_first_code_raises():
+    """First code after a reset equal to the next-assign slot used to
+    fabricate bytes from table[-1]; must raise (quarantine path)."""
+    # 9-bit codes: 256 (reset), 258 (== it, invalid first), 257 (EOD)
+    bits = "100000000" + "100000010" + "100000001"
+    bits += "0" * (-len(bits) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    with pytest.raises(ValueError):
+        decode_lzw(data)
