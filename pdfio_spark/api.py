@@ -17,7 +17,7 @@ from .cos.objects import HexStr, LitStr, Name, Ref, Stream
 from .pd.dates import CDDate
 from .pd.fonts import PDFont
 from .pd.pagetree import PDDoc, PDPage
-from .pd.navigation import (get_outline, get_page_label, get_page_labels,
+from .pd.navigation import (get_outline, get_page_label,
                             pd_destination)
 from .pd.signature import validate_signatures
 
@@ -56,9 +56,11 @@ def cn(name: str) -> Name:
     return Name(name)
 
 
-def getUTCTime(d: CDDate):
-    """getUTCTime (CDDate.jl): the date normalized to UTC."""
-    return d.utc()
+def getUTCTime(d: CDDate) -> CDDate:
+    """getUTCTime (CDObject.jl:118): the date normalized to UTC —
+    returned as a CDDate like the reference (r4; a plain datetime
+    broke further CDDate comparisons for ported callers)."""
+    return CDDate(d.utc().strftime("D:%Y%m%d%H%M%SZ"))
 
 
 # ----------------------------------------------------------------- PD

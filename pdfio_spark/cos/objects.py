@@ -109,9 +109,26 @@ class Stream:
     def get(self, key, default=None):
         return self.dict.get(key, default)
 
+    def _decode_keys_resolved(self) -> bool:
+        """True when Filter/DecodeParms carry no indirect refs — the
+        only case a doc-less decode is well-defined."""
+        for k in ("Filter", "DecodeParms", "DP"):
+            v = self.dict.get(Name(k))
+            if isinstance(v, Ref):
+                return False
+            if isinstance(v, list) and any(isinstance(x, Ref) for x in v):
+                return False
+        return True
+
     def decoded(self, doc=None, until: int = -1) -> bytes:
         if until == -1 and self._decoded is not None:
             return self._decoded
+        if doc is None and not self._decode_keys_resolved():
+            # refuse rather than mis-decode: an indirect /DecodeParms
+            # with doc=None used to skip the predictor silently AND
+            # poison the cache for later doc-ful calls (r4 review fix)
+            raise ValueError("stream has indirect decode keys; "
+                             "decoded() needs the owning doc")
         from .filters import decode_stream
         out = decode_stream(self, doc=doc, until=until)
         if until == -1:

@@ -48,8 +48,19 @@ class CDDate:
         delta = timedelta(minutes=self.tz_minutes)
         return self.d - delta if self.ahead else self.d + delta
 
+    # full ordering (the reference gets <=/>=/> free from isless;
+    # Python derives nothing from __lt__/__eq__ — r4)
     def __lt__(self, other: "CDDate") -> bool:
         return self.utc() < other.utc()
+
+    def __le__(self, other: "CDDate") -> bool:
+        return self.utc() <= other.utc()
+
+    def __gt__(self, other: "CDDate") -> bool:
+        return self.utc() > other.utc()
+
+    def __ge__(self, other: "CDDate") -> bool:
+        return self.utc() >= other.utc()
 
     def __eq__(self, other) -> bool:
         return isinstance(other, CDDate) and self.utc() == other.utc()

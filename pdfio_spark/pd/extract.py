@@ -16,7 +16,8 @@ from .pagetree import PDDoc
 
 __all__ = ["extract_doc", "EXTRACT_STATUS"]
 
-EXTRACT_STATUS = ("ok", "partial", "error", "unsupported_encryption", "empty")
+EXTRACT_STATUS = ("ok", "partial", "error", "unsupported_encryption",
+                  "empty", "timeout")  # timeout: pipeline row budget
 
 
 def extract_doc(data: bytes, with_spans: bool = False,
@@ -37,9 +38,14 @@ def extract_doc(data: bytes, with_spans: bool = False,
         return {"n_pages": 0, "text": "", "pages": [],
                 "status": "error", "err": _fmt_err(e)}
 
-    n = min(doc.page_count(), max_pages)
     if last_page is not None:
-        n = min(n, last_page)
+        # explicit shard range: the caller bounds the work, so the
+        # blanket max_pages cap must NOT apply — it silently emptied
+        # every shard past page 10000 on exactly the page-heavy docs
+        # the sharded path exists for (r4 review fix)
+        n = min(doc.page_count(), last_page)
+    else:
+        n = min(doc.page_count(), max_pages)
     texts: list[str] = []
     errs: list[str] = []
     for i in range(max(1, first_page), n + 1):
@@ -50,7 +56,6 @@ def extract_doc(data: bytes, with_spans: bool = False,
             state = page.eval_content()
             from .layout import show_text_layout
             txt = show_text_layout(state)
-            texts.append(txt + "\n")
             prec = {"page_no": i, "text": txt}
             if with_spans:
                 prec["spans"] = [
@@ -62,6 +67,10 @@ def extract_doc(data: bytes, with_spans: bool = False,
                      "font": str(t.fontname),
                      "flags": int(t.fontflags)}
                     for t in span_sort(state["text_layout"])]
+            # text is committed LAST so a span-construction failure
+            # quarantines the whole page atomically — text and pages[]
+            # can never disagree about which pages succeeded (r4)
+            texts.append(txt + "\n")
             pages_out.append(prec)
         except Exception as e:  # per-page quarantine
             errs.append(f"p{i}: {_fmt_err(e)}")

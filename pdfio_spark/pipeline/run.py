@@ -59,7 +59,12 @@ def run_job(spark, input_path: str, output_path: str,
     if resume:
         try:
             done = spark.read.parquet(output_path).select("url")
-            corpus = corpus.join(F.broadcast(done), "url", "left_anti")
+            # join strategy left to Spark (job.resume_filter): `done`
+            # is the UNBOUNDED set of all previously-written urls — a
+            # forced broadcast OOMs exactly on the crash-recovery path
+            # it exists for (r4 review fix)
+            from .job import resume_filter
+            corpus = resume_filter(corpus, done)
         except AnalysisException:
             pass  # no prior output -> fresh run
 
@@ -69,20 +74,24 @@ def run_job(spark, input_path: str, output_path: str,
         extract_fn, metrics_fn = extract_pdfs, extraction_metrics
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html)")
-    extracted = extract_fn(corpus).cache()
     t0 = time.perf_counter()
-    # materialize the cache BEFORE appending: the resume anti-join scans
-    # output_path lazily, so any post-append recomputation would see the
-    # job's own freshly written rows and anti-join them away
+    # localCheckpoint (not cache): the resume anti-join scans
+    # output_path lazily, so ANY recomputation after the append —
+    # cache eviction included — would see the job's own freshly
+    # written rows and anti-join everything away. Checkpointing cuts
+    # that lineage outright.
+    extracted = extract_fn(corpus).localCheckpoint()
     stats = {r["status"]: r["count"] for r in
              extracted.groupBy("status").count().collect()}
+    extracted.write.mode("append").parquet(output_path)
+    # metrics AFTER the output append: a crash between the two writes
+    # used to leave metrics rows for work the resume re-runs, double-
+    # counting lineage (the anti-join dedups only the output table)
     if metrics_path:
         metrics_fn(extracted).withColumn(
             "ts", F.current_timestamp()).write.mode("append") \
             .parquet(metrics_path)
-    extracted.write.mode("append").parquet(output_path)
     wall = time.perf_counter() - t0
-    extracted.unpersist()
     return {"written": sum(stats.values()), "by_status": stats,
             "wall_sec": round(wall, 2)}
 
