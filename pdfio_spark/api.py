@@ -17,8 +17,8 @@ from .cos.objects import HexStr, LitStr, Name, Ref, Stream
 from .pd.dates import CDDate
 from .pd.fonts import PDFont
 from .pd.pagetree import PDDoc, PDPage
-from .pd.navigation import (get_outline, get_page_label,
-                            pd_destination)
+from .pd.navigation import (find_page_for_label, get_outline,
+                            get_page_label, pd_destination)
 from .pd.signature import validate_signatures
 
 __all__ = [
@@ -39,9 +39,12 @@ __all__ = [
     "PDPageObject", "PDPageObjectGroup", "PDPageTextObject",
     "PDPageTextRun", "PDPageMarkedContent", "PDPageElement",
     "PDPageInlineImage",
+    "pdPageEvalContent",
     # Cos
     "CosDoc", "cosDocOpen", "cosDocClose", "cosDocGetRoot",
-    "cosDocGetObject", "cosDocIsEncrypted", "cn", "CosNull", "PDFError",
+    "cosDocGetObject", "cosDocIsEncrypted", "cosDocGetID", "cosDocGetInfo",
+    "cosDocGetPageLabel", "cosDocGetPageNumbers", "merge_streams",
+    "find_ntree", "readfrom", "cn", "CosNull", "PDFError",
 ]
 
 # ------------------------------------------------------------- Common
@@ -178,6 +181,19 @@ def pdPageExtractText(page: PDPage) -> str:
     return page.extract_text()
 
 
+def pdPageEvalContent(page: PDPage, state=None):
+    """pdPageEvalContent (PDPage.jl:143-147): evaluate the page content
+    stream into a graphics state (the layout accumulator) and return it
+    so callers can run show_text_layout themselves. An existing GState
+    may be passed, mirroring the reference's optional `state` arg."""
+    if state is None:
+        return page.eval_content()
+    from .pd.content import eval_content as _eval
+    state["source"] = page
+    _eval(page.content_objects(), state, page)
+    return state
+
+
 def pdPageGetPageNumber(page: PDPage) -> int:
     return page.pageno
 
@@ -262,3 +278,77 @@ def cosDocGetObject(doc: CosDoc, obj, key=None):
 
 def cosDocIsEncrypted(doc: CosDoc) -> bool:
     return doc.is_encrypted()
+
+
+def cosDocGetID(doc: CosDoc):
+    """cosDocGetID (CosDoc.jl:270): trailer /ID, dereferenced."""
+    return doc.get_id()
+
+
+def cosDocGetInfo(doc: CosDoc):
+    """cosDocGetInfo (CosDoc.jl:267): trailer /Info, dereferenced."""
+    return doc.get_info()
+
+
+class _CosDocView:
+    """Adapter giving a bare CosDoc + catalog the (doc.cos, doc.catalog,
+    doc.page_count()) surface the pd.navigation label helpers expect —
+    so the cosDoc-level label API (CosDoc.jl:628-686) shares one
+    implementation with the PD-level one."""
+    __slots__ = ("cos", "catalog")
+
+    def __init__(self, cos: CosDoc, catalog):
+        self.cos = cos
+        self.catalog = cos.get_object(catalog)
+
+    def page_count(self) -> int:
+        pages = self.cos.get(self.catalog, Name("Pages"))
+        cnt = self.cos.get(pages, Name("Count")) if pages else None
+        return int(cnt) if cnt is not None else 0
+
+
+def cosDocGetPageLabel(doc: CosDoc, catalog, num: int):
+    """cosDocGetPageLabel (CosDoc.jl:680-686): 1-based page number ->
+    label string from the /PageLabels number tree."""
+    return get_page_label(_CosDocView(doc, catalog), num)
+
+
+def cosDocGetPageNumbers(doc: CosDoc, catalog, label: str) -> range | None:
+    """cosDocGetPageNumbers (CosDoc.jl:628-642): label -> the 1-based
+    range of page numbers carrying it (PDF allows one label on many
+    pages). Returns a Python range, the reference's Range{Int}."""
+    hit = find_page_for_label(_CosDocView(doc, catalog), label)
+    if hit is None:
+        return None
+    first, n = hit
+    return range(first, first + n)
+
+
+def merge_streams(doc: CosDoc, stms) -> bytes:
+    """merge_streams (CosDoc.jl:688-708): concatenate the decoded
+    payloads of a /Contents array. The reference spools to a temp file;
+    payloads here are in-memory by documented design (SURVEY §4.3), so
+    the merged bytes are returned directly."""
+    return doc.merge_streams(stms)
+
+
+def find_ntree(doc: CosDoc, root, key):
+    """find_ntree (CosDoc.jl:616-626 usage): generic name/number-tree
+    lookup. An int key searches the /Nums tree (exact match); a str key
+    searches the /Names tree."""
+    from .pd.navigation import _collect_number_tree, _find_name_tree
+    root = doc.get_object(root)
+    if isinstance(key, int):
+        pairs: list = []
+        _collect_number_tree(doc, root, pairs)
+        for k, v in pairs:
+            if k == key:
+                return doc.get_object(v)
+        return None
+    return _find_name_tree(doc, root, key)
+
+
+def readfrom(doc: CosDoc, frm: int, nbytes: int) -> bytes:
+    """readfrom (CosDoc.jl:80-86): raw byte-range read from the
+    document — the /ByteRange primitive signature validation uses."""
+    return doc.data[frm:frm + nbytes]

@@ -462,6 +462,11 @@ def _pop_crypt_filter(obj, default_cfm):
         d[Name("Filter")] = filt[1:]
         if isinstance(parms, list):
             d[pkey] = parms[1:]
+        elif isinstance(parms, dict):
+            # nonconforming single-dict parms against a list /Filter:
+            # the dict belonged to the stripped Crypt entry — leaving it
+            # would mis-attribute it to the next filter in the chain
+            d.pop(pkey, None)
     else:
         d.pop(Name("Filter"), None)
         if parms is not None:

@@ -23,7 +23,8 @@ import hashlib
 
 from ..cos.objects import HexStr, LitStr, Name
 
-__all__ = ["get_signature_fields", "validate_signatures", "TrustStore"]
+__all__ = ["get_signature_fields", "validate_signatures", "TrustStore",
+           "set_trust_roots", "get_default_trust"]
 
 OID_SIGNED_DATA = "1.2.840.113549.1.7.2"
 OID_MESSAGE_DIGEST = "1.2.840.113549.1.9.4"
@@ -263,6 +264,49 @@ def _der_enc():
     return Encoding.DER
 
 
+# Production trust-root surface (mirrors set_pki_credentials /
+# $PDFIO_SPARK_PKI_ID, cos/crypt.py:297-330): set_trust_roots() beats
+# $PDFIO_SPARK_TRUST_PEMS (os.pathsep-separated PEM file paths) beats
+# None (local validation only — the pre-r5 default behavior).
+_TRUST_CONFIG: "TrustStore | None" = None
+_ENV_TRUST_CACHE: "tuple[str, TrustStore | None] | None" = None
+
+
+def set_trust_roots(trust) -> None:
+    """Install process-wide trust anchors used by validate_signatures
+    when no explicit store is passed. Accepts a TrustStore, an iterable
+    of PEM bytes, or None to clear."""
+    global _TRUST_CONFIG, _ENV_TRUST_CACHE
+    if trust is None or isinstance(trust, TrustStore):
+        _TRUST_CONFIG = trust
+    else:
+        _TRUST_CONFIG = TrustStore.from_pems(list(trust))
+    _ENV_TRUST_CACHE = None
+
+
+def get_default_trust() -> "TrustStore | None":
+    """The configured trust store, or None for local-validation-only.
+    The env path is parsed once per process and cached (executors
+    re-read only if the variable changes)."""
+    global _ENV_TRUST_CACHE
+    if _TRUST_CONFIG is not None:
+        return _TRUST_CONFIG
+    import os
+    spec = os.environ.get("PDFIO_SPARK_TRUST_PEMS")
+    if not spec:
+        return None
+    if _ENV_TRUST_CACHE is not None and _ENV_TRUST_CACHE[0] == spec:
+        return _ENV_TRUST_CACHE[1]
+    pems = []
+    for path in spec.split(os.pathsep):
+        if path:
+            with open(path, "rb") as f:
+                pems.append(f.read())
+    store = TrustStore.from_pems(pems) if pems else None
+    _ENV_TRUST_CACHE = (spec, store)
+    return store
+
+
 def _cert_in_window(cert, when) -> bool:
     if when is None:
         return True
@@ -373,8 +417,12 @@ def validate_signatures(doc, data: bytes,
     signer chain (verify_local_trust / verify!, PDSignature.jl:13-48):
     a cryptographically valid signature from a cert that neither sits
     in nor chains to the store fails with
-    'untrusted signer certificate'. trust=None preserves the pre-r4
-    local-validation-only behavior."""
+    'untrusted signer certificate'. trust=None falls back to the
+    process-wide store (set_trust_roots / $PDFIO_SPARK_TRUST_PEMS, r5);
+    with neither configured, behavior is the pre-r4 local-validation
+    default."""
+    if trust is None:
+        trust = get_default_trust()
     cos = doc.cos
     out = []
     for fld in get_signature_fields(doc):

@@ -34,9 +34,32 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["gen_media_corpus", "media_metadata", "media_thumbnail",
            "media_frame_sample", "media_audio_stats", "synth_media",
-           "parse_media_header"]
+           "parse_media_header", "set_media_codecs"]
 
 _HDR = struct.Struct(">4sBHHIB")
+
+# Pluggable codec registry (r5 verdict): a deployment with Pillow/
+# ffmpeg injects decoders instead of editing this module. Keys are
+# format names routed by body magic; an image decoder is
+# body -> HxWx3 uint8 ndarray, an audio decoder is
+# body -> (rate, int16 samples ndarray). The registry is snapshotted
+# into each stage's UDF closure at DataFrame-construction time, so
+# cloudpickle ships the decoder functions to every executor — a plain
+# module global would NOT propagate to Spark worker processes.
+# Mirrors set_pki_credentials (cos/crypt.py:304).
+_MEDIA_CODECS: dict = {}
+_IMAGE_MAGICS = (("jpeg", b"\xff\xd8"), ("png", b"\x89PNG"),
+                 ("gif", b"GIF8"))
+_AUDIO_MAGICS = (("opus", b"OggS"), ("flac", b"fLaC"), ("mp3", b"ID3"))
+
+
+def set_media_codecs(codecs: dict | None) -> None:
+    """Install compressed-media decoders, e.g.
+    set_media_codecs({"jpeg": pil_decode, "opus": ffmpeg_decode}).
+    Call on the driver BEFORE building the media DataFrames (the
+    registry is captured into the task closures). None clears."""
+    global _MEDIA_CODECS
+    _MEDIA_CODECS = dict(codecs or {})
 
 
 def synth_media(media_id: int) -> bytes:
@@ -74,10 +97,12 @@ def parse_media_header(payload: bytes) -> dict | None:
             "body": payload[_HDR.size:]}
 
 
-def _decode_pixels(body: bytes, width: int, height: int):
-    """Image decode hook: REAL for BMP (pure numpy, codecs.py); raises
-    NotImplementedError for compressed codecs (JPEG/...) — the sandbox
-    has no image libraries; real deployments plug Pillow here."""
+def _decode_pixels(body: bytes, width: int, height: int,
+                   codecs: dict | None = None):
+    """Image decode hook: REAL for BMP (pure numpy, codecs.py);
+    compressed formats (JPEG/PNG/GIF) route by magic to an injected
+    decoder (set_media_codecs) when one is registered, else raise
+    NotImplementedError — the sandbox ships no image libraries."""
     if body[:2] == b"BM":
         from .codecs import decode_bmp
         px = decode_bmp(body)
@@ -86,15 +111,22 @@ def _decode_pixels(body: bytes, width: int, height: int):
                 f"container/BMP dim mismatch: {px.shape[:2]} vs "
                 f"({height}, {width})")
         return px
+    for name, magic in _IMAGE_MAGICS:
+        if body[:len(magic)] == magic and codecs and name in codecs:
+            return codecs[name](body)
     raise NotImplementedError("compressed image codec not available")
 
 
-def _decode_audio(body: bytes):
+def _decode_audio(body: bytes, codecs: dict | None = None):
     """Audio decode hook: REAL for WAV PCM16 -> (rate, samples);
-    raises NotImplementedError for compressed codecs (Opus/...)."""
+    compressed formats (Opus/FLAC/MP3) route by magic to an injected
+    decoder (set_media_codecs), else raise NotImplementedError."""
     if body[:4] == b"RIFF":
         from .codecs import decode_wav_pcm16
         return decode_wav_pcm16(body)
+    for name, magic in _AUDIO_MAGICS:
+        if body[:len(magic)] == magic and codecs and name in codecs:
+            return codecs[name](body)
     raise NotImplementedError("compressed audio codec not available")
 
 
@@ -173,11 +205,14 @@ def media_thumbnail(media: DataFrame, max_side: int = 128) -> DataFrame:
     """Resize geometry (integer math, exactly reproducible in SQL) +
     stubbed pixel statistics; images only."""
 
+    codecs = dict(_MEDIA_CODECS)  # driver-time snapshot -> task closure
+
     def thumb(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column("media_id").to_pylist()
             payloads = batch.column("payload").to_pylist()
-            out = {k: [] for k in ("media_id", "out_w", "out_h", "px")}
+            out = {k: [] for k in ("media_id", "decoded", "out_w",
+                                   "out_h", "px")}
             for mid, p in zip(ids, payloads):
                 h = parse_media_header(p or b"")
                 if h is None or h["kind"] != 0:
@@ -191,28 +226,35 @@ def media_thumbnail(media: DataFrame, max_side: int = 128) -> DataFrame:
                     oh = max(1, (ht * max_side) // m)
                 try:
                     import numpy as np
-                    pixels = _decode_pixels(h["body"], w, ht)
+                    pixels = _decode_pixels(h["body"], w, ht, codecs)
                     px = float(np.mean(_resize_nearest(pixels, ow, oh)))
+                    decoded = True
                 except Exception:
                     # NotImplementedError (compressed codec) AND any
                     # malformed-body decode error (a keystream body
                     # starting with b'BM' raises ValueError at ~2^-16
                     # per row — a real corpus row must fall back, not
-                    # fail the task)
+                    # fail the task). `decoded` makes the downgrade
+                    # visible per row (ADVICE r4), matching
+                    # media_audio_stats.
                     px = _fake_pixel_stat(h["body"])
+                    decoded = False
                 out["media_id"].append(mid)
+                out["decoded"].append(decoded)
                 out["out_w"].append(ow)
                 out["out_h"].append(oh)
                 out["px"].append(px)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out["media_id"], pa.int64()),
+                 pa.array(out["decoded"], pa.bool_()),
                  pa.array(out["out_w"], pa.int32()),
                  pa.array(out["out_h"], pa.int32()),
                  pa.array(out["px"], pa.float64())],
-                names=["media_id", "out_w", "out_h", "px"])
+                names=["media_id", "decoded", "out_w", "out_h", "px"])
 
     return media.mapInArrow(
-        thumb, "media_id long, out_w int, out_h int, px double")
+        thumb, "media_id long, decoded boolean, out_w int, out_h int, "
+               "px double")
 
 
 def media_audio_stats(media: DataFrame) -> DataFrame:
@@ -220,6 +262,8 @@ def media_audio_stats(media: DataFrame) -> DataFrame:
     frame count, RMS over int16 samples); compressed bodies fall back
     to NULL stats with decoded=false — the honest split between the
     real uncompressed path and the env-stubbed codec path."""
+
+    codecs = dict(_MEDIA_CODECS)  # driver-time snapshot -> task closure
 
     def stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -234,7 +278,7 @@ def media_audio_stats(media: DataFrame) -> DataFrame:
                     continue
                 out["media_id"].append(mid)
                 try:
-                    rate, samples = _decode_audio(h["body"])
+                    rate, samples = _decode_audio(h["body"], codecs)
                     out["decoded"].append(True)
                     out["rate"].append(rate)
                     out["n_frames"].append(samples.shape[0])

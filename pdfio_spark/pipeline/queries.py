@@ -1642,6 +1642,16 @@ def connected_components(pairs: DataFrame, s: str = "s", t: str = "t",
             break
         prev_sig = sig
         edges = small
+    else:
+        # Kiveris et al.'s bound is O(log^2 n) WORST case, not O(log n):
+        # exhausting the budget without a fixpoint means the labels may
+        # be wrong — surface it loudly instead of returning silently
+        # (ADVICE r4)
+        import warnings
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_rounds} "
+            "rounds — labels may be unconverged; raise max_rounds",
+            RuntimeWarning, stacklevel=2)
     # fixed point = disjoint stars centered at each component's min
     labels = (nodes.join(edges.select(F.col("u").alias("node"),
                                       F.col("v").alias("root")),

@@ -382,6 +382,38 @@ class TestSignatureValidation:
         assert not st["passed"]
         assert st["error"] == "untrusted signer certificate"
 
+    def test_trust_roots_from_env_and_setter(self, tmp_path, monkeypatch):
+        """Production trust surface (r5): $PDFIO_SPARK_TRUST_PEMS /
+        set_trust_roots() plumb into validate_signatures when no
+        explicit store is passed; unset -> pre-r4 local validation."""
+        from pdfio_spark.fixtures import make_signed_pdf, test_trust_pems
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd import signature as S
+        good = make_signed_pdf(["x"], identity="leaf")
+        bad = make_signed_pdf(["x"], identity="untrusted")
+        p = tmp_path / "roots.pem"
+        p.write_bytes(b"\n".join(test_trust_pems()))
+        monkeypatch.setenv("PDFIO_SPARK_TRUST_PEMS", str(p))
+        try:
+            st = S.validate_signatures(PDDoc(good), good)[0]
+            assert st["passed"] and st["signer"] == "CN=pdfio-spark-leaf"
+            st = S.validate_signatures(PDDoc(bad), bad)[0]
+            assert st["error"] == "untrusted signer certificate"
+            # explicit setter beats the env var
+            S.set_trust_roots(S.TrustStore([]))
+            st = S.validate_signatures(PDDoc(good), good)[0]
+            assert st["error"] == "untrusted signer certificate"
+            # explicit trust= argument beats both
+            st = S.validate_signatures(
+                PDDoc(good), good,
+                trust=S.TrustStore.from_pems(test_trust_pems()))[0]
+            assert st["passed"]
+        finally:
+            S.set_trust_roots(None)
+        monkeypatch.delenv("PDFIO_SPARK_TRUST_PEMS")
+        st = S.validate_signatures(PDDoc(bad), bad)[0]
+        assert st["passed"]  # local-only default restored
+
 
 class TestTiffPredictor2:
     """TIFF Predictor 2 (the reference quarantines it; we decode —
@@ -650,6 +682,17 @@ class TestR4ReviewFixes:
         ind2 = IndirectObject(8, 0, s2)
         decrypt_object(FakeHandler(), ind2)
         assert ind2.obj.raw == b"GARBLEDxy"
+        # nonconforming shape (ADVICE r4): list /Filter but single-dict
+        # /DecodeParms — the dict belongs to the stripped Crypt entry
+        # and must be dropped, not attributed to FlateDecode
+        s3 = Stream({Name("Filter"): [Name("Crypt"), Name("FlateDecode")],
+                     Name("DecodeParms"): {Name("Name"): Name("Identity")},
+                     Name("Length"): 5}, b"plain")
+        ind3 = IndirectObject(9, 0, s3)
+        decrypt_object(FakeHandler(), ind3)
+        assert ind3.obj.raw == b"plain"
+        assert ind3.obj.dict[Name("Filter")] == [Name("FlateDecode")]
+        assert Name("DecodeParms") not in ind3.obj.dict
 
     def test_indirect_trailer_id_resolves(self):
         """get_id dereferences an indirect /ID (nonstandard, seen in

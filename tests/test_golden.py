@@ -283,3 +283,87 @@ class TestReferenceAPIFacade:
         assert P.cosDocIsEncrypted(cd)
         root = P.cosDocGetRoot(cd)
         assert P.cosDocGetObject(cd, root, P.cn("Type")) == P.cn("Catalog")
+
+    def test_cosdoc_level_aliases(self):
+        """The r4-verdict facade-parity gap: cosDocGetID/Info/PageLabel/
+        PageNumbers, merge_streams, find_ntree, readfrom,
+        pdPageEvalContent — each against the existing fixtures."""
+        from pdfio_spark import api as P
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.layout import show_text_layout
+
+        # encrypted docs must carry /ID (used in key derivation)
+        cd = P.cosDocOpen(build_fixture("encrypt_aes256", ["Doc 2: e"]))
+        ids = P.cosDocGetID(cd)
+        assert isinstance(ids, list) and len(ids) == 2
+
+        cd = P.cosDocOpen(build_fixture("with_info", ["Doc 3: i"]))
+        info = P.cosDocGetInfo(cd)
+        assert info[P.cn("Producer")] == b"pdfio-spark"
+        assert P.readfrom(cd, 0, 5) == b"%PDF-"
+
+        # labels at the Cos level: pages 1-2 are r-roman, page 3+ 'P-'
+        cd = P.cosDocOpen(build_fixture(
+            "multipage_labels", ["Doc 1: one", "two", "three"]))
+        cat = P.cosDocGetRoot(cd)
+        assert P.cosDocGetPageLabel(cd, cat, 2) == "ii"
+        assert P.cosDocGetPageLabel(cd, cat, 3) == "P-1"
+        assert P.cosDocGetPageNumbers(cd, cat, "ii") == range(2, 3)
+        assert P.cosDocGetPageNumbers(cd, cat, "P-1") == range(3, 4)
+        # int-key find_ntree over the same /PageLabels number tree
+        pl = P.cosDocGetObject(cd, cat, P.cn("PageLabels"))
+        node = P.find_ntree(cd, pl, 2)
+        assert node[P.cn("S")] == P.cn("D")
+
+        # str-key find_ntree over the /Names/Dests tree (outline_toc)
+        cd = P.cosDocOpen(build_fixture("outline_toc", ["a", "b", "c"]))
+        cat = P.cosDocGetRoot(cd)
+        names = P.cosDocGetObject(cd, cat, P.cn("Names"))
+        dests = P.cosDocGetObject(cd, names, P.cn("Dests"))
+        hit = P.find_ntree(cd, dests, "sec2")
+        assert isinstance(hit, list) and hit[1] == P.cn("Fit")
+        assert P.find_ntree(cd, dests, "nope") is None
+
+        # merge_streams over a /Contents array + pdPageEvalContent
+        doc = P.pdDocOpen(build_fixture("contents_array", ["Doc 4: m"]))
+        pg = P.pdDocGetPage(doc, 1)
+        contents = doc.cos.get_object(
+            pg.cospage.get(P.cn("Contents")))
+        merged = P.merge_streams(P.pdDocGetCosDoc(doc), contents)
+        assert b"Tj" in merged
+        state = P.pdPageEvalContent(pg)
+        assert show_text_layout(state) == P.pdPageExtractText(pg)
+
+    def test_reference_export_blocks_resolve(self):
+        """Walk the reference's export blocks (src/PDDoc.jl,
+        src/PDPage.jl, src/CosDoc.jl) and assert every exported name
+        resolves in pdfio_spark.api — the facade can never drift
+        again."""
+        import os
+        import re
+        from pdfio_spark import api as P
+        ref = "/root/reference/src"
+        if not os.path.isdir(ref):
+            import pytest
+            pytest.skip("reference tree not present")
+        names = []
+        for fn in ("PDDoc.jl", "PDPage.jl", "CosDoc.jl"):
+            with open(os.path.join(ref, fn)) as f:
+                lines = f.read().splitlines()
+            i = next(k for k, ln in enumerate(lines)
+                     if ln.startswith("export"))
+            block = [lines[i][len("export"):]]
+            # a bare `export` line (CosDoc.jl) continues on the next line
+            while (block[-1].rstrip().endswith(",")
+                   or not block[-1].strip()):
+                i += 1
+                block.append(lines[i])
+            for ln in block:
+                for tok in ln.split(","):
+                    tok = tok.strip()
+                    if tok and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_!]*",
+                                            tok):
+                        names.append(tok)
+        assert len(names) >= 35  # 15 + 11 + 13 as of the pinned ref
+        missing = [n for n in names if not hasattr(P, n)]
+        assert missing == [], f"api facade missing: {missing}"

@@ -125,6 +125,7 @@ def test_media_thumbnail_real_bmp_path(tmp_path):
         assert (row.out_w, row.out_h) == (ow, oh)
         want = float(np.mean(_resize_nearest(px, ow, oh)))
         assert row.px == pytest.approx(want, abs=1e-9)
+        assert row.decoded is True
     finally:
         spark.stop()
 
@@ -182,12 +183,44 @@ def test_decode_fallbacks_on_malformed_magic_bodies():
         row = media_thumbnail(img_df).collect()[0]
         assert row.px == pytest.approx(
             sum(b"BM" + b"\x99" * 60) / 62)  # fake-stat fallback
+        assert row.decoded is False  # downgrade is visible (ADVICE r4)
         aud_df = spark.createDataFrame(
             [(2, 1, bytearray(riff_bad))],
             "media_id long, kind int, payload binary")
         arow = media_audio_stats(aud_df).collect()[0]
         assert arow.decoded is False and arow.rms is None
     finally:
+        spark.stop()
+
+
+def test_injected_codec_routes_decode(tmp_path):
+    """Pluggable codec hooks (r5 verdict): set_media_codecs injects a
+    fake JPEG decoder; media_thumbnail must route the jpeg-magic body
+    through it (shipped to workers via the task closure), and clearing
+    the registry must restore the deterministic fallback."""
+    import numpy as np
+    from pdfio_spark.pipeline import multimodal as mm
+    from pdfio_spark.pipeline.session import get_spark
+    spark = get_spark(cpus=2, app="mm_inject_test", shuffle_partitions=4)
+    w, h = 40, 20
+    fake_px = np.full((h, w, 3), 77, dtype=np.uint8)
+    jpeg_body = b"\xff\xd8\xe0fakejpegpayload"
+    payload = mm.make_container(0, w, h, 0, 2, jpeg_body)
+    df = spark.createDataFrame(
+        [(5, 0, bytearray(payload))],
+        "media_id long, kind int, payload binary")
+    try:
+        mm.set_media_codecs({"jpeg": lambda body: fake_px.copy()})
+        row = mm.media_thumbnail(df).collect()[0]
+        assert row.decoded is True and row.px == 77.0
+        assert (row.out_w, row.out_h) == (w, h)
+        # unregistered format (audio opus) still falls back cleanly
+        mm.set_media_codecs(None)
+        row = mm.media_thumbnail(df).collect()[0]
+        assert row.decoded is False
+        assert row.px == pytest.approx(sum(jpeg_body) / len(jpeg_body))
+    finally:
+        mm.set_media_codecs(None)
         spark.stop()
 
 
