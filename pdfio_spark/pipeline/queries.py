@@ -2010,6 +2010,33 @@ _HP = _hyperplanes()
 ANN_FINE_BITS = 12
 _HP_FINE = _hyperplanes(8 + ANN_FINE_BITS)[8:]  # independent planes
 
+#: Multiprobe radii (r5, Lv et al. "Multi-Probe LSH", VLDB'07 — public
+#: algorithm): besides its own bucket, each vector PROBES the buckets
+#: whose code differs in <= radius bits. Probing multiplies only the
+#: probe-side melt (rows are (vec_id, bucket-key) — tiny); the build
+#: side and the per-bucket work bound are unchanged, so the skew story
+#: is intact. The deeper radius goes on the FINE table — its buckets
+#: are ~16x smaller, so each extra probe costs ~16x fewer candidate
+#: pairs (the core multiprobe trade). Measured recall@3 vs exact truth
+#: at sf0.01 (near-random 64-dim vectors, the hardest case for LSH):
+#: no probes (r4) 0.042; coarse1/fine1 0.197; coarse1/fine2 0.258
+#: (chosen — 6x the r4 pin at ~25% of the coarse2 candidate volume);
+#: coarse2/fine1 0.392 (candidate volume 888k directed pairs at sf0.1,
+#: ~4x the chosen setting's 218k).
+ANN_COARSE_PROBE_HAMMING = 1
+ANN_FINE_PROBE_HAMMING = 2
+
+
+def _probe_masks(bits: int, radius: int) -> list[int]:
+    """0 plus every XOR mask of Hamming weight <= radius (radius <= 2)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(bits)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(bits) for j in range(i + 1, bits)]
+    return masks
+
 
 def _dot_lit(col, vec):
     arr = F.array(*[F.lit(float(v)) for v in vec])
@@ -2052,13 +2079,17 @@ LSH_HOT_BUCKET = 1000
 
 
 def _salted_bucket_pairs(b: DataFrame, pair_filter,
-                         hot_threshold: int = LSH_HOT_BUCKET):
-    """Within-bucket self-join with ADAPTIVE skew salting. `b` must
-    carry (vec_id, embedding, bucket); `pair_filter(a_id, c_id)` is the
-    pair predicate (`<` unordered, `!=` directed).
+                         hot_threshold: int = LSH_HOT_BUCKET,
+                         probe: DataFrame | None = None):
+    """Within-bucket join with ADAPTIVE skew salting. `b` (the build
+    side) must carry (vec_id, embedding, bucket); `pair_filter(a_id,
+    c_id)` is the pair predicate (`<` unordered, `!=` directed).
+    `probe` (default `b` — a self-join) supplies the left side;
+    multiprobe ANN passes the expanded probe melt (own bucket +
+    Hamming-neighbor buckets) against the exact build melt.
 
-    Per-bucket counts (one tiny agg, broadcast back) decide which
-    buckets are hot; only those are salted — the probe side gets
+    Per-bucket BUILD-side counts (one tiny agg, broadcast back) decide
+    which buckets are hot; only those are salted — the probe side gets
     `xxhash64(vec_id) % LSH_SALT`, the build side replicates xLSH_SALT.
     Cold buckets join on salt=0 with no replication, so benign
     distributions pay ~nothing while a hot bucket's n^2 single task
@@ -2067,13 +2098,16 @@ def _salted_bucket_pairs(b: DataFrame, pair_filter,
     counts = (b.groupBy("bucket").agg(F.count("*").alias("_n"))
               .filter(F.col("_n") > hot_threshold)
               .select("bucket", F.lit(True).alias("_hot")))
-    bb = (b.join(F.broadcast(counts), "bucket", "left")
-          .withColumn("_hot", F.coalesce("_hot", F.lit(False))))
-    left = bb.withColumn(
+
+    def mark(df):
+        return (df.join(F.broadcast(counts), "bucket", "left")
+                .withColumn("_hot", F.coalesce("_hot", F.lit(False))))
+
+    left = mark(probe if probe is not None else b).withColumn(
         "salt", F.when(F.col("_hot"),
                        F.pmod(F.xxhash64("vec_id"), F.lit(LSH_SALT)))
         .otherwise(F.lit(0))).alias("a")
-    right = (bb.withColumn(
+    right = (mark(b).withColumn(
         "salt", F.explode(F.when(
             F.col("_hot"), F.sequence(F.lit(0), F.lit(LSH_SALT - 1)))
             .otherwise(F.array(F.lit(0)))))
@@ -2141,43 +2175,75 @@ ORDER BY vec_id
 
 
 def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
-                      k: int = 3) -> DataFrame:
-    """Multi-table LSH ANN over an embeddings-shaped DataFrame: each
-    vector is hashed into `tables` independent LSH tables (table 0 =
-    8 coarse bits, table 1 = ANN_FINE_BITS fine bits); within-bucket
-    exact-cosine candidates are unioned across tables (DISTINCT pairs)
-    and ranked top-k. One melt + ONE salted equi-join covers all
-    tables: bucket keys are made disjoint per table, so the adaptive
-    skew salting composes unchanged."""
+                      k: int = 3,
+                      coarse_probe: int = ANN_COARSE_PROBE_HAMMING,
+                      fine_probe: int = ANN_FINE_PROBE_HAMMING
+                      ) -> DataFrame:
+    """Multi-table multiprobe LSH ANN over an embeddings-shaped
+    DataFrame: each vector is hashed into `tables` independent LSH
+    tables (table 0 = 8 coarse bits, table 1 = ANN_FINE_BITS fine
+    bits) and BUILT at its exact buckets; the PROBE side additionally
+    visits every bucket within the per-table Hamming radius (r5 —
+    Lv et al. multiprobe), so a true neighbor whose code differs by a
+    couple of bits is still met. Candidates are unioned across tables
+    and probes (DISTINCT pairs) and ranked by exact cosine top-k.
+    The hyperplane codes are computed ONCE (checkpointed base); probe
+    and build are projections of it feeding ONE salted equi-join —
+    bucket keys are disjoint per table, so the adaptive skew salting
+    composes unchanged and the build-side bucket bound (q_lsh_buckets)
+    still governs per-bucket work."""
     cols = [_bucket_expr(F.col("embedding")).alias("b0")]
     if tables > 1:
-        # offset keeps per-table key spaces disjoint in one join column
-        cols.append((F.lit(1 << ANN_FINE_BITS)
-                     + _bucket_expr(F.col("embedding"), _HP_FINE))
-                    .cast("int").alias("b1"))
-    # materialize the melted bucket table ONCE (localCheckpoint): the
-    # self-join would otherwise recompute all (8+12) hyperplane dot
-    # products on BOTH sides — measured 35% of query time at sf0.1; at
-    # 10^9 vectors the bucket assignment is a persisted table anyway
-    b = (emb.select("vec_id", "embedding", *cols)
-         .select("vec_id", "embedding",
-                 F.explode(F.array("b0", "b1") if tables > 1
-                           else F.array("b0")).alias("bucket"))
-         .localCheckpoint())
-    dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-    nrm = lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        cols.append(_bucket_expr(F.col("embedding"), _HP_FINE)
+                    .alias("f1"))
+    # materialize the coded base ONCE (localCheckpoint): the join would
+    # otherwise recompute all (8+12) hyperplane dot products on BOTH
+    # sides — measured 35% of query time at sf0.1; at 10^9 vectors the
+    # bucket assignment is a persisted table anyway. The embedding is
+    # pre-NORMALIZED here (r5): cosine then costs ONE dot product per
+    # candidate pair instead of dot + two norms — the per-pair HOF work
+    # that dominates once multiprobe widens the candidate set (~1.5x
+    # at sf0.1, measured 15 -> 10 s at the widest probe setting).
+    nrm_in = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
-    sim = F.round(dot / (nrm(F.col("a.embedding"))
-                         * nrm(F.col("c.embedding"))), 6)
-    pairs = (_salted_bucket_pairs(b, lambda a, c: a != c)
+    base = (emb.select("vec_id", "embedding", *cols)
+            .withColumn("_nrm", nrm_in)
+            .select("vec_id",
+                    F.transform(F.col("embedding"),
+                                lambda x: x.cast("double")
+                                / F.col("_nrm")).alias("nemb"),
+                    "b0", *(["f1"] if tables > 1 else []))
+            .localCheckpoint())
+    # offset keeps per-table key spaces disjoint in one join column
+    off = F.lit(1 << ANN_FINE_BITS)
+    exact = [F.col("b0")]
+    if tables > 1:
+        exact.append((off + F.col("f1")).cast("int"))
+    probes = [F.col("b0").bitwiseXOR(F.lit(m)).cast("int")
+              for m in _probe_masks(8, coarse_probe)]
+    if tables > 1:
+        probes += [(off + F.col("f1").bitwiseXOR(F.lit(m))).cast("int")
+                   for m in _probe_masks(ANN_FINE_BITS, fine_probe)]
+    build = base.select("vec_id", F.col("nemb").alias("embedding"),
+                        F.explode(F.array(*exact)).alias("bucket"))
+    probe = base.select("vec_id", F.col("nemb").alias("embedding"),
+                        F.explode(F.array(*probes)).alias("bucket"))
+    # (r5 note: an unrolled 64-term getItem sum was tried here and is
+    # SLOWER — the giant expression tree falls out of codegen; the
+    # zip_with/aggregate HOF over the pre-normalized arrays is the
+    # fastest exact-order formulation measured)
+    sim = F.round(F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v), 6)
+    pairs = (_salted_bucket_pairs(build, lambda a, c: a != c,
+                                  probe=probe)
              .select(F.col("a.vec_id").alias("vec_id"),
                      F.col("c.vec_id").alias("nn_id"),
                      sim.alias("cos_sim"))
-             .distinct())   # a pair found by both tables ranks once
+             .distinct())   # a pair found by several probes ranks once
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
                                              F.asc("nn_id"))
     return (pairs.withColumn("rk", F.row_number().over(w))
@@ -2186,33 +2252,57 @@ def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via multi-table LSH candidate pruning: exact cosine only
-    WITHIN buckets, candidates unioned across 2 independent hash tables
-    (8 coarse + 12 fine bits), top-3 per vector — the 100 TB-scale
+    """ANN via multi-table multiprobe LSH candidate pruning: exact
+    cosine only WITHIN buckets, candidates unioned across 2 hash tables
+    (8 coarse + 12 fine bits) with Hamming-radius multiprobe on the
+    probe side (radius 1 coarse / 2 fine, r5) — the 100 TB-scale
     alternative to the brute-force cross join. The fine table bounds
-    the worst bucket at ~n/4096; the coarse table keeps recall a
-    superset of the single-table design (r4; was 1 table x 8 bits)."""
+    the worst bucket at ~n/4096; multiprobe buys recall (0.042 -> 0.258
+    pinned at sf0.01)
+    by expanding only the tiny probe melt, never the per-bucket build
+    work."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_lsh_topk_over(emb)
 
 
+def _ann_probe_sql_lists() -> tuple[str, str]:
+    """(build_list, probe_list) SQL — composed from the SAME mask
+    tables the Spark plan uses, so the oracle is structurally the
+    multiprobe query, not a transcription."""
+    off = 1 << ANN_FINE_BITS
+    build = f"[b0, {off} + f1]"
+    probes = [f"xor(b0, {m})" if m else "b0"
+              for m in _probe_masks(8, ANN_COARSE_PROBE_HAMMING)]
+    probes += [f"{off} + xor(f1, {m})" if m else f"{off} + f1"
+               for m in _probe_masks(ANN_FINE_BITS,
+                                     ANN_FINE_PROBE_HAMMING)]
+    return build, "[" + ", ".join(probes) + "]"
+
+
+_ANN_BUILD_SQL, _ANN_PROBE_SQL = _ann_probe_sql_lists()
+
 ORACLE_ANN_LSH_TOPK = f"""
-WITH b AS (
+WITH coded AS (
   SELECT vec_id, embedding,
          {_bucket_sql('embedding')} AS b0,
-         {1 << ANN_FINE_BITS} + {_bucket_sql('embedding', _HP_FINE)} AS b1
+         {_bucket_sql('embedding', _HP_FINE)} AS f1,
+         sqrt(list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[])) AS nrm
   FROM embeddings
-), m AS (
-  SELECT vec_id, embedding, unnest([b0, b1]) AS bucket FROM b
+), b AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> x / nrm) AS nemb,
+         b0, f1
+  FROM coded
+), build AS (
+  SELECT vec_id, nemb, unnest({_ANN_BUILD_SQL}) AS bucket FROM b
+), probe AS (
+  SELECT vec_id, nemb, unnest({_ANN_PROBE_SQL}) AS bucket FROM b
 ), pairs AS (
   SELECT DISTINCT a.vec_id, c.vec_id AS nn_id,
-         round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(a.embedding::DOUBLE[],
-                                        a.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(c.embedding::DOUBLE[],
-                                          c.embedding::DOUBLE[]))), 6)
-             AS cos_sim
-  FROM m a JOIN m c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+         round(list_dot_product(a.nemb, c.nemb), 6) AS cos_sim
+  FROM probe a JOIN build c ON a.bucket = c.bucket
+                           AND a.vec_id <> c.vec_id
 ), ranked AS (
   SELECT vec_id, nn_id, cos_sim,
          cast(row_number() OVER (PARTITION BY vec_id

@@ -620,14 +620,14 @@ def test_connected_components_log_rounds_on_path_graph(spark):
 
 
 def test_multitable_lsh_recall_and_bucket_bound(spark):
-    """r4 multi-table LSH: (a) recall@3 vs exact all-pairs top-3 must
-    be >= the single-table design's (candidates are a strict superset:
-    table 0 is unchanged); (b) the fine table (12 bits) must bound the
-    worst bucket at or below the coarse table's worst bucket.
-    (Absolute recall is low by design here: the synthetic embeddings
-    are near-random 64-dim vectors, so top-3 neighbors are weak
-    near-ties — the pin is the RELATIVE improvement, measured at
-    sf0.01: multi 0.042 vs single 0.031.)"""
+    """r5 multiprobe LSH: (a) recall@3 vs exact all-pairs top-3 must
+    clear an absolute floor (measured 0.258 at sf0.01 with Hamming-1
+    coarse + Hamming-2 fine probes, vs 0.042 for the r4 no-probe
+    design on these near-random 64-dim vectors — the hardest case for
+    LSH) and stay >= the single-table design's (candidates are a
+    superset: table 0 and its probes are unchanged); (b) the fine
+    table (12 bits) must bound the worst bucket at or below the coarse
+    table's worst bucket."""
     from pyspark.sql import functions as F
     from pdfio_spark.pipeline import queries as Q
     sf = "/root/testdata/sf0.01"
@@ -660,7 +660,13 @@ def test_multitable_lsh_recall_and_bucket_bound(spark):
                      .filter("rk <= 3"))
     r_multi = len(multi & truth) / len(truth)
     r_single = len(single & truth) / len(truth)
-    assert r_multi > r_single, (r_multi, r_single)
+    assert r_multi >= 0.2, f"multiprobe recall@3 collapsed: {r_multi}"
+    assert r_multi >= r_single, (r_multi, r_single)
+    # multiprobe is the recall engine: without it the same two tables
+    # sit at 0.042 (r4) — pin the gap so a probe regression is loud
+    noprobe = topk_set(Q.ann_lsh_topk_over(emb, tables=2,
+                                           coarse_probe=0, fine_probe=0))
+    assert r_multi >= 3 * len(noprobe & truth) / len(truth)
     # bucket-size bound: fine table's worst bucket <= coarse's worst
     stats = Q.QUERIES["q_lsh_buckets"](spark, sf)
     agg = stats.agg(F.max("n_vectors").alias("mc"),
