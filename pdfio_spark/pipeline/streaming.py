@@ -17,7 +17,8 @@ from pyspark.sql import SparkSession, functions as F
 
 from .job import _EXTRACT_DDL, _extract_batches
 
-__all__ = ["stream_extract", "stream_metrics", "stream_dedup"]
+__all__ = ["stream_extract", "stream_metrics", "stream_dedup",
+           "stream_neardup", "neardup_keep_decisions"]
 
 
 def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
@@ -84,6 +85,106 @@ def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+def stream_neardup(spark: SparkSession, input_dir: str,
+                   checkpoint_dir: str, output_dir: str,
+                   state_ttl_hours: int | None = None):
+    """Stateful streaming NEAR-dup stage (r5): stream_dedup's seen-set
+    extended from exact urls to MinHash band keys. Each arriving
+    (url, text) computes its 4 LSH band buckets row-locally (the same
+    shingle->16-minhash->band kernel as batch q_dedup_minhash — no
+    shingle shuffle), explodes to one row per (band, bucket), and a
+    GroupState per band bucket remembers the first url that claimed it
+    (TTL-bounded exactly like stream_dedup; state is 4 keys x ~1 url
+    per distinct doc). Every arrival emits (url, band, bucket, keeper);
+    keeper == url marks a fresh claim. A doc is a near-dup iff any of
+    its bands hit a bucket kept by ANOTHER url — fold flag rows into
+    per-doc decisions with neardup_keep_decisions(). Docs under 3 words
+    have no shingles and pass through unflagged (same as batch).
+
+    Within one micro-batch the claimant of a fresh bucket is the
+    lexicographically smallest url in the batch (deterministic);
+    across batches/restarts the checkpoint makes first-wins exact."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from .queries import _xxhash_fn
+
+    src = (spark.readStream
+           .schema("url string, text string")
+           .parquet(input_dir))
+    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    d = src.select("url", words.alias("w")).filter(F.size("w") >= 3)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 3),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)))
+    sig = d.select("url", shingles.alias("sh")).select(
+        "url",
+        *[F.array_min(F.transform("sh", _xxhash_fn(i))).alias(f"h{i}")
+          for i in range(16)])
+    melted = sig.select("url", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"h{b * 4 + j}") for j in range(4)])
+                 .alias("bucket"))
+        for b in range(4)])).alias("bb")) \
+        .select("url", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    ttl_ms = None if state_ttl_hours is None else \
+        max(1, int(state_ttl_hours * 3600 * 1000))
+
+    def flag_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        urls = sorted({u for pdf in pdf_iter for u in pdf["url"]})
+        if not urls:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return iter(())
+        if state.exists:
+            keeper = state.get[0]
+        else:
+            keeper = urls[0]
+            state.update((keeper,))
+        if ttl_ms is not None:
+            # re-arm on EVERY invocation — Spark drops an un-set timeout
+            # (the stream_dedup r4 lesson)
+            state.setTimeoutDuration(ttl_ms)
+        return iter([pd.DataFrame({
+            "url": urls,
+            "band": [int(key[0])] * len(urls),
+            "bucket": [int(key[1])] * len(urls),
+            "keeper": [keeper] * len(urls)})])
+
+    flags = (melted.groupBy("band", "bucket").applyInPandasWithState(
+        flag_fn,
+        outputStructType="url string, band int, bucket long, "
+                         "keeper string",
+        stateStructType="keeper string",
+        outputMode="append",
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if ttl_ms is not None
+                     else GroupStateTimeout.NoTimeout)))
+    return (flags.writeStream
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
+def neardup_keep_decisions(spark: SparkSession, flags_dir: str):
+    """Fold stream_neardup's flag rows into one decision per url:
+    keep = no band hit a bucket kept by another url; dup_of = the
+    smallest such keeper otherwise. Exactly-once of the flag sink
+    (streaming checkpoint) makes decisions stable across restarts."""
+    flags = spark.read.parquet(flags_dir)
+    other = F.when(F.col("keeper") != F.col("url"), F.col("keeper"))
+    return (flags.groupBy("url")
+            .agg(F.min(other).alias("dup_of"))
+            .select("url", F.col("dup_of").isNull().alias("keep"),
+                    "dup_of"))
 
 
 def stream_extract(spark: SparkSession, input_dir: str,

@@ -415,6 +415,51 @@ class TestSignatureValidation:
         assert st["passed"]  # local-only default restored
 
 
+class TestCosWriter:
+    """cos/writer.py round trips (r5): parse -> rewrite -> parse must
+    preserve extraction byte-for-byte across packaging (classic xref /
+    ObjStm + xref stream) x encryption (none / RC4-128 / AES-128 /
+    AES-256)."""
+
+    CLASSES = ("flate_simple", "multipage", "font_cid", "xref_stream",
+               "objstm", "contents_array", "filter_chain")
+
+    @pytest.mark.parametrize("pack", ["classic", "objstm"])
+    @pytest.mark.parametrize("encrypt", [None, "rc4-128", "aes-128",
+                                         "aes-256"])
+    def test_roundtrip_matrix(self, pack, encrypt):
+        from pdfio_spark.cos.writer import rewrite_pdf
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        for cls in self.CLASSES:
+            lines = ["Doc 1: writer round trip"]
+            if cls == "multipage":
+                lines = ["Doc 1: writer round trip", "second page"]
+            src = build_fixture(cls, lines)
+            want = extract_doc(src)["text"]
+            r = extract_doc(rewrite_pdf(src, encrypt=encrypt, pack=pack))
+            assert r["status"] == "ok", (cls, r["err"])
+            assert r["text"] == want, cls
+
+    def test_owner_password_and_wrong_password(self):
+        from pdfio_spark.cos.writer import rewrite_pdf
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        src = build_fixture("flate_simple", ["Doc 1: pw matrix"])
+        # empty user pw + distinct owner pw -> opens (user path)
+        out = rewrite_pdf(src, encrypt="aes-128", owner_pw=b"owner")
+        assert extract_doc(out)["status"] == "ok"
+        # non-empty user pw -> quarantined (crawl contract)
+        out = rewrite_pdf(src, encrypt="rc4-128", user_pw=b"secret")
+        assert extract_doc(out)["status"] != "ok"
+
+    def test_rejects_encrypted_input(self):
+        from pdfio_spark.cos.writer import rewrite_pdf
+        from pdfio_spark.fixtures import build_fixture
+        with pytest.raises(ValueError):
+            rewrite_pdf(build_fixture("encrypt_aes256", ["Doc 1: e"]))
+
+
 class TestTiffPredictor2:
     """TIFF Predictor 2 (the reference quarantines it; we decode —
     vectorized per-row cumsum mod 256, TIFF 6.0 §14)."""

@@ -552,6 +552,43 @@ def test_stream_extract_html(spark, tmp_path):
     assert spark.read.parquet(outp).count() == 30
 
 
+def test_stream_neardup_restart_no_duplicate_decisions(spark, tmp_path):
+    """r5 streaming near-dup stage: band-key GroupState flags a later
+    doc whose MinHash bands collide with an earlier doc's, and a
+    RESTART from the checkpoint neither re-emits old flag rows nor
+    flips old keep decisions — exactly-once across the boundary."""
+    from pdfio_spark.pipeline.streaming import (neardup_keep_decisions,
+                                                stream_neardup)
+    inp = str(tmp_path / "nd_in")
+    chk = str(tmp_path / "nd_chk")
+    outp = str(tmp_path / "nd_out")
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "structured streaming keeps one state row per lsh band bucket"
+    spark.createDataFrame([("u1", t1), ("u2", t2)],
+                          "url string, text string").write.parquet(inp)
+    q = stream_neardup(spark, inp, chk, outp)
+    q.awaitTermination(120)
+    dec1 = {r.url: (r.keep, r.dup_of)
+            for r in neardup_keep_decisions(spark, outp).collect()}
+    assert dec1 == {"u1": (True, None), "u2": (True, None)}
+    # restart with a near-dup of u1 (same text -> same 4 band buckets)
+    # and a fresh doc
+    t3 = "a wholly different body of words arriving after the restart"
+    spark.createDataFrame([("u3", t1), ("u4", t3)],
+                          "url string, text string") \
+        .write.mode("append").parquet(inp)
+    q2 = stream_neardup(spark, inp, chk, outp)
+    q2.awaitTermination(120)
+    flags = spark.read.parquet(outp)
+    # no (url, band) emitted twice across the checkpoint boundary
+    assert flags.groupBy("url", "band").count() \
+        .filter("count > 1").count() == 0
+    dec = {r.url: (r.keep, r.dup_of)
+           for r in neardup_keep_decisions(spark, outp).collect()}
+    assert dec == {"u1": (True, None), "u2": (True, None),
+                   "u3": (False, "u1"), "u4": (True, None)}
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """IVF (nprobe=1, K=8) must return exact-cosine-ranked results
     within the probe's cell and keep reasonable recall vs brute force —
