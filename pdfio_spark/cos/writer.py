@@ -182,6 +182,8 @@ def rewrite_pdf(data: bytes, encrypt: str | None = None,
     objects = _collect_objects(doc)
     trailer = doc.trailer
     root = trailer.get(Name("Root"))
+    if root is None:
+        raise ValueError("source has no trailer /Root")
     info = trailer.get(Name("Info"))
     ids = doc.get_id()
     id0 = (ids[0].binary if isinstance(ids, list) and

@@ -5,7 +5,11 @@ extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
 Usage: python3 tools/soak.py [pdf|html|dedup] [n_docs]  (default pdf 1e6)
-Env:   SPARK_GRAFT_CPUS (default 32), SOAK_DIR (default /tmp/soak)
+Env:   SPARK_GRAFT_CPUS (default 32), SOAK_DIR (default /tmp/soak),
+       SOAK_SMJ=1 disables broadcast joins (autoBroadcastJoinThreshold
+       =-1) so every join runs the at-scale sort-merge path — the
+       100 TB join shape, where key skew actually forms stragglers
+       (r5 verdict #6; same rationale as bench_skew_crossover.py)
 
 dedup mode: the corpus is n_docs with 200-way exact duplication (the
 clique stress from BENCH/BASELINE.md) run through dedup_keep_list —
@@ -34,6 +38,9 @@ def main() -> None:
     from pdfio_spark.pipeline.session import get_spark
     spark = get_spark(cpus=cpus, app=f"pdfio_soak_{mode}")
     spark.sparkContext.setLogLevel("ERROR")
+    smj = os.environ.get("SOAK_SMJ") == "1"
+    if smj:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     if mode == "dedup":
         from pdfio_spark.pipeline.queries import dedup_keep_list
@@ -50,8 +57,9 @@ def main() -> None:
         n_rows = out.count()
         n_kept = out.filter("is_kept").count()
         dt = time.perf_counter() - t0
-        print(json.dumps({"mode": mode, "n_docs": n, "rows": n_rows,
-                          "kept": n_kept, "sec": round(dt, 1),
+        print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
+                          "rows": n_rows, "kept": n_kept,
+                          "sec": round(dt, 1),
                           "docs_per_sec": round(n / dt, 1)}))
         spark.stop()
         return
