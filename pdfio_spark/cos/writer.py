@@ -126,6 +126,12 @@ def _make_encryptor(mode: str, id0: bytes, user_pw: bytes,
         e = _Rc4Encryptor(id0, r=4, user_pw=user_pw, owner_pw=owner_pw,
                           aes=True)
     elif mode == "aes-256":
+        if user_pw or owner_pw:
+            # the fixture R6 derivation is empty-password only —
+            # accepting and ignoring a password would emit a file
+            # anyone can open while the caller believes it protected
+            raise ValueError("aes-256 rewrite supports empty "
+                             "passwords only")
         e = _Aes256Encryptor()
     else:
         raise ValueError(f"unknown encryption mode {mode!r}")
@@ -186,10 +192,12 @@ def rewrite_pdf(data: bytes, encrypt: str | None = None,
         raise ValueError("source has no trailer /Root")
     info = trailer.get(Name("Info"))
     ids = doc.get_id()
-    id0 = (ids[0].binary if isinstance(ids, list) and
-           isinstance(ids[0], (HexStr, LitStr))
-           else bytes(ids[0]) if isinstance(ids, list) else
-           hashlib.md5(data).digest())
+    id0 = hashlib.md5(data).digest()
+    if isinstance(ids, list) and ids:  # /ID [] or junk -> md5 fallback
+        if isinstance(ids[0], (HexStr, LitStr)):
+            id0 = ids[0].binary
+        elif isinstance(ids[0], (bytes, bytearray)):
+            id0 = bytes(ids[0])
     enc = None
     enc_dict = None
     if encrypt is not None:
@@ -236,10 +244,8 @@ def rewrite_pdf(data: bytes, encrypt: str | None = None,
            if g != 0 or isinstance(o, Stream)]
     objstm_num = max_num + 1
     xref_num = max_num + 2
-    offsets = {}
     entries: dict[int, tuple] = {}  # num -> (type, a, b)
     for num, gen, obj in top:
-        offsets[num] = len(out)
         entries[num] = (1, len(out), gen)
         out += f"{num} {gen} obj\n".encode()
         out += serialize_object(obj, enc, num, gen)

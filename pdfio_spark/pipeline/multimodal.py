@@ -113,7 +113,15 @@ def _decode_pixels(body: bytes, width: int, height: int,
         return px
     for name, magic in _IMAGE_MAGICS:
         if body[:len(magic)] == magic and codecs and name in codecs:
-            return codecs[name](body)
+            px = codecs[name](body)
+            # same contract the built-in BMP path enforces: a plugged
+            # decoder returning transposed / wrong-size pixels must
+            # fail loudly (per-row fallback), not warp the geometry
+            if getattr(px, "shape", (None,))[:2] != (height, width):
+                raise ValueError(
+                    f"container/{name} dim mismatch: "
+                    f"{getattr(px, 'shape', None)} vs ({height}, {width})")
+            return px
     raise NotImplementedError("compressed image codec not available")
 
 

@@ -1446,39 +1446,44 @@ ORDER BY q_id, rk
 """
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: word-3-shingles -> 16 minhashes
-    via seeded xxhash64 -> 4 bands of 4 -> bucket join. All JVM-side;
-    the only shuffles are the doc-level agg and the band self-join.
-    Approximate by construction -> rows-only driver check."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def minhash_band_melt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, text) -> melted (id, band, bucket) LSH band keys:
+    word-3-shingles -> 16 seeded-xxhash minhashes -> 4 bands of 4 ->
+    xxhash64 bucket per band. Signatures are row-local (the shingle
+    array stays inside the row; each minhash is array_min(transform))
+    — ZERO shuffle before any band join (vs explode+groupBy-min, which
+    shuffles every shingle of the corpus: ~10x the corpus text at
+    100 TB vs 16 longs/doc here). Docs under 3 words have no shingles
+    and emit no rows. THE one xxhash band kernel — shared by batch
+    q_dedup_minhash and streaming stream_neardup, whose near-dup keys
+    must agree (r5 review: was copy-pasted in both)."""
     words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
-    d = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
-    # Signature is row-local: shingle array stays inside the row and each
-    # minhash is array_min(transform(...)) — ZERO shuffle before the band
-    # join (vs explode+groupBy-min, which shuffles every shingle of the
-    # corpus: ~10x the corpus text at 100 TB vs 16 longs/doc here).
+    d = df.select(F.col(id_col), words.alias("w")).filter(F.size("w") >= 3)
     shingles = F.transform(
         F.sequence(F.lit(0), F.size("w") - 3),
         lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)))
-    sig = d.select(
-        "doc_id", shingles.alias("sh"),
-    ).select(
-        "doc_id",
+    sig = d.select(id_col, shingles.alias("sh")).select(
+        id_col,
         *[F.array_min(F.transform("sh", _xxhash_fn(i))).alias(f"h{i}")
           for i in range(16)])
-    bands = []
-    for b in range(4):
-        cols = [f"h{b * 4 + j}" for j in range(4)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(c) for c in cols]).alias("bucket")))
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+    return (sig.select(id_col, F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"h{b * 4 + j}") for j in range(4)])
+                 .alias("bucket"))
+        for b in range(4)])).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket")))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: the shared xxhash band kernel
+    (minhash_band_melt) + band-bucket self-join. All JVM-side; the only
+    shuffles are the doc-level agg and the band self-join. Approximate
+    by construction -> rows-only driver check."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # materialize once — the self-join recomputes the 16-minhash
     # pipeline on both sides otherwise (same as the md5 twin)
-    allb = allb.localCheckpoint()
+    allb = minhash_band_melt(docs).localCheckpoint()
     left = allb.alias("a")
     right = allb.alias("b")
     pairs = (left.join(right, (F.col("a.band") == F.col("b.band"))
@@ -2226,24 +2231,35 @@ def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
     if tables > 1:
         probes += [(off + F.col("f1").bitwiseXOR(F.lit(m))).cast("int")
                    for m in _probe_masks(ANN_FINE_BITS, fine_probe)]
-    build = base.select("vec_id", F.col("nemb").alias("embedding"),
+    # melts carry ONLY (vec_id, bucket) — 12 bytes/row — so the 88x
+    # probe expansion shuffles kilobytes per vector, not 88 copies of
+    # the 64-double embedding (review r5: the array rides the tiny
+    # melt otherwise, ~45 KB/vector of probe-side shuffle at scale)
+    build = base.select("vec_id",
                         F.explode(F.array(*exact)).alias("bucket"))
-    probe = base.select("vec_id", F.col("nemb").alias("embedding"),
+    probe = base.select("vec_id",
                         F.explode(F.array(*probes)).alias("bucket"))
-    # (r5 note: an unrolled 64-term getItem sum was tried here and is
-    # SLOWER — the giant expression tree falls out of codegen; the
-    # zip_with/aggregate HOF over the pre-normalized arrays is the
+    pair_ids = (_salted_bucket_pairs(build, lambda a, c: a != c,
+                                     probe=probe)
+                .select(F.col("a.vec_id").alias("vec_id"),
+                        F.col("c.vec_id").alias("nn_id"))
+                .distinct())   # dedupe BEFORE fetching embeddings
+    # fetch both normalized embeddings from the checkpointed base (two
+    # hash joins on vec_id), then one dot product per surviving pair.
+    # (r5 note: an unrolled 64-term getItem sum was tried for the dot
+    # and is SLOWER — the giant expression tree falls out of codegen;
+    # the zip_with/aggregate HOF over the pre-normalized arrays is the
     # fastest exact-order formulation measured)
+    nv = base.select("vec_id", "nemb")
     sim = F.round(F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
-                   lambda x, y: x * y),
+        F.zip_with(F.col("a_emb"), F.col("c_emb"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, v: acc + v), 6)
-    pairs = (_salted_bucket_pairs(build, lambda a, c: a != c,
-                                  probe=probe)
-             .select(F.col("a.vec_id").alias("vec_id"),
-                     F.col("c.vec_id").alias("nn_id"),
-                     sim.alias("cos_sim"))
-             .distinct())   # a pair found by several probes ranks once
+    pairs = (pair_ids
+             .join(nv.select(F.col("vec_id"),
+                             F.col("nemb").alias("a_emb")), "vec_id")
+             .join(nv.select(F.col("vec_id").alias("nn_id"),
+                             F.col("nemb").alias("c_emb")), "nn_id")
+             .select("vec_id", "nn_id", sim.alias("cos_sim")))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
                                              F.asc("nn_id"))
     return (pairs.withColumn("rk", F.row_number().over(w))
@@ -2295,14 +2311,18 @@ WITH coded AS (
          b0, f1
   FROM coded
 ), build AS (
-  SELECT vec_id, nemb, unnest({_ANN_BUILD_SQL}) AS bucket FROM b
+  SELECT vec_id, unnest({_ANN_BUILD_SQL}) AS bucket FROM b
 ), probe AS (
-  SELECT vec_id, nemb, unnest({_ANN_PROBE_SQL}) AS bucket FROM b
-), pairs AS (
-  SELECT DISTINCT a.vec_id, c.vec_id AS nn_id,
-         round(list_dot_product(a.nemb, c.nemb), 6) AS cos_sim
+  SELECT vec_id, unnest({_ANN_PROBE_SQL}) AS bucket FROM b
+), pair_ids AS (
+  SELECT DISTINCT a.vec_id, c.vec_id AS nn_id
   FROM probe a JOIN build c ON a.bucket = c.bucket
                            AND a.vec_id <> c.vec_id
+), pairs AS (
+  SELECT p.vec_id, p.nn_id,
+         round(list_dot_product(x.nemb, y.nemb), 6) AS cos_sim
+  FROM pair_ids p JOIN b x ON p.vec_id = x.vec_id
+                  JOIN b y ON p.nn_id = y.vec_id
 ), ranked AS (
   SELECT vec_id, nn_id, cos_sim,
          cast(row_number() OVER (PARTITION BY vec_id

@@ -92,43 +92,35 @@ def stream_neardup(spark: SparkSession, input_dir: str,
                    state_ttl_hours: int | None = None):
     """Stateful streaming NEAR-dup stage (r5): stream_dedup's seen-set
     extended from exact urls to MinHash band keys. Each arriving
-    (url, text) computes its 4 LSH band buckets row-locally (the same
-    shingle->16-minhash->band kernel as batch q_dedup_minhash — no
-    shingle shuffle), explodes to one row per (band, bucket), and a
-    GroupState per band bucket remembers the first url that claimed it
+    (url, text) computes its 4 LSH band buckets row-locally (the shared
+    minhash_band_melt kernel — batch and stream near-dup keys MUST
+    agree), explodes to one row per (band, bucket), and a GroupState
+    per band bucket remembers the first url that claimed it
     (TTL-bounded exactly like stream_dedup; state is 4 keys x ~1 url
     per distinct doc). Every arrival emits (url, band, bucket, keeper);
     keeper == url marks a fresh claim. A doc is a near-dup iff any of
     its bands hit a bucket kept by ANOTHER url — fold flag rows into
-    per-doc decisions with neardup_keep_decisions(). Docs under 3 words
-    have no shingles and pass through unflagged (same as batch).
+    per-doc decisions with neardup_keep_decisions(). Docs under 3
+    words have no shingles; they take a STATELESS branch emitting one
+    self-claim row (band = -1) so every input doc gets a keep decision
+    (r5 review: they used to vanish from the sink entirely).
 
     Within one micro-batch the claimant of a fresh bucket is the
     lexicographically smallest url in the batch (deterministic);
     across batches/restarts the checkpoint makes first-wins exact."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from .queries import _xxhash_fn
+    from .queries import minhash_band_melt
 
     src = (spark.readStream
            .schema("url string, text string")
            .parquet(input_dir))
+    melted = minhash_band_melt(src, id_col="url")
     words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
-    d = src.select("url", words.alias("w")).filter(F.size("w") >= 3)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size("w") - 3),
-        lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)))
-    sig = d.select("url", shingles.alias("sh")).select(
-        "url",
-        *[F.array_min(F.transform("sh", _xxhash_fn(i))).alias(f"h{i}")
-          for i in range(16)])
-    melted = sig.select("url", F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.col(f"h{b * 4 + j}") for j in range(4)])
-                 .alias("bucket"))
-        for b in range(4)])).alias("bb")) \
-        .select("url", F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
+    short = (src.filter(F.size(words) < 3)
+             .select("url", F.lit(-1).alias("band"),
+                     F.xxhash64("url").alias("bucket"),
+                     F.col("url").alias("keeper")))
     ttl_ms = None if state_ttl_hours is None else \
         max(1, int(state_ttl_hours * 3600 * 1000))
 
@@ -165,7 +157,7 @@ def stream_neardup(spark: SparkSession, input_dir: str,
         timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
                      if ttl_ms is not None
                      else GroupStateTimeout.NoTimeout)))
-    return (flags.writeStream
+    return (flags.unionByName(short).writeStream
             .format("parquet")
             .option("path", output_dir)
             .option("checkpointLocation", checkpoint_dir)

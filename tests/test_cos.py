@@ -459,6 +459,33 @@ class TestCosWriter:
         with pytest.raises(ValueError):
             rewrite_pdf(build_fixture("encrypt_aes256", ["Doc 1: e"]))
 
+    def test_aes256_with_password_refused(self):
+        """r5 review: silently ignoring the password would emit a file
+        anyone can open while the caller believes it protected."""
+        from pdfio_spark.cos.writer import rewrite_pdf
+        from pdfio_spark.fixtures import build_fixture
+        src = build_fixture("flate_simple", ["Doc 1: pw"])
+        with pytest.raises(ValueError, match="empty passwords"):
+            rewrite_pdf(src, encrypt="aes-256", user_pw=b"x")
+        with pytest.raises(ValueError, match="empty passwords"):
+            rewrite_pdf(src, encrypt="aes-256", owner_pw=b"x")
+
+    def test_empty_id_array_falls_back_to_md5(self):
+        """r5 review: trailer /ID [] (malformed but parseable) must
+        take the md5 fallback, not IndexError."""
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        src = build_fixture("flate_simple", ["Doc 1: empty id"])
+        import pdfio_spark.cos.writer as W
+        orig = CosDoc.get_id
+        try:
+            CosDoc.get_id = lambda self: []
+            out = W.rewrite_pdf(src, encrypt="rc4-128")
+        finally:
+            CosDoc.get_id = orig
+        assert extract_doc(out)["status"] == "ok"
+
 
 class TestTiffPredictor2:
     """TIFF Predictor 2 (the reference quarantines it; we decode —

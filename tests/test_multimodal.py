@@ -214,7 +214,13 @@ def test_injected_codec_routes_decode(tmp_path):
         row = mm.media_thumbnail(df).collect()[0]
         assert row.decoded is True and row.px == 77.0
         assert (row.out_w, row.out_h) == (w, h)
-        # unregistered format (audio opus) still falls back cleanly
+        # a decoder returning wrong-dimension pixels (e.g. transposed)
+        # must hit the per-row fallback, not warp the geometry (r5
+        # review: same contract as the built-in BMP path)
+        mm.set_media_codecs({"jpeg": lambda body: fake_px[:5, :5]})
+        row = mm.media_thumbnail(df).collect()[0]
+        assert row.decoded is False
+        # unregistered format still falls back cleanly
         mm.set_media_codecs(None)
         row = mm.media_thumbnail(df).collect()[0]
         assert row.decoded is False

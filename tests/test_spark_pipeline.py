@@ -564,13 +564,16 @@ def test_stream_neardup_restart_no_duplicate_decisions(spark, tmp_path):
     outp = str(tmp_path / "nd_out")
     t1 = "the quick brown fox jumps over the lazy dog again and again"
     t2 = "structured streaming keeps one state row per lsh band bucket"
-    spark.createDataFrame([("u1", t1), ("u2", t2)],
+    spark.createDataFrame([("u1", t1), ("u2", t2), ("u_short", "hi")],
                           "url string, text string").write.parquet(inp)
     q = stream_neardup(spark, inp, chk, outp)
     q.awaitTermination(120)
     dec1 = {r.url: (r.keep, r.dup_of)
             for r in neardup_keep_decisions(spark, outp).collect()}
-    assert dec1 == {"u1": (True, None), "u2": (True, None)}
+    # the <3-word doc takes the stateless self-claim branch — it must
+    # still receive a decision (r5 review: it used to vanish)
+    assert dec1 == {"u1": (True, None), "u2": (True, None),
+                    "u_short": (True, None)}
     # restart with a near-dup of u1 (same text -> same 4 band buckets)
     # and a fresh doc
     t3 = "a wholly different body of words arriving after the restart"
@@ -586,6 +589,7 @@ def test_stream_neardup_restart_no_duplicate_decisions(spark, tmp_path):
     dec = {r.url: (r.keep, r.dup_of)
            for r in neardup_keep_decisions(spark, outp).collect()}
     assert dec == {"u1": (True, None), "u2": (True, None),
+                   "u_short": (True, None),
                    "u3": (False, "u1"), "u4": (True, None)}
 
 
