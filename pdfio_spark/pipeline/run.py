@@ -44,29 +44,27 @@ def make_cc_table(docs, classes=None):
 
 def run_job(spark, input_path: str, output_path: str,
             metrics_path: str | None = None, resume: bool = False,
-            mode: str = "pdf") -> dict:
+            mode: str = "pdf", run_id: str | None = None) -> dict:
     """mode='pdf' (default): full PDF parse stack. mode='html': the
     web-page half — DOM block-scoring boilerplate strip over the same
-    (url, html binary) table shape, same resume/metrics contract."""
+    (url, html binary) table shape, same resume/metrics contract.
+
+    Every run stamps its output AND metrics rows with a `run_id`; on
+    --resume, any run_id present in the output but absent from the
+    metrics table (= a crash landed between the two appends) gets its
+    metrics RECOMPUTED from the committed output rows and appended
+    with reconciled=true — metrics completeness without re-extraction
+    (ADVICE r4; partition ids in reconciled rows reflect the resume
+    read, the lineage counts are exact)."""
+    import uuid
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
     from .html_extract import extract_html, html_metrics
     from .job import extract_pdfs, extraction_metrics
 
+    rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
     corpus = src.select("url", "html")  # column pruning reaches the scan
-
-    if resume:
-        try:
-            done = spark.read.parquet(output_path).select("url")
-            # join strategy left to Spark (job.resume_filter): `done`
-            # is the UNBOUNDED set of all previously-written urls — a
-            # forced broadcast OOMs exactly on the crash-recovery path
-            # it exists for (r4 review fix)
-            from .job import resume_filter
-            corpus = resume_filter(corpus, done)
-        except AnalysisException:
-            pass  # no prior output -> fresh run
 
     if mode == "html":
         extract_fn, metrics_fn = extract_html, html_metrics
@@ -74,26 +72,77 @@ def run_job(spark, input_path: str, output_path: str,
         extract_fn, metrics_fn = extract_pdfs, extraction_metrics
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html)")
+
+    if resume:
+        try:
+            prev = spark.read.parquet(output_path)
+            # join strategy left to Spark (job.resume_filter): `done`
+            # is the UNBOUNDED set of all previously-written urls — a
+            # forced broadcast OOMs exactly on the crash-recovery path
+            # it exists for (r4 review fix)
+            from .job import resume_filter
+            corpus = resume_filter(corpus, prev.select("url"))
+            if metrics_path and "run_id" in prev.columns:
+                _reconcile_metrics(spark, prev, metrics_path, metrics_fn)
+        except AnalysisException:
+            pass  # no prior output -> fresh run
+
     t0 = time.perf_counter()
     # localCheckpoint (not cache): the resume anti-join scans
     # output_path lazily, so ANY recomputation after the append —
     # cache eviction included — would see the job's own freshly
     # written rows and anti-join everything away. Checkpointing cuts
     # that lineage outright.
-    extracted = extract_fn(corpus).localCheckpoint()
+    extracted = (extract_fn(corpus)
+                 .withColumn("run_id", F.lit(rid)).localCheckpoint())
     stats = {r["status"]: r["count"] for r in
              extracted.groupBy("status").count().collect()}
     extracted.write.mode("append").parquet(output_path)
     # metrics AFTER the output append: a crash between the two writes
     # used to leave metrics rows for work the resume re-runs, double-
-    # counting lineage (the anti-join dedups only the output table)
+    # counting lineage (the anti-join dedups only the output table);
+    # the reconcile pass above covers the opposite loss (output
+    # committed, metrics not)
     if metrics_path:
-        metrics_fn(extracted).withColumn(
-            "ts", F.current_timestamp()).write.mode("append") \
-            .parquet(metrics_path)
+        metrics_fn(extracted.drop("run_id")) \
+            .withColumn("run_id", F.lit(rid)) \
+            .withColumn("reconciled", F.lit(False)) \
+            .withColumn("ts", F.current_timestamp()) \
+            .write.mode("append").parquet(metrics_path)
     wall = time.perf_counter() - t0
     return {"written": sum(stats.values()), "by_status": stats,
-            "wall_sec": round(wall, 2)}
+            "run_id": rid, "wall_sec": round(wall, 2)}
+
+
+def _reconcile_metrics(spark, prev_output, metrics_path: str,
+                       metrics_fn) -> None:
+    """Append recomputed metrics rows for run_ids whose output
+    committed but whose metrics append never ran (crash in between).
+    Exact, not estimated: output rows carry every column the metrics
+    aggregate reads."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+    try:
+        met = spark.read.parquet(metrics_path)
+        covered = (met.select("run_id").distinct()
+                   if "run_id" in met.columns
+                   else met.sparkSession.createDataFrame(
+                       [], "run_id string"))
+    except AnalysisException:
+        covered = spark.createDataFrame([], "run_id string")
+    orphans = (prev_output.filter(F.col("run_id").isNotNull())
+               .select("run_id").distinct()
+               .join(covered, "run_id", "left_anti"))
+    # orphan set = number of crashed runs — tiny; broadcast is safe
+    rows = prev_output.join(F.broadcast(orphans), "run_id")
+    per_run = rows.select("run_id").distinct().collect()
+    for r in per_run:
+        one = rows.filter(F.col("run_id") == r["run_id"]).drop("run_id")
+        metrics_fn(one) \
+            .withColumn("run_id", F.lit(r["run_id"])) \
+            .withColumn("reconciled", F.lit(True)) \
+            .withColumn("ts", F.current_timestamp()) \
+            .write.mode("append").parquet(metrics_path)
 
 
 def main(argv=None) -> None:

@@ -102,6 +102,46 @@ def test_run_job_resume(spark, corpus, tmp_path):
     assert spark.read.parquet(met).count() > 0
 
 
+def test_run_job_metrics_reconcile(spark, corpus, tmp_path):
+    """ADVICE r4: a crash BETWEEN the output append and the metrics
+    append leaves committed output rows with no lineage. On resume,
+    run_ids present in output but absent from metrics get their
+    metrics recomputed from the output rows (exact counts,
+    reconciled=true)."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.run import run_job
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    met = str(tmp_path / "metrics")
+    corpus.select("url", "html").write.parquet(inp)
+    # run 1 completes normally over the first 25 urls
+    first_in = str(tmp_path / "in1")
+    spark.read.parquet(inp).limit(25).write.parquet(first_in)
+    r1 = run_job(spark, first_in, outp, met, run_id="run1")
+    assert r1["written"] == 25
+    # run 2 "crashes" after the output append, before metrics: emulate
+    # by writing output rows stamped run2 with no metrics append
+    from pdfio_spark.pipeline.job import extract_pdfs
+    crashed = (spark.read.parquet(inp)
+               .join(spark.read.parquet(outp).select("url"),
+                     "url", "left_anti").limit(20))
+    extract_pdfs(crashed).withColumn("run_id", F.lit("run2")) \
+        .write.mode("append").parquet(outp)
+    # resume run reconciles run2's lineage and extracts the remainder
+    r3 = run_job(spark, inp, outp, met, resume=True, run_id="run3")
+    assert r3["written"] == 15
+    m = spark.read.parquet(met)
+    by_run = {r["run_id"]: r["n"] for r in
+              m.groupBy("run_id").agg(F.sum("n_docs").alias("n"))
+              .collect()}
+    assert by_run["run2"] == 20          # reconciled, exact
+    assert by_run["run1"] == 25 and by_run["run3"] == 15
+    assert m.filter("reconciled").select("run_id").distinct() \
+        .collect()[0]["run_id"] == "run2"
+    # totals balance: every output row has lineage exactly once
+    assert sum(by_run.values()) == spark.read.parquet(outp).count()
+
+
 def test_stream_metrics_watermark(spark, tmp_path):
     """Watermarked windowed rollup over an event stream."""
     import datetime as dt
