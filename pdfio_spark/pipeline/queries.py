@@ -1360,16 +1360,21 @@ def _md5_fn(seed: int):
     return lambda s: F.md5(F.concat(s, lit))
 
 
+IVF_NPROBE = 2
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (the brief's named scale path alongside LSH):
     coarse-quantize every vector to its nearest of K=8 deterministic
     centroids (the vectors with vec_id < 8 — the 'training' step made
-    oracle-able), then search top-5 only within the probe's cell
-    (nprobe=1; raising nprobe trades cost for recall). Centroids are an
-    8-row broadcast, assignment is a broadcast cross join + per-vector
-    argmax window (parallel, partitioned by vec_id), and the search
-    join is an equi-join on cell id — candidates per probe shrink by
-    ~K, the whole point of IVF at 10^12 vectors. Same output schema as
+    oracle-able), then search top-5 within each probe's IVF_NPROBE=2
+    nearest cells (r5; was nprobe=1 — the classic IVF recall knob:
+    the true neighbor of a query near a cell boundary usually sits in
+    the SECOND-nearest cell). Centroids are an 8-row broadcast,
+    assignment is a broadcast cross join + per-vector argmax window
+    (parallel, partitioned by vec_id), and the search join is an
+    equi-join on cell id — candidates per probe shrink by ~K/nprobe,
+    the whole point of IVF at 10^12 vectors. Same output schema as
     q_ann_bruteforce for recall comparison."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = emb.filter(F.col("vec_id") < 8).select(
@@ -1390,10 +1395,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("c_sim")))
     wc = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"),
                                               F.asc("c_id"))
-    cells = (scored.withColumn("r", F.row_number().over(wc))
-             .filter(F.col("r") == 1)
+    ranked_cells = scored.withColumn("r", F.row_number().over(wc))
+    # database side: every vector lives in exactly its nearest cell
+    cells = (ranked_cells.filter(F.col("r") == 1)
              .select("vec_id", "embedding", "c_id"))
-    probes = (cells.filter(F.col("vec_id") % 100 == 0)
+    # probe side: each query visits its IVF_NPROBE nearest cells
+    probes = (ranked_cells
+              .filter((F.col("vec_id") % 100 == 0)
+                      & (F.col("r") <= IVF_NPROBE))
               .select(F.col("vec_id").alias("q_id"),
                       F.col("embedding").alias("q_emb"),
                       F.col("c_id").alias("q_cell")))
@@ -1422,15 +1431,16 @@ WITH c AS (
   SELECT e.vec_id, e.embedding, c.c_id,
          {_SQL_COS.format(a='e.embedding', b='c.c_emb')} AS c_sim
   FROM embeddings e CROSS JOIN c
+), cellsr AS (
+  SELECT vec_id, embedding, c_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c_sim DESC, c_id ASC) AS r
+  FROM scored
 ), cells AS (
-  SELECT vec_id, embedding, c_id FROM (
-    SELECT vec_id, embedding, c_id,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY c_sim DESC, c_id ASC) AS r
-    FROM scored) WHERE r = 1
+  SELECT vec_id, embedding, c_id FROM cellsr WHERE r = 1
 ), q AS (
   SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell
-  FROM cells WHERE vec_id % 100 = 0
+  FROM cellsr WHERE vec_id % 100 = 0 AND r <= {IVF_NPROBE}
 ), pairs AS (
   SELECT q.q_id, e.vec_id,
          {_SQL_COS.format(a='e.embedding', b='q.q_emb')} AS cos_sim

@@ -634,9 +634,11 @@ def test_stream_neardup_restart_no_duplicate_decisions(spark, tmp_path):
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
-    """IVF (nprobe=1, K=8) must return exact-cosine-ranked results
-    within the probe's cell and keep reasonable recall vs brute force —
-    the cost/recall trade is the operator's contract."""
+    """IVF (nprobe=2, K=8) must return exact-cosine-ranked results
+    within each probe's two nearest cells and keep reasonable recall
+    vs brute force — the cost/recall trade is the operator's contract.
+    (Deterministic data: recall@5 is exactly 0.40 at sf0.001 / 0.56 at
+    sf0.01 with nprobe=2, vs 0.36 / 0.40 at the old nprobe=1 — r5.)"""
     from pdfio_spark.pipeline import queries as Q
     sf = "/root/testdata/sf0.001"
     bf = {(r.q_id, r.vec_id)
@@ -645,7 +647,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     ivf = {(r.q_id, r.vec_id) for r in ivf_rows}
     assert ivf  # every probe has a non-empty cell
     recall = len(ivf & bf) / len(bf)
-    assert recall >= 0.3, f"recall@5 {recall:.2f} collapsed"
+    assert recall >= 0.4, f"recall@5 {recall:.2f} collapsed"
     # within-cell ordering is exact: ranks are 1..n without gaps per q
     by_q = {}
     for r in ivf_rows:
