@@ -2061,6 +2061,7 @@ def _dot_lit(col, vec):
 
 
 def _bucket_expr(col, planes: list[list[float]] | None = None):
+    assert planes is None or len(planes) <= 30  # int32 bit-sum bound
     b = None
     for j, hp in enumerate(planes if planes is not None else _HP):
         bit = F.when(_dot_lit(col, hp) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -2192,24 +2193,32 @@ ORDER BY vec_id
 def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
                       k: int = 3,
                       coarse_probe: int = ANN_COARSE_PROBE_HAMMING,
-                      fine_probe: int = ANN_FINE_PROBE_HAMMING
-                      ) -> DataFrame:
+                      fine_probe: int = ANN_FINE_PROBE_HAMMING,
+                      coarse_planes: list | None = None,
+                      fine_planes: list | None = None) -> DataFrame:
     """Multi-table multiprobe LSH ANN over an embeddings-shaped
     DataFrame: each vector is hashed into `tables` independent LSH
     tables (table 0 = 8 coarse bits, table 1 = ANN_FINE_BITS fine
-    bits) and BUILT at its exact buckets; the PROBE side additionally
-    visits every bucket within the per-table Hamming radius (r5 —
-    Lv et al. multiprobe), so a true neighbor whose code differs by a
-    couple of bits is still met. Candidates are unioned across tables
-    and probes (DISTINCT pairs) and ranked by exact cosine top-k.
-    The hyperplane codes are computed ONCE (checkpointed base); probe
-    and build are projections of it feeding ONE salted equi-join —
-    bucket keys are disjoint per table, so the adaptive skew salting
-    composes unchanged and the build-side bucket bound (q_lsh_buckets)
-    still governs per-bucket work."""
-    cols = [_bucket_expr(F.col("embedding")).alias("b0")]
+    bits by default) and BUILT at its exact buckets; the PROBE side
+    additionally visits every bucket within the per-table Hamming
+    radius (r5 — Lv et al. multiprobe), so a true neighbor whose code
+    differs by a couple of bits is still met. Candidates are unioned
+    across tables and probes (DISTINCT pairs) and ranked by exact
+    cosine top-k. The hyperplane codes are computed ONCE (checkpointed
+    base); probe and build are projections of it feeding ONE salted
+    equi-join — bucket keys are disjoint per table, so the adaptive
+    skew salting composes unchanged and the build-side bucket bound
+    (q_lsh_buckets) still governs per-bucket work.
+
+    coarse_planes/fine_planes override the bit widths — the at-scale
+    escalation: bucket occupancy ~ n/2^bits, so bits grow with log2(n)
+    to hold per-bucket (and per-probe) work constant. tools/soak.py
+    ann mode runs 16+20 bits at 100k vectors this way."""
+    cps = coarse_planes if coarse_planes is not None else _HP
+    fps = fine_planes if fine_planes is not None else _HP_FINE
+    cols = [_bucket_expr(F.col("embedding"), cps).alias("b0")]
     if tables > 1:
-        cols.append(_bucket_expr(F.col("embedding"), _HP_FINE)
+        cols.append(_bucket_expr(F.col("embedding"), fps)
                     .alias("f1"))
     # materialize the coded base ONCE (localCheckpoint): the join would
     # otherwise recompute all (8+12) hyperplane dot products on BOTH
@@ -2232,15 +2241,15 @@ def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
                     "b0", *(["f1"] if tables > 1 else []))
             .localCheckpoint())
     # offset keeps per-table key spaces disjoint in one join column
-    off = F.lit(1 << ANN_FINE_BITS)
+    off = F.lit(1 << len(fps))
     exact = [F.col("b0")]
     if tables > 1:
-        exact.append((off + F.col("f1")).cast("int"))
-    probes = [F.col("b0").bitwiseXOR(F.lit(m)).cast("int")
-              for m in _probe_masks(8, coarse_probe)]
+        exact.append((off + F.col("f1")).cast("long"))
+    probes = [F.col("b0").bitwiseXOR(F.lit(m)).cast("long")
+              for m in _probe_masks(len(cps), coarse_probe)]
     if tables > 1:
-        probes += [(off + F.col("f1").bitwiseXOR(F.lit(m))).cast("int")
-                   for m in _probe_masks(ANN_FINE_BITS, fine_probe)]
+        probes += [(off + F.col("f1").bitwiseXOR(F.lit(m))).cast("long")
+                   for m in _probe_masks(len(fps), fine_probe)]
     # melts carry ONLY (vec_id, bucket) — 12 bytes/row — so the 88x
     # probe expansion shuffles kilobytes per vector, not 88 copies of
     # the 64-double embedding (review r5: the array rides the tiny

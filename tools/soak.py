@@ -4,7 +4,15 @@ a script): materialize an N-doc corpus to parquet, then time the
 extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
-Usage: python3 tools/soak.py [pdf|html|dedup] [n_docs]  (default pdf 1e6)
+Usage: python3 tools/soak.py [pdf|html|dedup|ann] [n_docs]  (default pdf 1e6)
+
+ann mode: n_docs deterministic 64-dim vectors (default 100k) through
+the multiprobe LSH top-k operator at the AT-SCALE bit widths (16
+coarse + 20 fine hyperplanes instead of the registry's 8+12): bucket
+occupancy is ~n/2^bits, so bits must grow with log2(n) to hold
+per-bucket and per-probe candidate work constant — this is the
+escalation the operator docstrings promise, demonstrated rather than
+asserted. Run with SOAK_SMJ=1 for the pure shuffle-join shape.
 Env:   SPARK_GRAFT_CPUS (default 32), SOAK_DIR (default /tmp/soak),
        SOAK_SMJ=1 disables broadcast joins (autoBroadcastJoinThreshold
        =-1) so every join runs the at-scale sort-merge path — the
@@ -41,6 +49,56 @@ def main() -> None:
     smj = os.environ.get("SOAK_SMJ") == "1"
     if smj:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    if mode == "ann":
+        import hashlib
+        from pdfio_spark.pipeline.queries import ann_lsh_topk_over
+        n_vec = n_docs if len(sys.argv) > 2 else 100_000
+        # deterministic synthetic vectors: 64 dims from xxhash64 of
+        # (id, dim), scaled to [-1, 1) — JVM-side, no driver loop
+        dims = ",".join(
+            f"cast(xxhash64(id, {i}) % 1000003 as double) / 1000003.0"
+            for i in range(64))
+        emb = (spark.range(n_vec)
+               .selectExpr("id as vec_id", f"array({dims}) as embedding")
+               .repartition(cpus * 2).localCheckpoint())
+
+        # INDEPENDENT planes (md5 per coefficient). The registry's
+        # pinned _hyperplanes use a multiplicative-hash-of-a-counter
+        # sequence whose consecutive planes correlate; at 8 bits the
+        # hot-bucket salting absorbs the resulting skew, but at 16 bits
+        # the correlated code collapses into ~9k of 65k buckets (avg
+        # occupancy 10.6 vs the ~1.5 an independent code gives at
+        # 100k vectors) and multiprobe multiplies that into ~350M
+        # candidate pairs. Plane INDEPENDENCE is part of the at-scale
+        # contract, same as bit count — measured here, lesson recorded
+        # in BENCH/BASELINE.md.
+        def md5_planes(n, dim=64, tag=""):
+            out = []
+            for j in range(n):
+                row = []
+                for i in range(dim):
+                    h = hashlib.md5(f"{tag}:{j}:{i}".encode()).digest()
+                    v = int.from_bytes(h[:8], "big") / 2 ** 64
+                    row.append(round(v * 2 - 1, 6))
+                out.append(row)
+            return out
+
+        coarse = md5_planes(16, tag="c")
+        fine = md5_planes(20, tag="f")
+        t0 = time.perf_counter()
+        out = ann_lsh_topk_over(emb, coarse_planes=coarse,
+                                fine_planes=fine)
+        n_rows = out.count()
+        dt = time.perf_counter() - t0
+        with_nn = out.select("vec_id").distinct().count()
+        print(json.dumps({"mode": mode, "smj": smj, "n_vectors": n_vec,
+                          "bits": [16, 20], "topk_rows": n_rows,
+                          "vectors_with_neighbors": with_nn,
+                          "sec": round(dt, 1),
+                          "vectors_per_sec": round(n_vec / dt, 1)}))
+        spark.stop()
+        return
 
     if mode == "dedup":
         from pdfio_spark.pipeline.queries import dedup_keep_list
