@@ -109,6 +109,13 @@ def decode_wav_pcm16(data: bytes) -> tuple[int, np.ndarray]:
                 struct.unpack_from("<HHIIHH", body, 0)
             if tag != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV (tag={tag}, bits={bits})")
+            if not 0 < rate < 2 ** 31 or channels == 0:
+                # the fmt rate field is unsigned 32-bit: a crafted
+                # value >= 2^31 would "decode" here and then blow up
+                # the int32 Arrow column at BATCH assembly — outside
+                # the per-row guard (r5 review)
+                raise ValueError(f"implausible WAV fmt (rate={rate}, "
+                                 f"channels={channels})")
         elif cid == b"data":
             samples = np.frombuffer(
                 body[:len(body) & ~1], dtype="<i2")

@@ -132,8 +132,10 @@ def _extract_with_timeout(html: bytes, timeout_sec: float, **kw) -> dict:
     except ValueError:
         # not the worker's main thread -> no alarm available
         return extract_doc(html, **kw)
-    signal.setitimer(signal.ITIMER_REAL, timeout_sec)
     try:
+        # arm INSIDE the try: an alarm firing between setitimer and
+        # try-entry used to escape the except entirely (r5 review)
+        signal.setitimer(signal.ITIMER_REAL, timeout_sec)
         return extract_doc(html, **kw)
     except RowTimeout as e:
         return {"n_pages": 0, "text": "", "pages": [],
@@ -151,7 +153,15 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                                "nbytes", "dur_us")}
         for url, html in zip(urls, htmls):
             t0 = time.perf_counter_ns()
-            r = _extract_with_timeout(html or b"", ROW_TIMEOUT_SEC)
+            try:
+                r = _extract_with_timeout(html or b"", ROW_TIMEOUT_SEC)
+            except RowTimeout as e:
+                # the alarm can fire in _extract_with_timeout's finally
+                # (after extract returned, before setitimer(0)) and
+                # escape its except — RowTimeout is a BaseException, so
+                # without this guard it would kill the task (r5 review)
+                r = {"n_pages": 0, "text": "", "status": "timeout",
+                     "err": str(e)}
             dur = (time.perf_counter_ns() - t0) // 1000
             out["url"].append(url)
             out["n_pages"].append(r["n_pages"])
@@ -206,6 +216,11 @@ def extract_pdfs(corpus: DataFrame, skew_partitions: int | None = None,
         skew_partitions = max(sc.defaultParallelism, 8)
     if "nbytes" not in df.columns:
         df = df.withColumn("nbytes", F.length("html").cast("long"))
+    # NULL html (or a NULL pre-supplied nbytes) fails BOTH branch
+    # filters and used to vanish silently — route it to the small path,
+    # where the UDF's `html or b""` quarantines it as an error row
+    # (r5 review)
+    df = df.withColumn("nbytes", F.coalesce("nbytes", F.lit(0)))
     small = (df.filter(F.col("nbytes") <= skew_threshold)
              .select("url", "html")
              .mapInArrow(_extract_batches, _EXTRACT_DDL))
@@ -303,13 +318,20 @@ def extract_pdfs_sharded(corpus: DataFrame, pages_per_shard: int = 4,
 
     def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("shard_id")
-        status = "ok"
-        if (pdf["status"] != "ok").all():
-            # NO shard succeeded — whatever the failure mix
-            # (error/empty/timeout), 'partial' would mislabel an
-            # all-failed doc as usable (r4 review fix)
+        # 'empty' is a BENIGN shard outcome (its page range had no
+        # text) — the plain path skips empty pages inside one UDF call
+        # and still reports 'ok', so the sharded route must agree
+        # (r5 review: a doc with blank pages in one shard was
+        # mislabeled 'partial'; an all-blank doc 'error')
+        benign = pdf["status"].isin(("ok", "empty"))
+        if benign.all():
+            status = "ok" if (pdf["status"] == "ok").any() else "empty"
+        elif not benign.any():
+            # NO shard succeeded — whatever the failure mix,
+            # 'partial' would mislabel an all-failed doc as usable
+            # (r4 review fix)
             status = "error"
-        elif (pdf["status"] != "ok").any():
+        else:
             status = "partial"
         return pd.DataFrame({
             "url": [pdf["url"].iloc[0]],

@@ -134,7 +134,10 @@ def q_verify_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   " '\\n') || '\\n'").alias("gtext"))
               .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
                       "gtext"))
-    joined = extracted.join(F.broadcast(golden), "url", "left")
+    # golden is one row per input doc CARRYING ITS FULL TEXT — the
+    # same corpus-scale forced-broadcast OOM class the r4 run.py fix
+    # removed; let Spark pick the strategy (r5 review)
+    joined = extracted.join(golden, "url", "left")
     return (joined.select(
         F.count_if(F.col("text") == F.col("gtext")).alias("n_match"),
         F.count_if(F.col("text") != F.col("gtext")).alias("n_mismatch"),
@@ -174,7 +177,9 @@ def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "doc_id")
     done = corpus.filter(F.col("doc_id") % 3 == 0).select("url")
-    remaining = corpus.join(F.broadcast(done), "url", "left_anti")
+    # `done` is the unbounded prior-output set — never force-broadcast
+    # the crash-recovery side (mirrors job.resume_filter, r4)
+    remaining = corpus.join(done, "url", "left_anti")
     return remaining.select("url").orderBy("url")
 
 
@@ -208,7 +213,11 @@ def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = hist.agg(F.sum("cnt").alias("n_total"))
     wdoc = Window.partitionBy("n_chars").orderBy("doc_id")
     ranked = (docs.withColumn("rk", F.row_number().over(wdoc))
-              .join(F.broadcast(base), "n_chars")
+              # base is one row per DISTINCT doc size (unbounded at
+              # scale) and the window above already partitioned by
+              # n_chars — the plain join is co-partitioned; only the
+              # 1-row total stays a broadcast (r5 review)
+              .join(base, "n_chars")
               .crossJoin(F.broadcast(total))
               .withColumn("rn", F.col("base") + F.col("rk")))
     q = F.floor(F.col("n_total") / 8).cast("long")
@@ -745,7 +754,9 @@ def q_doc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         info, "url string, producer string, title string")
     dates_df = dates_corpus.mapInArrow(
         dates, "url string, raw_date string, utc string")
-    return (info_df.join(F.broadcast(dates_df), "url")
+    # dates_df is one row per input doc — corpus-sized, not a dim;
+    # shuffle join (r5 review)
+    return (info_df.join(dates_df, "url")
             .orderBy("url"))
 
 
@@ -1291,6 +1302,23 @@ FROM m ORDER BY doc_id
 """
 
 
+def _cos_expr(a, b):
+    """Shared exact-cosine Column expression (zip_with/aggregate dot +
+    norms, round 6) for bruteforce / IVF / neardup — one formulation to
+    keep in lockstep with its SQL twin _SQL_COS (r5 review: three
+    hand-maintained copies). ann_lsh_topk_over intentionally differs —
+    it pre-normalizes in its checkpointed base."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return F.round(dot / (nrm(a) * nrm(b)), 6)
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query vectors, JVM-side
     zip_with/aggregate dot products, window top-k. The IVF/LSH variant
@@ -1298,14 +1326,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
-    dot = F.aggregate(
-        F.zip_with("embedding", "q_emb",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-    nrm = lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
-    sim = F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("q_emb"))), 6)
+    sim = _cos_expr("embedding", "q_emb")
     pairs = (emb.crossJoin(F.broadcast(queries))
              .filter(F.col("vec_id") != F.col("q_id"))
              .select("q_id", "vec_id", sim.alias("cos_sim")))
@@ -1380,15 +1401,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
 
-    def cos(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v)
-        nrm = lambda c: F.sqrt(F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v))
-        return F.round(dot / (nrm(a) * nrm(b)), 6)
-
+    cos = _cos_expr
     scored = (emb.crossJoin(F.broadcast(cents))
               .select("vec_id", "embedding", "c_id",
                       cos(F.col("embedding"), F.col("c_emb"))
@@ -1683,7 +1696,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star (the escalation PLANS.md:158 named) replaces
     min-label propagation — O(log n) rounds regardless of component
     diameter, same output labels (component = min doc_id)."""
-    pairs = q_dedup_minhash_md5(spark, sf_dir)
+    # the UNSORTED shared candidate stage — going through
+    # q_dedup_minhash_md5 paid its global orderBy only for
+    # connected_components to immediately re-shuffle the pairs
+    # (r5 review; dedup_keep_list already feeds from the raw stage)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = _minhash_md5_candidates(docs)
     labels, _ = connected_components(pairs, s="doc_a", t="doc_b")
     return (labels.select(F.col("node").alias("doc_id"),
                           F.col("component"))
@@ -2382,15 +2400,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     b = emb.select("vec_id", "embedding",
                    _bucket_expr(F.col("embedding")).alias("bucket"))
-    dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("c.embedding"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-    nrm = lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
-    sim = F.round(dot / (nrm(F.col("a.embedding"))
-                         * nrm(F.col("c.embedding"))), 6)
+    sim = _cos_expr("a.embedding", "c.embedding")
     return (_salted_bucket_pairs(b, lambda a, c: a < c)
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("c.vec_id").alias("vec_b"),
@@ -2503,8 +2513,10 @@ def q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = media_metadata(corpus)
     th = media_thumbnail(corpus).select("media_id", "out_w", "out_h")
     fr = media_frame_sample(corpus)
-    return (md.join(F.broadcast(th), "media_id", "left")
-            .join(F.broadcast(fr), "media_id", "left")
+    # th/fr are one row per media row — corpus-sized, not dims;
+    # shuffle joins (r5 review)
+    return (md.join(th, "media_id", "left")
+            .join(fr, "media_id", "left")
             .orderBy("media_id"))
 
 

@@ -127,12 +127,27 @@ def read_warc(spark: SparkSession, path: str,
              .load(path)
              .select("content"))
 
+    def safe_iter(gen):
+        """Drain a member/record generator, stopping (not failing) at
+        the first decode error: one truncated .warc.gz shard must cost
+        its own unparsed tail, never the Spark task — every other UDF
+        in the pipeline quarantines per row; the source fed by
+        uncontrolled external bytes cannot be the one exception
+        (r5 review)."""
+        while True:
+            try:
+                yield next(gen)
+            except StopIteration:
+                return
+            except Exception:
+                return
+
     def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             urls, tss, bodies, sizes = [], [], [], []
             for blob in batch.column("content").to_pylist():
-                for member in _split_gzip_members(blob or b""):
-                    for rec in _parse_warc_records(member):
+                for member in safe_iter(_split_gzip_members(blob or b"")):
+                    for rec in safe_iter(_parse_warc_records(member)):
                         if rec["type"] != "response" or not rec["url"]:
                             continue
                         payload = _strip_http_envelope(rec["body"])

@@ -193,6 +193,23 @@ def test_decode_fallbacks_on_malformed_magic_bodies():
         spark.stop()
 
 
+def test_wav_implausible_rate_rejected():
+    """r5 review: a crafted fmt chunk with rate >= 2^31 used to
+    'decode' and then blow up the int32 Arrow column at batch assembly
+    — outside the per-row guard. decode must reject it so the row
+    falls back (decoded=False)."""
+    import struct
+    import numpy as np
+    from pdfio_spark.pipeline.codecs import decode_wav_pcm16, \
+        encode_wav_pcm16
+    wav = bytearray(encode_wav_pcm16(
+        np.zeros(8, dtype=np.int16), 8000))
+    i = wav.find(b"fmt ")
+    struct.pack_into("<I", wav, i + 8 + 4, 0x80000000)  # rate field
+    with pytest.raises(ValueError, match="implausible"):
+        decode_wav_pcm16(bytes(wav))
+
+
 def test_injected_codec_routes_decode(tmp_path):
     """Pluggable codec hooks (r5 verdict): set_media_codecs injects a
     fake JPEG decoder; media_thumbnail must route the jpeg-magic body

@@ -359,6 +359,42 @@ def test_read_warc_source(spark, tmp_path):
     ext = extract_pdfs(cc.select("url", "html", "nbytes"))
     texts = {r["url"]: r["text"] for r in ext.collect()}
     assert texts["https://ex.org/2.pdf"] == "         Doc 2: warc row\n"
+    # r5 review: a corrupt/truncated gzip member must cost only the
+    # shard's unparsed tail, never the Spark task
+    (d / "c.warc.gz").write_bytes(
+        gzip.compress(warc_record("https://ex.org/ok.pdf",
+                                  "2026-01-05T00:00:00Z", pdfs[0]))
+        + b"\x1f\x8b\x08CORRUPT-MEMBER-GARBAGE")
+    rows = read_warc(spark, str(d)).collect()
+    assert len(rows) == 5  # 4 prior + the record before the corruption
+    assert "https://ex.org/ok.pdf" in {r["url"] for r in rows}
+
+
+def test_extract_pdfs_null_html_quarantined(spark):
+    """r5 review: a NULL html row failed BOTH split-path filters and
+    vanished; it must reach the UDF and come back as an error row."""
+    df = spark.createDataFrame(
+        [("doc://null", None), ("doc://empty", bytearray(b""))],
+        "url string, html binary")
+    rows = {r["url"]: r["status"] for r in extract_pdfs(df).collect()}
+    assert set(rows) == {"doc://null", "doc://empty"}
+    assert rows["doc://null"] == "error"
+
+
+def test_sharded_blank_pages_match_plain_path(spark):
+    """r5 review: a shard whose page range is all blank returns
+    'empty', which reassembly must treat as benign — the plain path
+    reports the same doc 'ok'."""
+    from pdfio_spark.fixtures import build_fixture
+    from pdfio_spark.pipeline.job import extract_pdfs_sharded
+    pdf = build_fixture("multipage", [" ", " ", " ", " ",
+                                      "text on page five"])
+    df = spark.createDataFrame([("doc://blanky", bytearray(pdf))],
+                               "url string, html binary")
+    plain = extract_pdfs(df).collect()[0]
+    shard = extract_pdfs_sharded(df, pages_per_shard=4).collect()[0]
+    assert plain["status"] == shard["status"] == "ok"
+    assert shard["text"] == plain["text"]
 
 
 def test_warc_to_html_main_content(spark, tmp_path):
