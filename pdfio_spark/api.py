@@ -39,12 +39,17 @@ __all__ = [
     "PDPageObject", "PDPageObjectGroup", "PDPageTextObject",
     "PDPageTextRun", "PDPageMarkedContent", "PDPageElement",
     "PDPageInlineImage",
-    "pdPageEvalContent",
+    "pdPageEvalContent", "PDPage_BeginGroup", "PDPage_EndGroup",
+    "PDOutline", "PDOutlineItem",
     # Cos
     "CosDoc", "cosDocOpen", "cosDocClose", "cosDocGetRoot",
     "cosDocGetObject", "cosDocIsEncrypted", "cosDocGetID", "cosDocGetInfo",
     "cosDocGetPageLabel", "cosDocGetPageNumbers", "merge_streams",
     "find_ntree", "readfrom", "cn", "CosNull", "PDFError",
+    "CosObject", "CosDict", "CosString", "CosLiteralString", "CosArray",
+    "CosStream", "CosIndirectObjectRef", "CosBoolean", "CosTrue",
+    "CosFalse", "CosNumeric", "CosFloat", "CosInt", "CosName", "set_",
+    "CosTreeNode", "createTreeNode",
 ]
 
 # ------------------------------------------------------------- Common
@@ -352,3 +357,94 @@ def readfrom(doc: CosDoc, frm: int, nbytes: int) -> bytes:
     """readfrom (CosDoc.jl:80-86): raw byte-range read from the
     document — the /ByteRange primitive signature validation uses."""
     return doc.data[frm:frm + nbytes]
+
+
+# ---- COS type aliases (PDFIO.jl export block; SURVEY §1.1 maps the
+# parse-tree value domain onto native Python types, so the reference's
+# type names alias the natives a parse actually produces) ----
+
+import numpy as _np                                        # noqa: E402
+
+CosObject = object                 # abstract supertype
+CosDict = dict
+CosArray = list
+CosString = bytes                  # LitStr / HexStr are bytes subclasses
+CosLiteralString = LitStr
+CosStream = Stream
+CosIndirectObjectRef = Ref
+CosBoolean = bool
+CosTrue = True
+CosFalse = False
+CosInt = int
+CosFloat = _np.float32             # PDF reals parse as float32 (CLAUDE.md)
+CosNumeric = (int, float, _np.integer, _np.floating)  # isinstance tuple
+CosName = Name
+
+#: outline results are plain dicts (list of them = the outline) — the
+#: reference's PDOutline/PDOutlineItem structs map onto them
+PDOutline = list
+PDOutlineItem = dict
+
+
+def set_(d: dict, key, value):
+    """set!(dict, key, value) (CosObject.jl): Julia's bang function —
+    spelled set_ here ('!' is not a Python identifier character; the
+    facade-parity test maps the name). Returns the dict, like the
+    reference."""
+    d[key if isinstance(key, Name) else Name(key)] = value
+    return d
+
+
+class PDPage_BeginGroup:
+    """Transient begin-of-group token (PDPageElement.jl:289-294). This
+    engine's interpreter collapses groups directly into
+    PDPageObjectGroup during parsing, so these tokens are never
+    emitted — the type exists so ported pattern-matching code loads."""
+    __slots__ = ("elem", "objT")
+
+    def __init__(self, elem=None, objT=None):
+        self.elem = elem
+        self.objT = objT
+
+
+class PDPage_EndGroup:
+    """Transient end-of-group token (PDPageElement.jl:296-303) — see
+    PDPage_BeginGroup."""
+    __slots__ = ("elem",)
+
+    def __init__(self, elem=None):
+        self.elem = elem
+
+
+class CosTreeNode:
+    """Name/number-tree node (CosObject.jl:476-484): values (leaf
+    pairs), kids (child refs), range (/Limits) — lazily walkable
+    without loading the full tree."""
+    __slots__ = ("values", "kids", "range")
+
+    def __init__(self):
+        self.values = None
+        self.kids = None
+        self.range = None
+
+
+def createTreeNode(kind, dct, doc: CosDoc | None = None) -> CosTreeNode:
+    """createTreeNode(K, dict) (CosObject.jl:486-499): build one tree
+    node from a /Names- or /Nums-bearing dict; kind is int (number
+    tree) or str (name tree). Pass `doc` to resolve an indirect node
+    dict. Use find_ntree for whole-tree lookups."""
+    if doc is not None:
+        dct = doc.get_object(dct)
+    node = CosTreeNode()
+    limits = dct.get(Name("Limits"))
+    if isinstance(limits, list) and len(limits) == 2:
+        node.range = (limits[0], limits[1])
+    kids = dct.get(Name("Kids"))
+    if isinstance(kids, list):
+        node.kids = list(kids)
+    leaf_key = Name("Nums") if kind is int else Name("Names")
+    pairs = dct.get(leaf_key)
+    if isinstance(pairs, list):
+        node.values = [(pairs[i], pairs[i + 1])
+                       for i in range(0, len(pairs) - 1, 2)]
+    return node

@@ -367,3 +367,50 @@ class TestReferenceAPIFacade:
         assert len(names) >= 35  # 15 + 11 + 13 as of the pinned ref
         missing = [n for n in names if not hasattr(P, n)]
         assert missing == [], f"api facade missing: {missing}"
+
+    def test_full_pdfio_export_list_resolves(self):
+        """The TOP-LEVEL export list (src/PDFIO.jl:8-74) — every name a
+        reference user can `using PDFIO` must resolve in the facade.
+        Julia-only spellings map by rule: trailing `!` -> `_`
+        (set! -> set_), `@x_str` macros -> the bare constructor
+        (@cn_str -> cn)."""
+        import os
+        from pdfio_spark import api as P
+        path = "/root/reference/src/PDFIO.jl"
+        if not os.path.exists(path):
+            import pytest
+            pytest.skip("reference tree not present")
+        lines = open(path).read().splitlines()
+        names = []
+        for i, ln in enumerate(lines):
+            if not ln.startswith("export"):
+                continue
+            block = [ln[len("export"):]]
+            j = i
+            while (block[-1].rstrip().endswith(",")
+                   or not block[-1].strip()):
+                j += 1
+                block.append(lines[j])
+            for b in block:
+                names += [t.strip() for t in b.split(",") if t.strip()]
+        assert len(names) >= 70  # 72 as of the pinned reference
+
+        def py_name(n: str) -> str:
+            if n.startswith("@") and n.endswith("_str"):
+                return n[1:-4]          # @cn_str -> cn
+            return n.replace("!", "_")  # set! -> set_
+
+        missing = [n for n in names if not hasattr(P, py_name(n))]
+        assert missing == [], f"api facade missing: {missing}"
+        # spot-check the r5 additions behave, not just resolve
+        d = P.set_({}, "K", 1)
+        assert d[P.cn("K")] == 1
+        assert isinstance(P.CosTreeNode(), P.CosTreeNode)
+        from pdfio_spark.fixtures import build_fixture
+        cd = P.cosDocOpen(build_fixture(
+            "multipage_labels", ["Doc 1: a", "b", "c"]))
+        pl = P.cosDocGetObject(cd, P.cosDocGetRoot(cd),
+                               P.cn("PageLabels"))
+        node = P.createTreeNode(int, pl, doc=cd)
+        assert node.values and node.values[0][0] == 0
+        assert isinstance(3.5, P.CosNumeric) and P.CosInt is int
