@@ -27,7 +27,8 @@ import zlib
 
 import numpy as np
 
-from .doc import CosDoc
+from .doc import CosDoc, PDFError
+from .lexer import ParseError
 from .objects import HexStr, LitStr, Name, ObjStm, Ref, Stream
 
 __all__ = ["rewrite_pdf", "serialize_object"]
@@ -181,11 +182,17 @@ def rewrite_pdf(data: bytes, encrypt: str | None = None,
     AES-256 only — the fixture R6 derivation). pack: "classic" (xref
     table, objects at top level) | "objstm" (gen-0 non-stream objects
     packed into object streams + a cross-reference stream)."""
-    doc = CosDoc(data)
-    if doc.sec_handler is not None:
-        raise ValueError("rewrite of already-encrypted input "
-                         "not supported")
-    objects = _collect_objects(doc)
+    try:
+        doc = CosDoc(data)
+        if doc.sec_handler is not None:
+            raise ValueError("rewrite of already-encrypted input "
+                             "not supported")
+        objects = _collect_objects(doc)
+    except ParseError as e:
+        # the writer's parse phase presents one failure type: callers
+        # see PDFError for any unwritable source (lexer-level errors
+        # included)
+        raise PDFError(f"unparseable source: {e}") from e
     trailer = doc.trailer
     root = trailer.get(Name("Root"))
     if root is None:

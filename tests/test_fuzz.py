@@ -123,6 +123,57 @@ def test_extract_never_crashes_on_garbage(blob):
 
 
 @given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_writer_roundtrip_property(data):
+    """cos/writer round-trip property (r5): ANY fixture class x line
+    content x packaging x encryption must re-extract byte-identically
+    after rewrite_pdf."""
+    from pdfio_spark.cos.writer import rewrite_pdf
+    from pdfio_spark.fixtures import FIXTURE_CLASSES
+    cls = data.draw(st.sampled_from(
+        [c for c in FIXTURE_CLASSES
+         if not c.startswith("encrypt_")]))  # writer rejects encrypted in
+    lines = data.draw(st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32,
+                                       max_codepoint=126),
+                min_size=0, max_size=40),
+        min_size=1, max_size=3))
+    pack = data.draw(st.sampled_from(["classic", "objstm"]))
+    enc = data.draw(st.sampled_from(
+        [None, "rc4-128", "aes-128", "aes-256"]))
+    src = build_fixture(cls, lines)
+    want = extract_doc(src)
+    out = rewrite_pdf(src, encrypt=enc, pack=pack)
+    got = extract_doc(out)
+    assert got["status"] == want["status"]
+    assert got["text"] == want["text"]
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_writer_never_crashes_on_mutated_input(data):
+    """rewrite_pdf over a bit-flipped (but still parseable) document
+    either returns bytes or raises ValueError/PDFError — never an
+    uncontrolled exception."""
+    from pdfio_spark.cos.doc import PDFError
+    from pdfio_spark.cos.writer import rewrite_pdf
+    pdf = bytearray(build_fixture("flate_simple", ["writer fuzz"]))
+    n_flips = data.draw(st.integers(min_value=1, max_value=6))
+    for _ in range(n_flips):
+        i = data.draw(st.integers(min_value=0, max_value=len(pdf) - 1))
+        pdf[i] = data.draw(st.integers(min_value=0, max_value=255))
+    try:
+        out = rewrite_pdf(bytes(pdf))
+    except (PDFError, ValueError):
+        return
+    assert isinstance(out, bytes)
+    # and the rewritten artifact still quarantines cleanly
+    r = extract_doc(out)
+    assert r["status"] in ("ok", "partial", "error", "empty",
+                           "unsupported_encryption")
+
+
+@given(st.data())
 @settings(max_examples=30, deadline=None)
 def test_signature_validation_never_crashes_on_mutation(data):
     """Bit-flipped signed PDFs: validate_signatures must return status
