@@ -669,6 +669,48 @@ def test_stream_neardup_restart_no_duplicate_decisions(spark, tmp_path):
                    "u3": (False, "u1"), "u4": (True, None)}
 
 
+def test_stream_neardup_ttl_readmits(spark, tmp_path):
+    """TTL-bounded band state: after expiry a colliding doc freshly
+    claims the bucket instead of being flagged (the at-least-once
+    tradeoff bounding state on infinite streams — same contract as
+    stream_dedup). availableNow + ProcessingTimeTimeout never
+    self-terminates; bound each run with stop()."""
+    import time
+    from pdfio_spark.pipeline.streaming import stream_neardup
+    inp = str(tmp_path / "ndttl_in")
+    chk = str(tmp_path / "ndttl_chk")
+    outp = str(tmp_path / "ndttl_out")
+    text = "the very same words every single time for banding purposes"
+    spark.createDataFrame([("u1", text)], "url string, text string") \
+        .write.parquet(inp)
+
+    def run_until(n_rows, timeout=90):
+        q = stream_neardup(spark, inp, chk, outp, state_ttl_hours=1e-7)
+        t0 = time.time()
+        try:
+            while time.time() - t0 < timeout:
+                try:
+                    if spark.read.parquet(outp).count() >= n_rows:
+                        return True
+                except Exception:
+                    pass
+                time.sleep(2)
+            return False
+        finally:
+            q.stop()
+
+    assert run_until(4)  # u1 claims its 4 band buckets
+    time.sleep(1)        # let the ~0.4 ms TTL lapse
+    spark.createDataFrame([("u2", text)], "url string, text string") \
+        .write.mode("append").parquet(inp)
+    assert run_until(8)
+    flags = spark.read.parquet(outp)
+    # state expired between batches -> u2 re-claims all 4 buckets
+    # (keeper == itself); it is NOT flagged against u1
+    u2 = flags.filter("url = 'u2'").collect()
+    assert len(u2) == 4 and all(r.keeper == "u2" for r in u2)
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """IVF (nprobe=2, K=8) must return exact-cosine-ranked results
     within each probe's two nearest cells and keep reasonable recall
