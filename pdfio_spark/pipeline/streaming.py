@@ -191,7 +191,14 @@ def stream_extract(spark: SparkSession, input_dir: str,
            .schema("url string, html binary, nbytes long")
            .option("maxFilesPerTrigger", 8)
            .parquet(input_dir))
+    # fan out each micro-batch across every core: the file-source
+    # partitioning is maxFilesPerTrigger tasks, which strands the
+    # other cores for the CPU-bound UDF (the batch path's perf lesson;
+    # measured on the 100k streaming soak: 3,550 -> 6,501 docs/s, the
+    # rest of the gap to batch is per-micro-batch scheduling)
+    par = spark.sparkContext.defaultParallelism
     extracted = (src.select("url", "html")
+                 .repartition(par)
                  .mapInArrow(_extract_batches, _EXTRACT_DDL))
     writer = (extracted.writeStream
               .format("parquet")

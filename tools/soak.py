@@ -50,6 +50,46 @@ def main() -> None:
     if smj:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
+    if mode == "stream":
+        # streaming-ingest soak: the SAME extraction kernel behind
+        # readStream/writeStream with an exactly-once checkpoint —
+        # measures the Structured Streaming overhead vs the batch path
+        # (maxFilesPerTrigger batches the corpus into multiple
+        # micro-batches; n_docs default 100k keeps file counts sane)
+        from pdfio_spark.pipeline.job import gen_pdf_corpus
+        from pdfio_spark.pipeline.streaming import stream_extract
+        n_docs = n_docs if len(sys.argv) > 2 else 100_000
+        tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = tbl.count()
+        k = max(1, (n_docs + base - 1) // base)
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        docs = (tbl.select("doc_id", "text").crossJoin(reps)
+                .select((F.col("doc_id") + F.col("rep") * 1_000_000)
+                        .alias("doc_id"), "text")
+                .limit(n_docs))
+        inp = os.path.join(soak_dir, "stream_in")
+        chk = os.path.join(soak_dir, "stream_chk")
+        outp = os.path.join(soak_dir, "stream_out")
+        for d in (inp, chk, outp):
+            shutil.rmtree(d, ignore_errors=True)
+        (gen_pdf_corpus(docs).repartition(64).write.parquet(inp))
+        n = spark.read.parquet(inp).count()
+        t0 = time.perf_counter()
+        q = stream_extract(spark, inp, chk, outp)
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        out = spark.read.parquet(outp)
+        n_ok = out.filter("status = 'ok'").count()
+        batches = q.lastProgress["batchId"] + 1 if q.lastProgress else None
+        print(json.dumps({"mode": mode, "n_docs": n, "ok": n_ok,
+                          "micro_batches": batches,
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(n / dt, 1)}))
+        for d in (inp, chk, outp):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
     if mode == "ann":
         import hashlib
         from pdfio_spark.pipeline.queries import ann_lsh_topk_over
