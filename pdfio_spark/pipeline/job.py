@@ -318,21 +318,21 @@ def extract_pdfs_sharded(corpus: DataFrame, pages_per_shard: int = 4,
 
     def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("shard_id")
-        # 'empty' is a BENIGN shard outcome (its page range had no
-        # text) — the plain path skips empty pages inside one UDF call
-        # and still reports 'ok', so the sharded route must agree
-        # (r5 review: a doc with blank pages in one shard was
-        # mislabeled 'partial'; an all-blank doc 'error')
-        benign = pdf["status"].isin(("ok", "empty"))
-        if benign.all():
-            status = "ok" if (pdf["status"] == "ok").any() else "empty"
-        elif not benign.any():
-            # NO shard succeeded — whatever the failure mix,
-            # 'partial' would mislabel an all-failed doc as usable
-            # (r4 review fix)
-            status = "error"
-        else:
+        # Mirror extract_doc's full status lattice (r5 review, second
+        # pass): 'empty' is a BENIGN no-text outcome (the plain path
+        # skips blank pages and still reports ok); a 'partial' shard
+        # CARRIES text, so an all-partial doc is partial, not error;
+        # and failures with zero extracted text anywhere (error/
+        # timeout shards mixed only with empty) are 'error' — the r4
+        # rule that 'partial' must never label an unusable doc.
+        has_content = pdf["status"].isin(("ok", "partial"))
+        failed = ~pdf["status"].isin(("ok", "partial", "empty"))
+        if not failed.any() and not (pdf["status"] == "partial").any():
+            status = "ok" if has_content.any() else "empty"
+        elif has_content.any():
             status = "partial"
+        else:
+            status = "error"
         return pd.DataFrame({
             "url": [pdf["url"].iloc[0]],
             "n_pages": [int(pdf["n_pages"].iloc[0])],

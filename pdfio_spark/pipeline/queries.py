@@ -2258,8 +2258,10 @@ def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
                                 / F.col("_nrm")).alias("nemb"),
                     "b0", *(["f1"] if tables > 1 else []))
             .localCheckpoint())
-    # offset keeps per-table key spaces disjoint in one join column
-    off = F.lit(1 << len(fps))
+    # offset keeps per-table key spaces disjoint in one join column —
+    # it must clear BOTH code widths (r5 review: a coarse table wider
+    # than the fine one would alias across tables with 1 << len(fps))
+    off = F.lit(1 << max(len(cps), len(fps)))
     exact = [F.col("b0")]
     if tables > 1:
         exact.append((off + F.col("f1")).cast("long"))

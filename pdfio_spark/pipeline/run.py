@@ -75,7 +75,13 @@ def run_job(spark, input_path: str, output_path: str,
 
     if resume:
         try:
-            prev = spark.read.parquet(output_path)
+            # mergeSchema: a dir mixing pre-run_id part-files with
+            # stamped ones must surface the run_id column regardless
+            # of which footer Spark samples (r5 review: a hidden
+            # column made EVERY run an "orphan" and double-counted
+            # lineage)
+            prev = (spark.read.option("mergeSchema", True)
+                    .parquet(output_path))
             # join strategy left to Spark (job.resume_filter): `done`
             # is the UNBOUNDED set of all previously-written urls — a
             # forced broadcast OOMs exactly on the crash-recovery path
@@ -123,7 +129,8 @@ def _reconcile_metrics(spark, prev_output, metrics_path: str,
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
     try:
-        met = spark.read.parquet(metrics_path)
+        met = (spark.read.option("mergeSchema", True)
+               .parquet(metrics_path))
         covered = (met.select("run_id").distinct()
                    if "run_id" in met.columns
                    else met.sparkSession.createDataFrame(

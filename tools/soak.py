@@ -4,7 +4,13 @@ a script): materialize an N-doc corpus to parquet, then time the
 extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
-Usage: python3 tools/soak.py [pdf|html|dedup|ann] [n_docs]  (default pdf 1e6)
+Usage: python3 tools/soak.py [pdf|html|dedup|ann|stream] [n_docs]
+       (default pdf 1e6)
+
+stream mode: n_docs PDFs (default 100k) through the exactly-once
+streaming ingest (stream_extract: readStream -> extraction UDF ->
+checkpointed parquet sink, maxFilesPerTrigger micro-batches) —
+measures Structured Streaming overhead vs the batch path.
 
 ann mode: n_docs deterministic 64-dim vectors (default 100k) through
 the multiprobe LSH top-k operator at the AT-SCALE bit widths (16
@@ -129,9 +135,12 @@ def main() -> None:
         t0 = time.perf_counter()
         out = ann_lsh_topk_over(emb, coarse_planes=coarse,
                                 fine_planes=fine)
-        n_rows = out.count()
+        # both aggregates in ONE pass — a second .count() would re-run
+        # the whole salted join + top-k (r5 review)
+        agg = out.agg(F.count("*"),
+                      F.countDistinct("vec_id")).collect()[0]
+        n_rows, with_nn = int(agg[0]), int(agg[1])
         dt = time.perf_counter() - t0
-        with_nn = out.select("vec_id").distinct().count()
         print(json.dumps({"mode": mode, "smj": smj, "n_vectors": n_vec,
                           "bits": [16, 20], "topk_rows": n_rows,
                           "vectors_with_neighbors": with_nn,
