@@ -106,6 +106,29 @@ REAL_HTML = [
      "Users and Groups", "superuser"),
 ]
 
+#: byte-pinned goldens for the same pages (r5): marker checks prove
+#: presence; these prove the extractor's FULL output is stable
+REAL_HTML_GOLDEN = {
+    "/usr/share/doc/libffi8/html/The-Basics.html":
+        "libffi_basics_main.txt",
+    "/usr/share/doc/libffi8/html/Introduction.html":
+        "libffi_intro_main.txt",
+    "/usr/share/doc/base-passwd/users-and-groups.html":
+        "basepasswd_users_main.txt",
+}
+
+
+@pytest.mark.parametrize("path", sorted(REAL_HTML_GOLDEN))
+def test_real_html_golden_main_text(path):
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    from pdfio_spark.pipeline.html_extract import extract_main_html
+    golden = open(os.path.join(
+        GOLDEN_DIR, REAL_HTML_GOLDEN[path])).read()
+    r = extract_main_html(open(path, "rb").read())
+    assert r["status"] == "ok"
+    assert r["main_text"] == golden
+
 
 @pytest.mark.parametrize("path,title_marker,content_marker", REAL_HTML)
 def test_real_html_main_content(path, title_marker, content_marker):
