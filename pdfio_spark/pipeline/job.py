@@ -346,6 +346,51 @@ def extract_pdfs_sharded(corpus: DataFrame, pages_per_shard: int = 4,
         "url string, n_pages int, text string, status string, err string")
 
 
+def rewrite_pdfs(corpus: DataFrame, encrypt: str | None = None,
+                 user_pw: bytes = b"", owner_pw: bytes | None = None,
+                 pack: str = "classic") -> DataFrame:
+    """Distributed corpus rewrite via cos/writer.py — the
+    encrypt-at-rest / repackaging transform of a document pipeline:
+    (url, html) -> (url, html rewritten, nbytes, status, err). Each
+    row round-trips through the engine's own parser; unwritable rows
+    quarantine with status='error' and NULL html (the row-level
+    isolation contract), so one corrupt document never fails a task.
+    Same fan-out rules as extraction apply upstream (the writer is
+    CPU-bound per row)."""
+    from ..cos.writer import rewrite_pdf
+
+    def rw(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            out_html, out_n, out_st, out_err = [], [], [], []
+            for html in htmls:
+                try:
+                    b = rewrite_pdf(bytes(html or b""), encrypt=encrypt,
+                                    user_pw=user_pw, owner_pw=owner_pw,
+                                    pack=pack)
+                    out_html.append(b)
+                    out_n.append(len(b))
+                    out_st.append("ok")
+                    out_err.append(None)
+                except Exception as e:
+                    out_html.append(None)
+                    out_n.append(None)
+                    out_st.append("error")
+                    out_err.append(f"{type(e).__name__}: {e}"[:500])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(out_html, pa.binary()),
+                 pa.array(out_n, pa.int64()),
+                 pa.array(out_st, pa.string()),
+                 pa.array(out_err, pa.string())],
+                names=["url", "html", "nbytes", "status", "err"])
+
+    return corpus.select("url", "html").mapInArrow(
+        rw, "url string, html binary, nbytes long, status string, "
+            "err string")
+
+
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics rows — the checkpoint payload
     (SURVEY §2.1 S10). Written per batch to the metrics table; resume

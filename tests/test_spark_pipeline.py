@@ -102,6 +102,39 @@ def test_run_job_resume(spark, corpus, tmp_path):
     assert spark.read.parquet(met).count() > 0
 
 
+def test_rewrite_pdfs_corpus_roundtrip(spark, corpus):
+    """Distributed writer transform (r5): the whole fixture corpus is
+    AES-128-encrypted + ObjStm-repacked inside executor UDFs and must
+    re-extract byte-identically; a garbage row quarantines, never
+    fails the task."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import rewrite_pdfs
+    want = {r["url"]: r["text"] for r in extract_pdfs(corpus).collect()}
+    src = corpus.select("url", "html").unionByName(
+        spark.createDataFrame([("doc://garbage",
+                                bytearray(b"not a pdf at all"))],
+                              "url string, html binary"))
+    rewritten = rewrite_pdfs(src, encrypt="aes-128", pack="objstm")
+    rows = rewritten.collect()
+    stat = {r["url"]: r["status"] for r in rows}
+    assert stat.pop("doc://garbage") == "error"
+    # already-encrypted fixture classes are refused by contract; every
+    # other class must rewrite
+    errs = {r["url"]: r["err"] for r in rows if r["status"] == "error"
+            if r["url"] != "doc://garbage"}
+    assert all("already-encrypted" in e for e in errs.values())
+    want = {u: t for u, t in want.items() if u not in errs}
+    assert set(stat.values()) <= {"ok", "error"}
+    assert sum(1 for v in stat.values() if v == "ok") == len(want)
+    back = extract_pdfs(
+        rewritten.filter("status = 'ok'").select("url", "html"))
+    got = {r["url"]: r["text"] for r in back.collect()}
+    assert got == want
+    # and the rewritten corpus is genuinely encrypted
+    one = rewritten.filter("status = 'ok'").limit(1).collect()[0]
+    assert b"/Encrypt" in bytes(one["html"])
+
+
 def test_run_job_metrics_reconcile(spark, corpus, tmp_path):
     """ADVICE r4: a crash BETWEEN the output append and the metrics
     append leaves committed output rows with no lineage. On resume,
