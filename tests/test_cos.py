@@ -62,7 +62,6 @@ class TestLexer:
     def test_nested_dict_array(self):
         d = parse(b"<< /K [1 2 R 3.5 (s)] /D << /X true >> >>")
         arr = d[Name("K")]
-        assert arr[0] == 1 and isinstance(arr[1], np.floating) or True
         # "1 2 R" is a ref; then 3.5 float; then string
         assert isinstance(arr[0], Ref) and arr[0] == Ref(1, 2)
         assert float(arr[1]) == pytest.approx(3.5)
@@ -129,12 +128,18 @@ class TestFilters:
 
 class TestDocStructure:
     def test_first_wins_incremental_update(self):
-        """Incremental updates: latest revision's xref listed first wins
-        (CosDoc.jl:510)."""
+        """Incremental updates: the LATEST revision's xref wins for a
+        superseded object (CosDoc.jl:510 first-wins over the Prev
+        chain). The 'incremental' fixture appends a v2 body; v1's text
+        must be unreachable (r5 test review: this used to build
+        flate_simple and assert only that a root exists)."""
         from pdfio_spark.fixtures import build_fixture
-        pdf = build_fixture("flate_simple", ["v1"])
-        doc = CosDoc(pdf)
-        assert doc.get_root() is not None
+        from pdfio_spark.pd.extract import extract_doc
+        pdf = build_fixture("incremental", ["Doc 1: version two text"])
+        r = extract_doc(pdf)
+        assert r["status"] == "ok"
+        assert "version two text" in r["text"]
+        assert "SUPERSEDED" not in r["text"].upper()
 
     def test_stream_length_indirect(self):
         pdf = (b"%PDF-1.4\n"
@@ -366,15 +371,15 @@ class TestSignatureValidation:
         not chain: forge by pairing the leaf cert with the untrusted
         cert renamed... simpler: drop the CA from both CMS and store —
         chain cannot terminate."""
-        from pdfio_spark.fixtures import make_signed_pdf, test_trust_pems
+        from pdfio_spark.fixtures import (TRUST_STORE_FILES,
+                                          make_signed_pdf,
+                                          test_trust_pems)
         from pdfio_spark.pd.pagetree import PDDoc
         from pdfio_spark.pd.signature import TrustStore, validate_signatures
-        # store WITHOUT the CA: leaf chain has no anchor
-        pems = [p for p, f in zip(test_trust_pems(),
-                                  ("pki_test_identity.pem",
-                                   "sig_expired_identity.pem",
-                                   "sig_ca_identity.pem",
-                                   "sig_ec_identity.pem"))
+        # store WITHOUT the CA: leaf chain has no anchor (zip against
+        # the REAL file list — a hardcoded copy silently filtered the
+        # wrong PEM if fixtures reordered it, r5 test review)
+        pems = [p for p, f in zip(test_trust_pems(), TRUST_STORE_FILES)
                 if f != "sig_ca_identity.pem"]
         trust = TrustStore.from_pems(pems)
         pdf = make_signed_pdf(["x"], identity="leaf")

@@ -1,10 +1,24 @@
 """Multimodal plumbing tests: container parsing, resize geometry,
 frame sampling, and the explicitly stubbed codec decode."""
+import struct
+
 import pytest
 
 from pdfio_spark.pipeline.multimodal import (_decode_pixels,
                                              _fake_pixel_stat,
                                              parse_media_header, synth_media)
+
+
+@pytest.fixture(scope="module")
+def mspark():
+    """One Spark session for this module — per-test get_spark()+stop()
+    paid a JVM cycle each AND (getOrCreate) could tear down a session
+    shared with another module under reordered execution (r5 test
+    review)."""
+    from pdfio_spark.pipeline.session import get_spark
+    s = get_spark(cpus=2, app="mm_tests", shuffle_partitions=4)
+    yield s
+    s.stop()
 
 
 def test_container_roundtrip():
@@ -101,7 +115,7 @@ def test_wav_tolerates_extra_chunks():
     assert rate == 8000 and out.shape[0] == 10
 
 
-def test_media_thumbnail_real_bmp_path(tmp_path):
+def test_media_thumbnail_real_bmp_path(mspark, tmp_path):
     """An SMX row whose body is a REAL BMP must go through the real
     decode + nearest-neighbor resize: px is the mean of the resized
     pixels (computed independently here), not the keystream fake."""
@@ -110,52 +124,44 @@ def test_media_thumbnail_real_bmp_path(tmp_path):
                                                  make_container,
                                                  media_thumbnail)
     from pdfio_spark.pipeline.codecs import encode_bmp
-    from pdfio_spark.pipeline.session import get_spark
-    spark = get_spark(cpus=2, app="mm_codec_test", shuffle_partitions=4)
-    try:
-        rng = np.random.default_rng(42)
-        w, h = 200, 300
-        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        payload = make_container(0, w, h, 0, 1, encode_bmp(px))
-        df = spark.createDataFrame(
-            [(1, 0, bytearray(payload))],
-            "media_id long, kind int, payload binary")
-        row = media_thumbnail(df).collect()[0]
-        ow, oh = (w * 128) // h, 128
-        assert (row.out_w, row.out_h) == (ow, oh)
-        want = float(np.mean(_resize_nearest(px, ow, oh)))
-        assert row.px == pytest.approx(want, abs=1e-9)
-        assert row.decoded is True
-    finally:
-        spark.stop()
+    spark = mspark
+    rng = np.random.default_rng(42)
+    w, h = 200, 300
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    payload = make_container(0, w, h, 0, 1, encode_bmp(px))
+    df = spark.createDataFrame(
+        [(1, 0, bytearray(payload))],
+        "media_id long, kind int, payload binary")
+    row = media_thumbnail(df).collect()[0]
+    ow, oh = (w * 128) // h, 128
+    assert (row.out_w, row.out_h) == (ow, oh)
+    want = float(np.mean(_resize_nearest(px, ow, oh)))
+    assert row.px == pytest.approx(want, abs=1e-9)
+    assert row.decoded is True
 
 
-def test_media_audio_stats_real_and_stubbed():
+def test_media_audio_stats_real_and_stubbed(mspark):
     import numpy as np
     from pdfio_spark.pipeline.multimodal import (make_container,
                                                  media_audio_stats)
     from pdfio_spark.pipeline.codecs import encode_wav_pcm16
-    from pdfio_spark.pipeline.session import get_spark
-    spark = get_spark(cpus=2, app="mm_audio_test", shuffle_partitions=4)
-    try:
-        samples = (np.sin(np.arange(1600) / 5) * 9000).astype(np.int16)
-        wav_row = make_container(1, 0, 0, 100, 1,
-                                 encode_wav_pcm16(samples, 16000))
-        opus_row = make_container(1, 0, 0, 100, 2, b"\x01\x02\x03junk")
-        df = spark.createDataFrame(
-            [(1, 1, bytearray(wav_row)), (2, 1, bytearray(opus_row))],
-            "media_id long, kind int, payload binary")
-        rows = {r.media_id: r for r in media_audio_stats(df).collect()}
-        assert rows[1].decoded and rows[1].rate == 16000
-        assert rows[1].n_frames == 1600
-        want_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
-        assert rows[1].rms == pytest.approx(want_rms, rel=1e-12)
-        assert not rows[2].decoded and rows[2].rms is None
-    finally:
-        spark.stop()
+    spark = mspark
+    samples = (np.sin(np.arange(1600) / 5) * 9000).astype(np.int16)
+    wav_row = make_container(1, 0, 0, 100, 1,
+                             encode_wav_pcm16(samples, 16000))
+    opus_row = make_container(1, 0, 0, 100, 2, b"\x01\x02\x03junk")
+    df = spark.createDataFrame(
+        [(1, 1, bytearray(wav_row)), (2, 1, bytearray(opus_row))],
+        "media_id long, kind int, payload binary")
+    rows = {r.media_id: r for r in media_audio_stats(df).collect()}
+    assert rows[1].decoded and rows[1].rate == 16000
+    assert rows[1].n_frames == 1600
+    want_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    assert rows[1].rms == pytest.approx(want_rms, rel=1e-12)
+    assert not rows[2].decoded and rows[2].rms is None
 
 
-def test_decode_fallbacks_on_malformed_magic_bodies():
+def test_decode_fallbacks_on_malformed_magic_bodies(mspark):
     """Review finding (r4): a keystream body that happens to start with
     b'BM' or b'RIFF' raises ValueError inside the real decoders — the
     Spark stages must fall back per-row (fake stat / decoded=false),
@@ -167,30 +173,26 @@ def test_decode_fallbacks_on_malformed_magic_bodies():
                                                  media_audio_stats,
                                                  media_thumbnail)
     from pdfio_spark.pipeline.codecs import encode_wav_pcm16
-    from pdfio_spark.pipeline.session import get_spark
-    spark = get_spark(cpus=2, app="mm_fallback_test", shuffle_partitions=4)
-    try:
-        bm_garbage = make_container(0, 100, 50, 0, 0,
-                                    b"BM" + b"\x99" * 60)
-        # valid stereo WAV truncated to an odd sample count
-        st = np.stack([np.arange(10, dtype=np.int16)] * 2, axis=1)
-        wav = bytearray(encode_wav_pcm16(st, 8000, channels=2))
-        trunc = bytes(wav[:-6])  # cuts mid-frame
-        riff_bad = make_container(1, 0, 0, 10, 0, trunc)
-        img_df = spark.createDataFrame(
-            [(1, 0, bytearray(bm_garbage))],
-            "media_id long, kind int, payload binary")
-        row = media_thumbnail(img_df).collect()[0]
-        assert row.px == pytest.approx(
-            sum(b"BM" + b"\x99" * 60) / 62)  # fake-stat fallback
-        assert row.decoded is False  # downgrade is visible (ADVICE r4)
-        aud_df = spark.createDataFrame(
-            [(2, 1, bytearray(riff_bad))],
-            "media_id long, kind int, payload binary")
-        arow = media_audio_stats(aud_df).collect()[0]
-        assert arow.decoded is False and arow.rms is None
-    finally:
-        spark.stop()
+    spark = mspark
+    bm_garbage = make_container(0, 100, 50, 0, 0,
+                                b"BM" + b"\x99" * 60)
+    # valid stereo WAV truncated to an odd sample count
+    st = np.stack([np.arange(10, dtype=np.int16)] * 2, axis=1)
+    wav = bytearray(encode_wav_pcm16(st, 8000, channels=2))
+    trunc = bytes(wav[:-6])  # cuts mid-frame
+    riff_bad = make_container(1, 0, 0, 10, 0, trunc)
+    img_df = spark.createDataFrame(
+        [(1, 0, bytearray(bm_garbage))],
+        "media_id long, kind int, payload binary")
+    row = media_thumbnail(img_df).collect()[0]
+    assert row.px == pytest.approx(
+        sum(b"BM" + b"\x99" * 60) / 62)  # fake-stat fallback
+    assert row.decoded is False  # downgrade is visible (ADVICE r4)
+    aud_df = spark.createDataFrame(
+        [(2, 1, bytearray(riff_bad))],
+        "media_id long, kind int, payload binary")
+    arow = media_audio_stats(aud_df).collect()[0]
+    assert arow.decoded is False and arow.rms is None
 
 
 def test_wav_implausible_rate_rejected():
@@ -210,15 +212,14 @@ def test_wav_implausible_rate_rejected():
         decode_wav_pcm16(bytes(wav))
 
 
-def test_injected_codec_routes_decode(tmp_path):
+def test_injected_codec_routes_decode(mspark, tmp_path):
     """Pluggable codec hooks (r5 verdict): set_media_codecs injects a
     fake JPEG decoder; media_thumbnail must route the jpeg-magic body
     through it (shipped to workers via the task closure), and clearing
     the registry must restore the deterministic fallback."""
     import numpy as np
     from pdfio_spark.pipeline import multimodal as mm
-    from pdfio_spark.pipeline.session import get_spark
-    spark = get_spark(cpus=2, app="mm_inject_test", shuffle_partitions=4)
+    spark = mspark
     w, h = 40, 20
     fake_px = np.full((h, w, 3), 77, dtype=np.uint8)
     jpeg_body = b"\xff\xd8\xe0fakejpegpayload"
@@ -244,7 +245,6 @@ def test_injected_codec_routes_decode(tmp_path):
         assert row.px == pytest.approx(sum(jpeg_body) / len(jpeg_body))
     finally:
         mm.set_media_codecs(None)
-        spark.stop()
 
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
@@ -288,5 +288,9 @@ def test_codec_decoders_never_crash_unexpectedly(blob):
     for dec in (decode_bmp, decode_wav_pcm16):
         try:
             dec(b"BM" + blob if dec is decode_bmp else b"RIFF" + blob)
-        except (ValueError, Exception):
-            pass  # any exception is fine for the hook (caller catches)
+        except (ValueError, struct.error):
+            pass  # the documented per-row fallback exception classes
+        # anything else (numpy broadcast errors, OverflowError, ...)
+        # propagates and FAILS the test — the prior
+        # `except (ValueError, Exception)` swallowed everything and
+        # asserted nothing (r5 test review)

@@ -55,8 +55,8 @@ def test_real_pdf_golden_text(path):
         r["text"].encode()).hexdigest()[:16] == sha16
     doc = PDDoc(data)
     for pno in (1, 9):
-        golden = open(os.path.join(GOLDEN_DIR,
-                                   f"{name}_p{pno}.txt")).read()
+        golden = open(os.path.join(GOLDEN_DIR, f"{name}_p{pno}.txt"),
+                      encoding="utf-8").read()
         assert doc.get_page(pno).extract_text() == golden
 
 
@@ -123,8 +123,8 @@ def test_real_html_golden_main_text(path):
     if not os.path.exists(path):
         pytest.skip(f"{path} not present")
     from pdfio_spark.pipeline.html_extract import extract_main_html
-    golden = open(os.path.join(
-        GOLDEN_DIR, REAL_HTML_GOLDEN[path])).read()
+    golden = open(os.path.join(GOLDEN_DIR, REAL_HTML_GOLDEN[path]),
+                  encoding="utf-8").read()
     r = extract_main_html(open(path, "rb").read())
     assert r["status"] == "ok"
     assert r["main_text"] == golden
