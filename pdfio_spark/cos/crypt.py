@@ -61,12 +61,7 @@ def _aes_ecb_decrypt_nopad(key: bytes, data: bytes) -> bytes:
     return dec.update(data) + dec.finalize()
 
 
-def _str_bytes(s) -> bytes:
-    if isinstance(s, HexStr):
-        return s.binary
-    if isinstance(s, (LitStr, bytes)):
-        return bytes(s)
-    return b""
+from .objects import str_bytes as _str_bytes  # canonical coercion
 
 
 #: Cache hits only happen for batch-produced corpora sharing one

@@ -38,13 +38,14 @@ class PDFError(Exception):
 class _ObjectLoc:
     """xref entry: byte offset or (objstm ref, index) + memoized object.
     Mirrors CosObjectLoc (/root/reference/src/CosReader.jl:287-292)."""
-    __slots__ = ("loc", "stm", "obj", "resolved")
+    __slots__ = ("loc", "stm", "obj", "resolved", "_resolving")
 
     def __init__(self, loc: int, stm: Ref | None = None):
         self.loc = loc
         self.stm = stm
         self.obj = None
         self.resolved = False
+        self._resolving = False
 
 
 class CosDoc:
@@ -353,7 +354,15 @@ class CosDoc:
                 loc.obj = None
             loc.resolved = True
             return loc.obj
-        # object inside an object stream
+        # object inside an object stream — guard against a corrupt
+        # xref marking the container chain circular (S-in-S or
+        # A-in-B-in-A would recurse unboundedly: `resolved` is only
+        # set AFTER the recursive call returns; r5 core review)
+        if loc._resolving:
+            loc.obj = None
+            loc.resolved = True
+            return None
+        loc._resolving = True
         objstm = self.get_object(loc.stm)
         if objstm is None:
             objstm = self._scan_object_stream(loc.stm)

@@ -341,6 +341,12 @@ def decode_data(data: bytes, filters, parms, until: int = -1) -> bytes:
     if filters is None:
         return data
     if isinstance(filters, Name):
+        # honor `until` for the single-Name form too: until=0 means
+        # "apply no filters", same as the list form (r5 core review —
+        # latent, but filter-count-dependent behavior for any future
+        # partial-decode caller)
+        if until == 0:
+            return data
         return FUNCTION_MAP[filters](data, parms)
     # array of filters, optional parallel parms array
     nf = len(filters)

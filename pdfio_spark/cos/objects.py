@@ -166,9 +166,20 @@ class ObjStm:
         (/root/reference/src/CosObjStream.jl:78-92)."""
         if self.populated:
             return
-        from .lexer import Buf
-        n = int(self.stm.dict.get(Name("N"), 0))
-        first = int(self.stm.dict.get(Name("First"), 0))
+        from .lexer import Buf, ParseError
+        n = self.stm.dict.get(Name("N"), 0)
+        first = self.stm.dict.get(Name("First"), 0)
+        if doc is not None:  # /N //First may be indirect (spec allows)
+            n = doc.get_object(n)
+            first = doc.get_object(first)
+        try:
+            n, first = int(n), int(first)
+        except (TypeError, ValueError) as e:
+            # an unresolvable Ref (no doc) or junk: raise the class the
+            # object-level quarantine catches, not a TypeError that
+            # would fail the whole document (r5 core review; the r4
+            # /Length=None class)
+            raise ParseError(f"ObjStm /N//First unusable: {e}")
         buf = Buf(self.stm.decoded(doc))
         oids, olocs = [], []
         for _ in range(n):
@@ -200,6 +211,18 @@ class IndirectObject:
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"{self.num} {self.gen} obj {self.obj!r}"
+
+
+def str_bytes(v) -> bytes:
+    """COS string -> raw bytes: HexStr decodes its hex chars, LitStr/
+    bytes pass through, anything else is b''. THE canonical coercion —
+    crypt.py / fonts.py / signature.py used to carry identical private
+    copies (r5 core review)."""
+    if isinstance(v, HexStr):
+        return v.binary
+    if isinstance(v, (LitStr, bytes)):
+        return bytes(v)
+    return b""
 
 
 def cos_get(obj, key, default=None):

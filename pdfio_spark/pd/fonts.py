@@ -180,12 +180,7 @@ class CMap:
         self.cache: dict = {}
 
 
-def _xstr_bytes(v) -> bytes:
-    if isinstance(v, HexStr):
-        return v.binary
-    if isinstance(v, (LitStr, bytes)):
-        return bytes(v)
-    return b""
+from ..cos.objects import str_bytes as _xstr_bytes  # canonical coercion
 
 
 def _offset_xstring(obj, offset: int):
@@ -561,7 +556,10 @@ def get_font_widths(doc, font):
             return np.zeros(256, dtype=np.float32)
         return read_afm(str(basefont))
     d = np.zeros(256, dtype=np.float32)
-    firstchar = int(doc.get(font, Name("FirstChar"), 0))
+    # clamp: a corrupt negative /FirstChar would write through numpy
+    # NEGATIVE indices into the array tail — silently shifted widths
+    # (the reference throws a BoundsError; r5 core review)
+    firstchar = max(0, int(doc.get(font, Name("FirstChar"), 0)))
     lastchar = int(doc.get(font, Name("LastChar"), 0))
     widths = [doc.get_object(w) for w in widths_obj]
     for i in range(firstchar, min(lastchar, 255) + 1):
@@ -678,12 +676,19 @@ def get_pdfont_cached(doc, cosfont: dict) -> "PDFont":
     sig = None
     if isinstance(cosfont, dict):
         enc = cosfont.get(Name("Encoding"))
+        sub = cosfont.get(Name("Subtype"))
+        base = cosfont.get(Name("BaseFont"))
+        # cache key values must be DIRECT Names: an indirect /BaseFont
+        # would put a Ref in the key, and Refs compare equal ACROSS
+        # documents — doc B would silently get doc A's font (r5 core
+        # review; the cache is process-wide)
         if (isinstance(enc, (Name, type(None)))
+                and isinstance(sub, (Name, type(None)))
+                and isinstance(base, (Name, type(None)))
                 and Name("ToUnicode") not in cosfont
                 and Name("Widths") not in cosfont
                 and Name("FontDescriptor") not in cosfont):
-            sig = (cosfont.get(Name("Subtype")),
-                   cosfont.get(Name("BaseFont")), enc)
+            sig = (sub, base, enc)
             hit = _SIMPLE_FONT_CACHE.get(sig)
             if hit is not None:
                 return hit

@@ -297,10 +297,7 @@ def _resolve_dest_page(doc, dest) -> int | None:
         key = str(dest) if isinstance(dest, Name) else pdf_doc_decode(dest)
         dest = _lookup_named_dest(doc, key)
     if isinstance(dest, list) and dest:
-        page_obj = cos.get_object(dest[0])
-        for i, pref in enumerate(doc.pagerefs):
-            if pref is page_obj:
-                return i + 1
+        return doc.pageno_of(cos.get_object(dest[0]))
     return None
 
 
@@ -325,11 +322,7 @@ def pd_destination(doc, dest) -> dict | None:
     if not isinstance(dest, list) or not dest:
         return None
     page_obj = cos.get_object(dest[0])
-    page_no = None
-    for i, pref in enumerate(doc.pagerefs):
-        if pref is page_obj:
-            page_no = i + 1
-            break
+    page_no = doc.pageno_of(page_obj)
     v = [cos.get_object(x) for x in dest]
     layout = str(v[1]) if len(v) > 1 and isinstance(v[1], Name) else "Fit"
     if layout not in _DEST_LAYOUTS:

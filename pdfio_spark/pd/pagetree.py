@@ -29,6 +29,7 @@ class PDDoc:
         if not isinstance(self.catalog, dict):
             raise ValueError("invalid catalog")
         self.pagerefs: list = []     # DFS order (pagen2r)
+        self._pageno_by_id: dict | None = None  # lazy id(ref)->pageno
         self.fonts: dict = {}        # id(cosfont) -> PDFont
         self.xobjs: dict = {}
         self.is_tagged = "none"
@@ -67,6 +68,17 @@ class PDDoc:
             suspect = self.cos.get(marking, Name("Suspect"))
             self.is_tagged = ("suspect" if suspect is True else
                               "tagged" if tagged is True else "none")
+
+    def pageno_of(self, page_obj) -> int | None:
+        """1-based page number of a resolved page dict, O(1) after the
+        first call — destination resolution used to linearly scan
+        pagerefs per outline item, O(items x pages) on exactly the
+        page-heavy outliers the pipeline shards for (r5 core
+        review)."""
+        if self._pageno_by_id is None:
+            self._pageno_by_id = {id(p): i + 1
+                                  for i, p in enumerate(self.pagerefs)}
+        return self._pageno_by_id.get(id(page_obj))
 
     def page_count(self) -> int:
         return len(self.pagerefs)

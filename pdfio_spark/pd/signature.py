@@ -63,6 +63,12 @@ def _tlv(data: bytes, off: int) -> tuple[int, bool, bytes, int, int]:
     i += 1
     if ln & 0x80:
         n = ln & 0x7F
+        if n == 0:
+            # BER indefinite length (0x80): silently parsing it as
+            # length 0 yielded empty content and a misleading
+            # 'not SignedData' — fail with the real reason
+            # (r5 core review)
+            raise ValueError("DER: BER indefinite length unsupported")
         ln = int.from_bytes(data[i:i + n], "big")
         i += n
     return tag, constructed, data[i:i + ln], i, i + ln
@@ -388,12 +394,7 @@ _SUBFILTERS = ("adbe.x509.rsa_sha1", "adbe.pkcs7.detached",
                "adbe.pkcs7.sha1", "ETSI.CAdES.detached")
 
 
-def _str_bytes(v) -> bytes:
-    if isinstance(v, HexStr):
-        return v.binary
-    if isinstance(v, (LitStr, bytes)):
-        return bytes(v)
-    return b""
+from ..cos.objects import str_bytes as _str_bytes  # canonical coercion
 
 
 def _cert_info(cert) -> dict:

@@ -492,6 +492,98 @@ class TestCosWriter:
         assert extract_doc(out)["status"] == "ok"
 
 
+class TestR5CoreReviewFixes:
+    """Regression pins for the round-5 core-plane review findings."""
+
+    def test_font_cache_refuses_indirect_key_values(self):
+        """A font dict whose /BaseFont is an indirect Ref must NOT be
+        cached: Refs compare equal ACROSS documents, so the
+        process-wide simple-font cache would hand doc B doc A's font
+        (silently wrong text)."""
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd import fonts as FT
+        pdf = build_fixture("flate_simple", ["cache probe"])
+        doc = CosDoc(pdf)
+        ref_font = {Name("Type"): Name("Font"),
+                    Name("Subtype"): Name("Type1"),
+                    Name("BaseFont"): Ref(999, 0)}  # indirect — no cache
+        before = dict(FT._SIMPLE_FONT_CACHE)
+        FT.get_pdfont_cached(doc, ref_font)
+        assert FT._SIMPLE_FONT_CACHE == before  # nothing cached
+        for key in FT._SIMPLE_FONT_CACHE:
+            assert not any(isinstance(k, Ref) for k in key)
+
+    def test_objstm_indirect_n_first_resolves(self):
+        """/N and /First may be indirect (spec allows any integer to be
+        a reference); int(Ref) used to raise TypeError past the
+        object-level quarantine and lose every packed object."""
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.cos.objects import ObjStm, Stream
+        import zlib
+        body = b"5 0 (hello)"
+        hdr = b"5 0 "
+        inner = b"(hello)\n"
+        payload = hdr.rstrip() + b"\n"  # not used; build precisely:
+        first = len(b"5 0\n")
+        data = b"5 0\n" + inner
+        stm = Stream({Name("Type"): Name("ObjStm"),
+                      Name("N"): Ref(7, 0), Name("First"): Ref(8, 0),
+                      Name("Length"): len(data)}, data)
+        o = ObjStm(stm)
+
+        class FakeDoc:
+            def get_object(self, v):
+                if v == Ref(7, 0):
+                    return 1
+                if v == Ref(8, 0):
+                    return first
+                return v
+        o.populate(FakeDoc())
+        assert o.oids == [5]
+        # and with NO doc to resolve: ParseError (quarantinable), not
+        # TypeError
+        o2 = ObjStm(Stream({Name("Type"): Name("ObjStm"),
+                            Name("N"): Ref(7, 0),
+                            Name("Length"): len(data)}, data))
+        with pytest.raises(ParseError):
+            o2.populate(None)
+
+    def test_type2_xref_self_cycle_quarantined(self):
+        """A corrupt xref marking an ObjStm's own entry as type-2
+        inside itself used to recurse unboundedly; the guard returns
+        None instead."""
+        from pdfio_spark.cos.doc import CosDoc, _ObjectLoc
+        from pdfio_spark.fixtures import build_fixture
+        doc = CosDoc(build_fixture("flate_simple", ["cycle probe"]))
+        r = Ref(99, 0)
+        doc.xref[r] = _ObjectLoc(0, stm=r)  # container = itself
+        assert doc.get_object(r) is None   # no RecursionError
+        a, b = Ref(98, 0), Ref(97, 0)
+        doc.xref[a] = _ObjectLoc(0, stm=b)
+        doc.xref[b] = _ObjectLoc(0, stm=a)  # A-in-B-in-A
+        assert doc.get_object(a) is None
+
+    def test_negative_firstchar_clamped(self):
+        """Corrupt /FirstChar -3 must not write widths through numpy
+        negative indices (shifted width table)."""
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.fonts import get_font_widths
+        doc = CosDoc(build_fixture("flate_simple", ["fc probe"]))
+        font = {Name("FirstChar"): -3, Name("LastChar"): 1,
+                Name("Widths"): [111, 222, 333, 444, 555],
+                Name("BaseFont"): Name("Helvetica")}
+        w = get_font_widths(doc, font)
+        assert w[253] == 0 and w[254] == 0 and w[255] == 0  # no wrap
+        assert w[0] == 111 and w[1] == 222  # clamped to cid 0
+
+    def test_ber_indefinite_length_distinct_error(self):
+        from pdfio_spark.pd.signature import _tlv
+        with pytest.raises(ValueError, match="indefinite"):
+            _tlv(b"\x30\x80\x00\x00", 0)
+
+
 class TestTiffPredictor2:
     """TIFF Predictor 2 (the reference quarantines it; we decode —
     vectorized per-row cumsum mod 256, TIFF 6.0 §14)."""
