@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from pdfio_spark.pipeline.job import extract_pdfs, gen_pdf_corpus
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    corpus = gen_pdf_corpus(docs)  # cycles all 17 fixture classes
+    corpus = gen_pdf_corpus(docs)  # cycles all 25 fixture classes
     return (extract_pdfs(corpus)
             .select("url", "n_pages", "text", "status"))
 

@@ -39,16 +39,22 @@ BENCH_QUERIES = [
 ]
 
 
-def replicate_corpus(spark, sf_dir: str, k: int):
-    """Deterministically scale the synthetic corpus: k copies of each
-    document with distinct doc_ids (same PDF bytes per copy group)."""
+def replicate_corpus(spark, sf_dir: str, k: int,
+                     extra_cols: tuple = ()):
+    """Deterministically scale the synthetic corpus: k replicas of each
+    document's TEXT under distinct doc_ids. The +rep*1_000_000 offset
+    deliberately shifts each replica's fixture class and 'Doc <id>:'
+    prefix (1e6 % 25 != 0), so replicas are distinct PDFs exercising
+    the full class rotation — NOT byte-identical copies (r5 review:
+    the old docstring claimed same-bytes)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = [c for c in extra_cols if c in docs.columns]
     if k <= 1:
-        return docs.select("doc_id", "text")
+        return docs.select("doc_id", "text", *extra)
     reps = spark.range(k).select(F.col("id").alias("rep"))
     return (docs.crossJoin(reps)
             .select((F.col("doc_id") + F.col("rep") * 1_000_000)
-                    .alias("doc_id"), "text"))
+                    .alias("doc_id"), "text", *extra))
 
 
 def main() -> None:

@@ -531,6 +531,14 @@ def make_pdf(page_contents: list[bytes],
              tiff_predictor_cols: int | None = None,
              ccitt_image: bool = False) -> bytes:
     """Assemble a complete PDF. One page per entry in page_contents."""
+    if encrypt is not None and (xref_stream or use_objstm):
+        # latent trap (r5 review): the xref-stream dict is built without
+        # /Encrypt //ID and ObjStm payloads are not stream-encrypted, so
+        # the combination silently emits an undecryptable file. Writer
+        # coverage for encrypted ObjStm packaging lives in
+        # cos/writer.rewrite_pdf (pack='objstm', encrypt=...).
+        raise ValueError("make_pdf: encrypt= with xref_stream/use_objstm "
+                         "is not supported; use cos.writer.rewrite_pdf")
     counter = [0]
 
     def alloc() -> int:
@@ -1105,7 +1113,6 @@ def make_incremental_pdf(lines_v1: list[str], lines_v2: list[str]) -> bytes:
     out.extend(f"xref\n{objn} 1\n{new_off:010d} 00000 n \n".encode())
     out.extend(b"trailer\n")
     # Root must resolve from the NEW trailer too
-    root_n = 1 if b"/Type /Catalog" in base[:200] else None
     # find catalog object number in base
     cidx = base.find(b"/Type /Catalog")
     coidx = base.rfind(b" 0 obj", 0, cidx)

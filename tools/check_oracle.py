@@ -96,7 +96,10 @@ def main() -> None:
     repeat = 1
     if "--repeat" in args:
         k = args.index("--repeat")
-        repeat = int(args[k + 1])
+        try:
+            repeat = int(args[k + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: check_oracle.py [--repeat N] [q_name ...]")
         args = args[:k] + args[k + 2:]
     names = args or list(qs)
 
@@ -173,6 +176,11 @@ def main() -> None:
             print(f"{name:28s} ERROR {type(e).__name__}: {e}")
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
+    # nonzero exit on ANY failure so the gate can be scripted
+    # (check_windows_sf1.py already plumbs the returncode; it used to
+    # always see 0 — r5 review)
+    if n_fail:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -62,17 +62,15 @@ def main() -> None:
         # measures the Structured Streaming overhead vs the batch path
         # (maxFilesPerTrigger batches the corpus into multiple
         # micro-batches; n_docs default 100k keeps file counts sane)
+        from bench import replicate_corpus
         from pdfio_spark.pipeline.job import gen_pdf_corpus
         from pdfio_spark.pipeline.streaming import stream_extract
         n_docs = n_docs if len(sys.argv) > 2 else 100_000
-        tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        base = tbl.count()
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         k = max(1, (n_docs + base - 1) // base)
-        reps = spark.range(k).select(F.col("id").alias("rep"))
-        docs = (tbl.select("doc_id", "text").crossJoin(reps)
-                .select((F.col("doc_id") + F.col("rep") * 1_000_000)
-                        .alias("doc_id"), "text")
-                .limit(n_docs))
+        # ONE replication formula repo-wide (bench.replicate_corpus) so
+        # soak and bench corpora stay comparable (r5 review)
+        docs = replicate_corpus(spark, sf_dir, k).limit(n_docs)
         inp = os.path.join(soak_dir, "stream_in")
         chk = os.path.join(soak_dir, "stream_chk")
         outp = os.path.join(soak_dir, "stream_out")
@@ -171,14 +169,11 @@ def main() -> None:
         spark.stop()
         return
 
-    tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    base = tbl.count()
+    from bench import replicate_corpus
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     k = max(1, (n_docs + base - 1) // base)
-    reps = spark.range(k).select(F.col("id").alias("rep"))
-    docs = (tbl.select("doc_id", "text", "lang").crossJoin(reps)
-            .select((F.col("doc_id") + F.col("rep") * 1_000_000)
-                    .alias("doc_id"), "text", "lang")
-            .limit(n_docs))
+    docs = replicate_corpus(spark, sf_dir, k,
+                            extra_cols=("lang",)).limit(n_docs)
     corpus_path = os.path.join(soak_dir, f"{mode}_corpus")
     shutil.rmtree(corpus_path, ignore_errors=True)
 
