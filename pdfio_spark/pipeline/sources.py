@@ -16,6 +16,9 @@ src/PDDoc.jl); at corpus scale the equivalents are:
                   layout) — records never straddle tasks because the
                   unit of parallelism is the file, the same layout
                   choice Common Crawl makes (~1 GB .warc.gz shards).
+  read_wet      — WET shards (pre-extracted plain text, `conversion`
+                  records) -> (url, warc_ts, text, nbytes); feeds the
+                  text-plane operators directly (r5).
 
 At 100 TB the WARC path scales by file count (one task per shard);
 shard sizes are uniform by construction, so no skew defense is needed
@@ -29,7 +32,7 @@ from typing import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_pdf_dir", "read_warc"]
+__all__ = ["read_pdf_dir", "read_warc", "read_wet"]
 
 
 def read_pdf_dir(spark: SparkSession, path: str,
@@ -116,38 +119,42 @@ def _strip_http_envelope(body: bytes) -> bytes:
     return body
 
 
+def _safe_iter(gen):
+    """Drain a member/record generator, stopping (not failing) at the
+    first decode error: one truncated .warc.gz shard must cost its own
+    unparsed tail, never the Spark task — every other UDF in the
+    pipeline quarantines per row; the sources fed by uncontrolled
+    external bytes cannot be the exception (r5 review)."""
+    while True:
+        try:
+            yield next(gen)
+        except StopIteration:
+            return
+        except Exception:
+            return
+
+
+def _shard_files(spark: SparkSession, path: str, glob: str) -> DataFrame:
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob)
+            .option("recursiveFileLookup", "true")
+            .load(path)
+            .select("content"))
+
+
 def read_warc(spark: SparkSession, path: str,
               glob: str = "*.warc*") -> DataFrame:
     """WARC shards -> (url, warc_ts, html, nbytes): response records
     only, HTTP envelope stripped — the Common-Crawl-style input table
     of the north rule. One task per shard file."""
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", glob)
-             .option("recursiveFileLookup", "true")
-             .load(path)
-             .select("content"))
-
-    def safe_iter(gen):
-        """Drain a member/record generator, stopping (not failing) at
-        the first decode error: one truncated .warc.gz shard must cost
-        its own unparsed tail, never the Spark task — every other UDF
-        in the pipeline quarantines per row; the source fed by
-        uncontrolled external bytes cannot be the one exception
-        (r5 review)."""
-        while True:
-            try:
-                yield next(gen)
-            except StopIteration:
-                return
-            except Exception:
-                return
+    files = _shard_files(spark, path, glob)
 
     def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             urls, tss, bodies, sizes = [], [], [], []
             for blob in batch.column("content").to_pylist():
-                for member in safe_iter(_split_gzip_members(blob or b"")):
-                    for rec in safe_iter(_parse_warc_records(member)):
+                for member in _safe_iter(_split_gzip_members(blob or b"")):
+                    for rec in _safe_iter(_parse_warc_records(member)):
                         if rec["type"] != "response" or not rec["url"]:
                             continue
                         payload = _strip_http_envelope(rec["body"])
@@ -167,3 +174,41 @@ def read_warc(spark: SparkSession, path: str,
         "url",
         F.to_timestamp("warc_ts_raw").alias("warc_ts"),
         "html", "nbytes")
+
+
+def read_wet(spark: SparkSession, path: str,
+             glob: str = "*.warc.wet*") -> DataFrame:
+    """WET shards (Common Crawl's pre-extracted plain text: the SAME
+    ISO 28500 container, `conversion` records whose bodies are UTF-8
+    text) -> (url, warc_ts, text, nbytes). Feeds the text-plane
+    operators (dedup / minhash / analytics) directly, skipping HTML
+    extraction — the ingest path a training pipeline uses when the
+    crawl provider already ran boilerplate removal. Same per-shard
+    parallelism and corrupt-member isolation as read_warc."""
+    files = _shard_files(spark, path, glob)
+
+    def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls, tss, texts, sizes = [], [], [], []
+            for blob in batch.column("content").to_pylist():
+                for member in _safe_iter(_split_gzip_members(blob or b"")):
+                    for rec in _safe_iter(_parse_warc_records(member)):
+                        if rec["type"] != "conversion" or not rec["url"]:
+                            continue
+                        body = rec["body"]
+                        urls.append(rec["url"])
+                        tss.append(rec["date"])
+                        texts.append(body.decode("utf-8", "replace"))
+                        sizes.append(len(body))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(tss, pa.string()),
+                 pa.array(texts, pa.string()),
+                 pa.array(sizes, pa.int64())],
+                names=["url", "warc_ts_raw", "text", "nbytes"])
+
+    out = files.mapInArrow(
+        parse, "url string, warc_ts_raw string, text string, nbytes long")
+    return out.select(
+        "url",
+        F.to_timestamp("warc_ts_raw").alias("warc_ts"),
+        "text", "nbytes")

@@ -403,6 +403,51 @@ def test_read_warc_source(spark, tmp_path):
     assert "https://ex.org/ok.pdf" in {r["url"] for r in rows}
 
 
+def test_read_wet_source(spark, tmp_path):
+    """WET ingestion (r5): conversion records' plain-text bodies ->
+    (url, warc_ts, text), straight into the text-plane operators
+    (minhash band kernel here); warcinfo/request records skipped,
+    corrupt gzip members cost only their own tail."""
+    import gzip
+    from pdfio_spark.pipeline.queries import minhash_band_melt
+    from pdfio_spark.pipeline.sources import read_wet
+
+    def wet_record(url, ts, text, rtype=b"conversion"):
+        body = text.encode("utf-8")
+        hdr = (b"WARC/1.0\r\n"
+               b"WARC-Type: " + rtype + b"\r\n"
+               b"WARC-Target-URI: " + url.encode() + b"\r\n"
+               b"WARC-Date: " + ts.encode() + b"\r\n"
+               b"Content-Type: text/plain\r\n"
+               b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+               b"\r\n")
+        return hdr + body + b"\r\n\r\n"
+
+    meta = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+            b"\r\nmeta\r\n\r\n")
+    texts = {f"https://ex.org/p{i}":
+             f"wet body {i} " + "the quick brown fox " * 4
+             for i in range(4)}
+    recs = [wet_record(u, f"2026-02-0{i+1}T00:00:00Z", t)
+            for i, (u, t) in enumerate(texts.items())]
+    d = tmp_path / "wets"
+    d.mkdir()
+    (d / "a.warc.wet").write_bytes(meta + recs[0] + recs[1])
+    (d / "b.warc.wet.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs[2:])
+        + b"\x1f\x8b\x08TRUNCATED")
+    wet = read_wet(spark, str(d))
+    rows = wet.collect()
+    assert {r["url"]: r["text"] for r in rows} == texts
+    assert all(r["warc_ts"] is not None for r in rows)
+    # text plane composes directly: every doc yields 4 band keys
+    from pyspark.sql import functions as F
+    docs = wet.select(F.monotonically_increasing_id().alias("doc_id"),
+                      "text")
+    melted = minhash_band_melt(docs)
+    assert melted.count() == 4 * len(texts)
+
+
 def test_extract_pdfs_null_html_quarantined(spark):
     """r5 review: a NULL html row failed BOTH split-path filters and
     vanished; it must reach the UDF and come back as an error row."""
