@@ -346,6 +346,35 @@ def extract_pdfs_sharded(corpus: DataFrame, pages_per_shard: int = 4,
         "url string, n_pages int, text string, status string, err string")
 
 
+def annotate_wet(corpus: DataFrame) -> DataFrame:
+    """WET-mode 'extraction': the text is already extracted (Common
+    Crawl conversion records), so the production stage annotates each
+    row with the oracle-verified analytics set (queries.
+    text_metrics_cols — tokens, quality ratios, language vote,
+    fingerprints) in one map-only pass. status mirrors the other
+    modes' contract: 'empty' for a NULL/blank body."""
+    from .queries import text_metrics_cols
+    return (corpus.select(
+        "url", "text", *text_metrics_cols())
+        .withColumn("status",
+                    F.when(F.length(F.coalesce("text", F.lit(""))) > 0,
+                           "ok").otherwise("empty"))
+        .withColumn("err", F.lit(None).cast("string")))
+
+
+def wet_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for the WET path (mirrors
+    extraction_metrics / html_metrics)."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars_actual").alias("sum_chars"),
+                 F.sum("ws_tokens").alias("sum_tokens"),
+                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+                  .alias("n_ok")))
+
+
 def rewrite_pdfs(corpus: DataFrame, encrypt: str | None = None,
                  user_pw: bytes = b"", owner_pw: bytes | None = None,
                  pack: str = "classic") -> DataFrame:

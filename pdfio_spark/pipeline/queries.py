@@ -1165,6 +1165,15 @@ def q_text_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r3: merged from the four single-metric r2 queries so the whole
     analytics plane sits inside the driver's correctness window.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select("doc_id", *text_metrics_cols())
+            .orderBy("doc_id"))
+
+
+def text_metrics_cols() -> list:
+    """The analytics-plane expression set over a `text` column — ONE
+    definition shared by q_text_analytics (oracled) and the production
+    WET ingest (run.py --mode wet), so the metrics a pipeline annotates
+    at ingest time are exactly the oracle-verified ones."""
     t = F.coalesce("text", F.lit(""))
     ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
     bpe_ish = F.size(F.expr(
@@ -1181,8 +1190,7 @@ def q_text_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = (F.when((en >= de) & (en >= fr), "en")
             .when(de >= fr, "de").otherwise("fr"))
     prefix = F.concat_ws(" ", F.slice(F.split(F.trim(t), r"\s+"), 1, 8))
-    return (docs.select(
-        "doc_id",
+    return [
         ws_tokens.alias("ws_tokens"),
         bpe_ish.alias("bpe_tokens"),
         n.alias("n_chars_actual"),
@@ -1190,8 +1198,8 @@ def q_text_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop / F.greatest(nwords, F.lit(1)), 6).alias("stop_ratio"),
         pred.alias("pred_lang"),
         F.md5(t).alias("content_md5"),
-        F.md5(prefix).alias("prefix_md5"))
-        .orderBy("doc_id"))
+        F.md5(prefix).alias("prefix_md5"),
+    ]
 
 
 ORACLE_TEXT_ANALYTICS = r"""

@@ -3,11 +3,13 @@
     spark-submit --py-files pdfio_spark.zip pdfio_spark/pipeline/run.py \
         --input  <parquet/iceberg of (url, warc_ts, html, text, lang)> \
         --output <results dir/table> --metrics <metrics dir/table> \
-        [--resume] [--cpus N] [--mode pdf|html]
+        [--resume] [--cpus N] [--mode pdf|html|wet]
 
 --mode pdf (default) runs the full PDF parse stack; --mode html runs
 the web-page boilerplate strip (html_extract) over the same table
-shape with the same resume/metrics contract.
+shape; --mode wet ingests pre-extracted text (url, text — e.g. from
+sources.read_wet) and annotates the oracle-verified analytics set.
+All modes share the resume/metrics/run_id-reconcile contract.
 
 Input is the Common-Crawl-style table of the north rule (the binary
 `html` column carries PDF bytes). The job:
@@ -64,14 +66,18 @@ def run_job(spark, input_path: str, output_path: str,
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
-    corpus = src.select("url", "html")  # column pruning reaches the scan
+    # column pruning reaches the scan; WET tables carry text, not html
+    corpus = src.select("url", "text" if mode == "wet" else "html")
 
     if mode == "html":
         extract_fn, metrics_fn = extract_html, html_metrics
     elif mode == "pdf":
         extract_fn, metrics_fn = extract_pdfs, extraction_metrics
+    elif mode == "wet":
+        from .job import annotate_wet, wet_metrics
+        extract_fn, metrics_fn = annotate_wet, wet_metrics
     else:
-        raise ValueError(f"unknown mode {mode!r} (pdf | html)")
+        raise ValueError(f"unknown mode {mode!r} (pdf | html | wet)")
 
     if resume:
         try:
@@ -159,7 +165,8 @@ def main(argv=None) -> None:
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
-    ap.add_argument("--mode", choices=("pdf", "html"), default="pdf")
+    ap.add_argument("--mode", choices=("pdf", "html", "wet"),
+                    default="pdf")
     args = ap.parse_args(argv)
 
     from .session import get_spark

@@ -448,6 +448,44 @@ def test_read_wet_source(spark, tmp_path):
     assert melted.count() == 4 * len(texts)
 
 
+def test_run_job_wet_mode_resume(spark, tmp_path):
+    """WET production path (r5): run_job --mode wet annotates
+    pre-extracted text with the oracle-verified analytics set, under
+    the same resume / metrics / run_id contract as pdf/html."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.run import run_job
+    inp = str(tmp_path / "wet_in")
+    outp = str(tmp_path / "wet_out")
+    met = str(tmp_path / "wet_met")
+    rows = [(f"wet://{i}", f"doc {i} body the quick brown fox and more")
+            for i in range(30)] + [("wet://empty", None)]
+    spark.createDataFrame(rows, "url string, text string") \
+        .write.parquet(inp)
+    r1 = run_job(spark, inp, outp, met, mode="wet", run_id="w1")
+    assert r1["by_status"].get("ok") == 30
+    assert r1["by_status"].get("empty") == 1
+    out = spark.read.parquet(outp)
+    row = out.filter("url = 'wet://3'").collect()[0]
+    assert row["ws_tokens"] == 9 and row["pred_lang"] == "en"
+    assert row["content_md5"] is not None
+    # the annotation IS the oracled expression set: recompute directly
+    from pdfio_spark.pipeline.queries import text_metrics_cols
+    want = spark.createDataFrame(
+        [rows[3]], "url string, text string") \
+        .select(*text_metrics_cols()).collect()[0]
+    assert row["stop_ratio"] == want["stop_ratio"]
+    # resume: only new urls processed, metrics balance
+    spark.createDataFrame([("wet://new", "fresh text body here now")],
+                          "url string, text string") \
+        .write.mode("append").parquet(inp)
+    r2 = run_job(spark, inp, outp, met, resume=True, mode="wet",
+                 run_id="w2")
+    assert r2["written"] == 1
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 32
+    assert spark.read.parquet(outp).count() == 32
+
+
 def test_extract_pdfs_null_html_quarantined(spark):
     """r5 review: a NULL html row failed BOTH split-path filters and
     vanished; it must reach the UDF and come back as an error row."""
