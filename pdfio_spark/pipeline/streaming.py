@@ -18,7 +18,8 @@ from pyspark.sql import SparkSession, functions as F
 from .job import _EXTRACT_DDL, _extract_batches
 
 __all__ = ["stream_extract", "stream_metrics", "stream_dedup",
-           "stream_neardup", "neardup_keep_decisions"]
+           "stream_neardup", "neardup_keep_decisions",
+           "stream_ingest_wet"]
 
 
 def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
@@ -222,6 +223,28 @@ def stream_extract_html(spark: SparkSession, input_dir: str,
            .option("maxFilesPerTrigger", 8)
            .parquet(input_dir))
     writer = (extract_html(src).writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ingest_wet(spark: SparkSession, input_dir: str,
+                      checkpoint_dir: str, output_dir: str,
+                      available_now: bool = True):
+    """Streaming twin of run.py --mode wet: file-source stream of
+    (url, text) pre-extracted pages -> the oracled analytics
+    annotation (job.annotate_wet's expression set; stateless, so no
+    GroupState) -> parquet sink, exactly-once via the checkpoint."""
+    from .job import annotate_wet
+    src = (spark.readStream
+           .schema("url string, text string")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    writer = (annotate_wet(src).writeStream
               .format("parquet")
               .option("path", output_dir)
               .option("checkpointLocation", checkpoint_dir)

@@ -486,6 +486,27 @@ def test_run_job_wet_mode_resume(spark, tmp_path):
     assert spark.read.parquet(outp).count() == 32
 
 
+def test_stream_ingest_wet(spark, tmp_path):
+    """Streaming twin of --mode wet: exactly-once annotation of a
+    pre-extracted-text stream; restart reprocesses nothing."""
+    from pdfio_spark.pipeline.streaming import stream_ingest_wet
+    inp = str(tmp_path / "swet_in")
+    chk = str(tmp_path / "swet_chk")
+    outp = str(tmp_path / "swet_out")
+    spark.createDataFrame(
+        [(f"wet://{i}", f"stream body {i} of the corpus") for i in
+         range(12)], "url string, text string").write.parquet(inp)
+    q = stream_ingest_wet(spark, inp, chk, outp)
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    assert out.count() == 12
+    assert out.filter("status = 'ok'").count() == 12
+    assert out.filter("url = 'wet://5'").collect()[0]["ws_tokens"] == 6
+    q2 = stream_ingest_wet(spark, inp, chk, outp)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(outp).count() == 12  # nothing reprocessed
+
+
 def test_extract_pdfs_null_html_quarantined(spark):
     """r5 review: a NULL html row failed BOTH split-path filters and
     vanished; it must reach the UDF and come back as an error row."""
