@@ -122,6 +122,23 @@ def test_extract_never_crashes_on_garbage(blob):
     assert r["status"] in ("ok", "partial", "error", "empty")
 
 
+@given(st.binary(min_size=0, max_size=2048))
+@settings(max_examples=60, deadline=None)
+def test_warc_parsers_never_crash_under_safe_iter(blob):
+    """The WARC/WET member and record generators, drained through
+    _safe_iter (the per-shard isolation wrapper), must terminate
+    without raising on arbitrary bytes — including bytes that start
+    with gzip or WARC magic."""
+    from pdfio_spark.pipeline.sources import (_parse_warc_records,
+                                              _safe_iter,
+                                              _split_gzip_members)
+    for prefix in (b"", b"\x1f\x8b\x08", b"WARC/1.0\r\n"):
+        data = prefix + blob
+        for member in _safe_iter(_split_gzip_members(data)):
+            for rec in _safe_iter(_parse_warc_records(member)):
+                assert isinstance(rec["type"], str)
+
+
 @given(st.data())
 @settings(max_examples=40, deadline=None)
 def test_writer_roundtrip_property(data):
