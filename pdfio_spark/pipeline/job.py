@@ -357,8 +357,8 @@ def annotate_wet(corpus: DataFrame) -> DataFrame:
     return (corpus.select(
         "url", "text", *text_metrics_cols())
         .withColumn("status",
-                    F.when(F.length(F.coalesce("text", F.lit(""))) > 0,
-                           "ok").otherwise("empty"))
+                    F.when(F.col("n_chars_actual") > 0, "ok")
+                    .otherwise("empty"))
         .withColumn("err", F.lit(None).cast("string")))
 
 
@@ -370,7 +370,11 @@ def wet_metrics(extracted: DataFrame) -> DataFrame:
             .groupBy("partition_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars_actual").alias("sum_chars"),
-                 F.sum("ws_tokens").alias("sum_tokens"),
+                 # empty text splits to [''] -> ws_tokens 1; only ok
+                 # rows carry real tokens (r5 review: phantom +1/empty)
+                 F.sum(F.when(F.col("status") == "ok",
+                              F.col("ws_tokens")).otherwise(0))
+                  .alias("sum_tokens"),
                  F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
                   .alias("n_ok")))
 

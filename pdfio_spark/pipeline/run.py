@@ -64,11 +64,9 @@ def run_job(spark, input_path: str, output_path: str,
     from .html_extract import extract_html, html_metrics
     from .job import extract_pdfs, extraction_metrics
 
-    rid = run_id or uuid.uuid4().hex
-    src = spark.read.parquet(input_path)
-    # column pruning reaches the scan; WET tables carry text, not html
-    corpus = src.select("url", "text" if mode == "wet" else "html")
-
+    # validate the mode BEFORE any column select: an unknown mode used
+    # to surface as a misleading cannot-resolve-column AnalysisException
+    # on WET-shaped tables (r5 review)
     if mode == "html":
         extract_fn, metrics_fn = extract_html, html_metrics
     elif mode == "pdf":
@@ -78,6 +76,11 @@ def run_job(spark, input_path: str, output_path: str,
         extract_fn, metrics_fn = annotate_wet, wet_metrics
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet)")
+
+    rid = run_id or uuid.uuid4().hex
+    src = spark.read.parquet(input_path)
+    # column pruning reaches the scan; WET tables carry text, not html
+    corpus = src.select("url", "text" if mode == "wet" else "html")
 
     if resume:
         try:

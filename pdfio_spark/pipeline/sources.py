@@ -143,10 +143,14 @@ def _shard_files(spark: SparkSession, path: str, glob: str) -> DataFrame:
 
 
 def read_warc(spark: SparkSession, path: str,
-              glob: str = "*.warc*") -> DataFrame:
+              glob: str = "*.{warc,warc.gz}") -> DataFrame:
     """WARC shards -> (url, warc_ts, html, nbytes): response records
     only, HTTP envelope stripped — the Common-Crawl-style input table
-    of the north rule. One task per shard file."""
+    of the north rule. One task per shard file. The default glob
+    deliberately EXCLUDES .warc.wet/.warc.wat shards (r5 review: the
+    old '*.warc*' gunzipped and parsed every WET byte in a mixed
+    Common-Crawl tree only to discard all of it — use read_wet for
+    those)."""
     files = _shard_files(spark, path, glob)
 
     def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
