@@ -94,6 +94,46 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode == "neardup":
+        # stateful-streaming scale probe: n_docs (default 100k)
+        # through stream_neardup. replicate_corpus duplicates each base
+        # text k-fold, so the corpus is a k-way near-dup cluster stress
+        # (every band bucket contested by ~k docs + 10% extra twins);
+        # correct output keeps ~one url per distinct text. 4 GroupState
+        # band keys per distinct doc, exactly-once flags, availableNow
+        from bench import replicate_corpus
+        from pdfio_spark.pipeline.streaming import (
+            neardup_keep_decisions, stream_neardup)
+        n_docs = n_docs if len(sys.argv) > 2 else 100_000
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        k = max(1, (n_docs + base - 1) // base)
+        docs = (replicate_corpus(spark, sf_dir, k).limit(n_docs)
+                .selectExpr("concat('doc://', doc_id) AS url", "text"))
+        twins = (docs.limit(n_docs // 10)
+                 .selectExpr("concat(url, '-twin') AS url", "text"))
+        inp = os.path.join(soak_dir, "nd_in")
+        chk = os.path.join(soak_dir, "nd_chk")
+        outp = os.path.join(soak_dir, "nd_out")
+        for d in (inp, chk, outp):
+            shutil.rmtree(d, ignore_errors=True)
+        docs.unionByName(twins).repartition(64).write.parquet(inp)
+        n = spark.read.parquet(inp).count()
+        t0 = time.perf_counter()
+        q = stream_neardup(spark, inp, chk, outp)
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        dec = neardup_keep_decisions(spark, outp)
+        n_dec = dec.count()
+        n_dropped = dec.filter("NOT keep").count()
+        print(json.dumps({"mode": mode, "n_docs": n,
+                          "decisions": n_dec, "flagged": n_dropped,
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(n / dt, 1)}))
+        for d in (inp, chk, outp):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
     if mode == "ann":
         import hashlib
         from pdfio_spark.pipeline.queries import ann_lsh_topk_over
