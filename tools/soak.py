@@ -4,13 +4,18 @@ a script): materialize an N-doc corpus to parquet, then time the
 extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
-Usage: python3 tools/soak.py [pdf|html|dedup|ann|stream] [n_docs]
+Usage: python3 tools/soak.py [pdf|html|dedup|ann|stream|neardup]
+       [n_docs]
        (default pdf 1e6)
 
 stream mode: n_docs PDFs (default 100k) through the exactly-once
 streaming ingest (stream_extract: readStream -> extraction UDF ->
 checkpointed parquet sink, maxFilesPerTrigger micro-batches) —
 measures Structured Streaming overhead vs the batch path.
+
+neardup mode: n_docs (default 100k) k-way-duplicated texts + 10%
+twins through the stateful band-key stream (stream_neardup) — the
+seen-set contention stress.
 
 ann mode: n_docs deterministic 64-dim vectors (default 100k) through
 the multiprobe LSH top-k operator at the AT-SCALE bit widths (16
