@@ -20,6 +20,8 @@ Two planes:
 """
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -2025,15 +2027,31 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity: LSH-bucketed ANN (the scale path next to brute force)
 # ---------------------------------------------------------------------
 
-def _hyperplanes(n: int = 8, dim: int = 64) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes embedded as literals in
-    BOTH the Spark plan and the DuckDB oracle (seed-free arithmetic)."""
+def _hyperplanes(n: int = 8, dim: int = 64,
+                 tag: str = "c") -> list[list[float]]:
+    """Deterministic INDEPENDENT pseudo-random hyperplanes (one md5 per
+    coefficient), embedded as literals in BOTH the Spark plan and the
+    DuckDB oracle (seed-free arithmetic).
+
+    r6: this replaced a multiplicative-hash-of-a-counter sequence whose
+    consecutive planes were shifted copies of one stream. Correlated
+    planes are a measured scale-killer (BENCH/BASELINE.md
+    "bits-scale-with-n"): at 16+20 bits on 100k vectors the correlated
+    code collapsed into ~9k of 65k buckets and multiprobe amplified
+    that into 349.6M candidate pairs + disk-exhausting spill, vs ~5M
+    with independent planes. md5-per-coefficient is independent by
+    construction, so bucket occupancy holds the ~n/2^bits bound the
+    whole LSH design budgets around (occupancy test in
+    tests/test_spark_pipeline.py). `tag` separates plane families —
+    the coarse ("c") and fine ("f") tables must not share a stream.
+    tools/soak.py's ann mode calls this same generator at 16+20 bits."""
     out = []
     for j in range(n):
         row = []
         for i in range(dim):
-            v = ((j * dim + i + 1) * 2654435761) % 1000003
-            row.append(round(v / 1000003 * 2 - 1, 6))
+            h = hashlib.md5(f"{tag}:{j}:{i}".encode()).digest()
+            v = int.from_bytes(h[:8], "big") / 2 ** 64
+            row.append(round(v * 2 - 1, 6))
         out.append(row)
     return out
 
@@ -2049,27 +2067,40 @@ _HP = _hyperplanes()
 #: 10^9 vectors every table runs at the fine setting and T is the
 #: recall knob.
 ANN_FINE_BITS = 12
-_HP_FINE = _hyperplanes(8 + ANN_FINE_BITS)[8:]  # independent planes
+_HP_FINE = _hyperplanes(ANN_FINE_BITS, tag="f")  # independent family
 
-#: Multiprobe radii (r5, Lv et al. "Multi-Probe LSH", VLDB'07 — public
-#: algorithm): besides its own bucket, each vector PROBES the buckets
-#: whose code differs in <= radius bits. Probing multiplies only the
-#: probe-side melt (rows are (vec_id, bucket-key) — tiny); the build
-#: side and the per-bucket work bound are unchanged, so the skew story
-#: is intact. The deeper radius goes on the FINE table — its buckets
-#: are ~16x smaller, so each extra probe costs ~16x fewer candidate
-#: pairs (the core multiprobe trade). Measured recall@3 vs exact truth
-#: at sf0.01 (near-random 64-dim vectors, the hardest case for LSH):
-#: no probes (r4) 0.042; coarse1/fine1 0.197; coarse1/fine2 0.258
-#: (chosen — 6x the r4 pin at ~25% of the coarse2 candidate volume);
-#: coarse2/fine1 0.392 (candidate volume 888k directed pairs at sf0.1,
-#: ~4x the chosen setting's 218k).
-ANN_COARSE_PROBE_HAMMING = 1
-ANN_FINE_PROBE_HAMMING = 2
+#: Query-DIRECTED multiprobe (r6 — the actual Lv et al. "Multi-Probe
+#: LSH", VLDB'07 algorithm, not just the Hamming ball): a bit whose
+#: hyperplane dot product is near zero is the bit most likely to be
+#: flipped for a true neighbor, so each QUERY ranks its table's bits
+#: by |dot| ascending and probes only perturbations of the closest
+#: bits — singles of the top `singles` bits plus pairs among the top
+#: `pairs` bits. Probing still multiplies only the probe-side melt
+#: (rows are (vec_id, bucket-key) — tiny); the build side and the
+#: per-bucket work bound are unchanged, so the skew story is intact.
+#: Measured recall@3 vs exact truth at sf0.01 (near-random 64-dim
+#: vectors, the HARDEST case for LSH — no cluster structure, so the
+#: directed advantage over the plain ball is modest here; on
+#: clustered data it grows): r5 correlated-plane Hamming ball
+#: 0.258 @ 25,776 directed candidate pairs; independent planes +
+#: plain ball c1/f2 0.203 @ 15,262; chosen directed (8,4)/(12,8)
+#: 0.259 @ 19,409 — the r5 recall pin at 75% of its candidate volume
+#: and 56 probes/vector instead of 88, with planes that hold the
+#: n/2^bits occupancy bound at scale. sf0.1: 0.294 @ 301k pairs.
+ANN_COARSE_DIRECTED = (8, 4)   # (singles, pairs-among-top-k bits)
+ANN_FINE_DIRECTED = (12, 8)
 
 
 def _probe_masks(bits: int, radius: int) -> list[int]:
-    """0 plus every XOR mask of Hamming weight <= radius (radius <= 2)."""
+    """0 plus every XOR mask of Hamming weight <= radius (legacy ball
+    probing, kept for the no-probe control and A/B against directed).
+    radius > 2 is unimplemented — raise instead of silently capping
+    (the ball is quadratic already; weight-3 masks never paid off)."""
+    if radius > 2:
+        raise ValueError(f"Hamming-ball probe radius {radius} > 2 is "
+                         "not implemented; use directed probing "
+                         "(coarse_directed/fine_directed) for deeper "
+                         "perturbation")
     masks = [0]
     if radius >= 1:
         masks += [1 << i for i in range(bits)]
@@ -2093,6 +2124,56 @@ def _bucket_expr(col, planes: list[list[float]] | None = None):
         bit = F.when(_dot_lit(col, hp) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         b = bit if b is None else b + bit
     return b.cast("int")
+
+
+def _dots_expr(col, planes: list[list[float]]):
+    """array<double> of the hyperplane dot products — computed ONCE and
+    checkpointed; code bits AND directed-probe ranks both derive from
+    it downstream (cheap element_at ops on the stored array)."""
+    return F.array(*[_dot_lit(col, hp) for hp in planes])
+
+
+def _code_from_dots(dcol, bits: int):
+    assert bits <= 30  # int32 bit-sum bound
+    b = None
+    for j in range(bits):
+        bit = F.when(F.element_at(dcol, j + 1) >= 0,
+                     F.lit(1 << j)).otherwise(F.lit(0))
+        b = bit if b is None else b + bit
+    return b.cast("int")
+
+
+def _rank_expr(dcol, bits: int):
+    """array<int> of plane indices ordered by ascending round(|dot|,6)
+    (tie-break: plane index — deterministic cross-engine): the
+    query-directed probe order. Rounding to 6 decimals keeps the sort
+    key identical between Spark and the DuckDB oracle."""
+    structs = F.array(*[
+        F.struct(F.round(F.abs(F.element_at(dcol, j + 1)), 6).alias("a"),
+                 F.lit(j).alias("j"))
+        for j in range(bits)])
+    return F.transform(F.array_sort(structs), lambda x: x["j"])
+
+
+def _directed_buckets(code, js, bits: int, singles: int, pairs: int):
+    """Probe-bucket exprs for one table: the exact code, single flips
+    of the top `singles` ranked bits, pair flips among the top `pairs`
+    ranked bits (Lv et al. query-directed perturbation sets).
+    (F.shiftleft needs a Python-int shift, so bit masks come from a
+    literal power-of-two array indexed by the rank entry.)"""
+    pw = F.array(*[F.lit(1 << j) for j in range(bits)])
+
+    def bitmask(t):
+        return F.element_at(pw, F.element_at(js, t) + 1)
+
+    out = [code]
+    for t in range(singles):
+        out.append(code.bitwiseXOR(bitmask(t + 1)))
+    for a in range(pairs):
+        for b in range(a + 1, pairs):
+            out.append(code.bitwiseXOR(
+                bitmask(a + 1).bitwiseOR(bitmask(b + 1))))
+    return out
 
 
 def _bucket_sql(col: str, planes: list[list[float]] | None = None) -> str:
@@ -2218,74 +2299,105 @@ ORDER BY vec_id
 
 def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
                       k: int = 3,
-                      coarse_probe: int = ANN_COARSE_PROBE_HAMMING,
-                      fine_probe: int = ANN_FINE_PROBE_HAMMING,
+                      coarse_probe: int | None = None,
+                      fine_probe: int | None = None,
+                      coarse_directed: tuple = ANN_COARSE_DIRECTED,
+                      fine_directed: tuple = ANN_FINE_DIRECTED,
                       coarse_planes: list | None = None,
                       fine_planes: list | None = None) -> DataFrame:
-    """Multi-table multiprobe LSH ANN over an embeddings-shaped
-    DataFrame: each vector is hashed into `tables` independent LSH
-    tables (table 0 = 8 coarse bits, table 1 = ANN_FINE_BITS fine
-    bits by default) and BUILT at its exact buckets; the PROBE side
-    additionally visits every bucket within the per-table Hamming
-    radius (r5 — Lv et al. multiprobe), so a true neighbor whose code
-    differs by a couple of bits is still met. Candidates are unioned
-    across tables and probes (DISTINCT pairs) and ranked by exact
-    cosine top-k. The hyperplane codes are computed ONCE (checkpointed
-    base); probe and build are projections of it feeding ONE salted
-    equi-join — bucket keys are disjoint per table, so the adaptive
-    skew salting composes unchanged and the build-side bucket bound
-    (q_lsh_buckets) still governs per-bucket work.
+    """Multi-table query-directed multiprobe LSH ANN over an
+    embeddings-shaped DataFrame: each vector is hashed into `tables`
+    independent LSH tables (table 0 = 8 coarse bits, table 1 =
+    ANN_FINE_BITS fine bits by default, md5-independent plane
+    families) and BUILT at its exact buckets; the PROBE side
+    additionally visits the buckets reached by flipping the bits the
+    QUERY is closest to (r6 — Lv et al.'s actual perturbation
+    ordering: rank bits by |dot| ascending, probe singles of the top
+    `singles` and pairs among the top `pairs`). Candidates are
+    unioned across tables and probes (DISTINCT pairs) and ranked by
+    exact cosine top-k. Probe and build are projections of one coded
+    base feeding ONE salted equi-join — bucket keys are disjoint per
+    table, so the adaptive skew salting composes unchanged and the
+    build-side bucket bound (q_lsh_buckets) still governs per-bucket
+    work.
 
-    coarse_planes/fine_planes override the bit widths — the at-scale
-    escalation: bucket occupancy ~ n/2^bits, so bits grow with log2(n)
-    to hold per-bucket (and per-probe) work constant. tools/soak.py
-    ann mode runs 16+20 bits at 100k vectors this way."""
+    coarse_probe/fine_probe switch a table to legacy Hamming-BALL
+    probing at that radius (0 = exact buckets only — the no-probe
+    control; radius > 2 raises). coarse_planes/fine_planes override
+    the bit widths — the at-scale escalation: bucket occupancy ~
+    n/2^bits, so bits grow with log2(n) to hold per-bucket (and
+    per-probe) work constant. tools/soak.py ann mode runs
+    _hyperplanes(16)/(20) at 100k vectors this way."""
     cps = coarse_planes if coarse_planes is not None else _HP
     fps = fine_planes if fine_planes is not None else _HP_FINE
-    cols = [_bucket_expr(F.col("embedding"), cps).alias("b0")]
-    if tables > 1:
-        cols.append(_bucket_expr(F.col("embedding"), fps)
-                    .alias("f1"))
     # materialize the coded base ONCE (localCheckpoint): the join would
     # otherwise recompute all (8+12) hyperplane dot products on BOTH
     # sides — measured 35% of query time at sf0.1; at 10^9 vectors the
     # bucket assignment is a persisted table anyway. The embedding is
     # pre-NORMALIZED here (r5): cosine then costs ONE dot product per
     # candidate pair instead of dot + two norms — the per-pair HOF work
-    # that dominates once multiprobe widens the candidate set (~1.5x
-    # at sf0.1, measured 15 -> 10 s at the widest probe setting).
+    # that dominates once multiprobe widens the candidate set. The dot
+    # ARRAYS are stored (r6) so code bits and directed-probe ranks are
+    # cheap element_at ops downstream instead of re-running the HOFs.
     nrm_in = F.sqrt(F.aggregate(
         F.transform(F.col("embedding"),
                     lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
-    base = (emb.select("vec_id", "embedding", *cols)
+    dcols = [_dots_expr(F.col("embedding"), cps).alias("_dc")]
+    if tables > 1:
+        dcols.append(_dots_expr(F.col("embedding"), fps).alias("_df"))
+    base = (emb.select("vec_id", "embedding", *dcols)
             .withColumn("_nrm", nrm_in)
             .select("vec_id",
                     F.transform(F.col("embedding"),
                                 lambda x: x.cast("double")
                                 / F.col("_nrm")).alias("nemb"),
-                    "b0", *(["f1"] if tables > 1 else []))
+                    "_dc", *(["_df"] if tables > 1 else []))
             .localCheckpoint())
     # offset keeps per-table key spaces disjoint in one join column —
     # it must clear BOTH code widths (r5 review: a coarse table wider
     # than the fine one would alias across tables with 1 << len(fps))
     off = F.lit(1 << max(len(cps), len(fps)))
-    exact = [F.col("b0")]
-    if tables > 1:
-        exact.append((off + F.col("f1")).cast("long"))
-    probes = [F.col("b0").bitwiseXOR(F.lit(m)).cast("long")
+    b0 = _code_from_dots(F.col("_dc"), len(cps))
+    exact = [b0.cast("long")]
+    if coarse_probe is not None:
+        pc = [b0.bitwiseXOR(F.lit(m))
               for m in _probe_masks(len(cps), coarse_probe)]
+    else:
+        s, p = coarse_directed
+        if s > len(cps) or p > len(cps):
+            raise ValueError(f"coarse_directed {coarse_directed} exceeds "
+                             f"{len(cps)} coarse bits")
+        pc = _directed_buckets(b0, _rank_expr(F.col("_dc"), len(cps)),
+                               len(cps), s, p)
+    probes = [c.cast("long") for c in pc]
     if tables > 1:
-        probes += [(off + F.col("f1").bitwiseXOR(F.lit(m))).cast("long")
-                   for m in _probe_masks(len(fps), fine_probe)]
-    # melts carry ONLY (vec_id, bucket) — 12 bytes/row — so the 88x
-    # probe expansion shuffles kilobytes per vector, not 88 copies of
-    # the 64-double embedding (review r5: the array rides the tiny
-    # melt otherwise, ~45 KB/vector of probe-side shuffle at scale)
-    build = base.select("vec_id",
-                        F.explode(F.array(*exact)).alias("bucket"))
-    probe = base.select("vec_id",
-                        F.explode(F.array(*probes)).alias("bucket"))
+        f1 = _code_from_dots(F.col("_df"), len(fps))
+        exact.append((off + f1).cast("long"))
+        if fine_probe is not None:
+            pf = [f1.bitwiseXOR(F.lit(m))
+                  for m in _probe_masks(len(fps), fine_probe)]
+        else:
+            s, p = fine_directed
+            if s > len(fps) or p > len(fps):
+                raise ValueError(f"fine_directed {fine_directed} exceeds "
+                                 f"{len(fps)} fine bits")
+            pf = _directed_buckets(f1, _rank_expr(F.col("_df"), len(fps)),
+                                   len(fps), s, p)
+        probes += [(off + c).cast("long") for c in pf]
+    # melts carry ONLY (vec_id, bucket) — 12 bytes/row — so the probe
+    # expansion shuffles kilobytes per vector, not 56 copies of the
+    # 64-double embedding. The bucket arrays are materialized in a
+    # SECOND narrow checkpoint so the rank sort (array_sort of 8/12
+    # structs per probe expr after projection collapse) runs once per
+    # row there, and the exploded melts are plain array reads.
+    melt = (base.select("vec_id", F.array(*exact).alias("_builds"),
+                        F.array(*probes).alias("_probes"))
+            .localCheckpoint())
+    build = melt.select("vec_id",
+                        F.explode(F.col("_builds")).alias("bucket"))
+    probe = melt.select("vec_id",
+                        F.explode(F.col("_probes")).alias("bucket"))
     pair_ids = (_salted_bucket_pairs(build, lambda a, c: a != c,
                                      probe=probe)
                 .select(F.col("a.vec_id").alias("vec_id"),
@@ -2317,28 +2429,66 @@ def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table multiprobe LSH candidate pruning: exact
     cosine only WITHIN buckets, candidates unioned across 2 hash tables
-    (8 coarse + 12 fine bits) with Hamming-radius multiprobe on the
-    probe side (radius 1 coarse / 2 fine, r5) — the 100 TB-scale
-    alternative to the brute-force cross join. The fine table bounds
-    the worst bucket at ~n/4096; multiprobe buys recall (0.042 -> 0.258
-    pinned at sf0.01)
-    by expanding only the tiny probe melt, never the per-bucket build
-    work."""
+    (8 coarse + 12 fine bits, independent md5 plane families) with
+    QUERY-DIRECTED multiprobe on the probe side (r6 — flip the bits
+    the query is closest to: coarse singles(8)+pairs(top-4), fine
+    singles(12)+pairs(top-8)) — the 100 TB-scale alternative to the
+    brute-force cross join. The fine table bounds the worst bucket at
+    ~n/4096 (a bound the independent planes actually deliver — see
+    _hyperplanes); directed probing buys recall (0.042 no-probe ->
+    0.259 pinned at sf0.01, the r5 ball's recall at 75% of its
+    candidate pairs) by expanding only the tiny probe melt, never the
+    per-bucket build work."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_lsh_topk_over(emb)
 
 
+def _dots_sql(col: str, planes: list[list[float]]) -> str:
+    """SQL list of the per-plane dot products (mirrors _dots_expr)."""
+    return "[" + ", ".join(
+        f"list_dot_product({col}::DOUBLE[], "
+        f"[{','.join(repr(v) for v in hp)}])" for hp in planes) + "]"
+
+
+def _code_sql(dcol: str, bits: int) -> str:
+    """Code bits from a stored dot list (mirrors _code_from_dots)."""
+    return ("cast(" + " + ".join(
+        f"CASE WHEN {dcol}[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits)) + " AS int)")
+
+
+def _rank_sql(dcol: str, bits: int) -> str:
+    """Plane indices by ascending round(|dot|,6) (mirrors _rank_expr —
+    same rounding, same tie-break, so the probe order is identical)."""
+    structs = ", ".join(
+        f"{{'a': round(abs({dcol}[{j + 1}]), 6), 'j': {j}}}"
+        for j in range(bits))
+    return f"list_transform(list_sort([{structs}]), x -> x.j)"
+
+
+def _directed_sql(code: str, js: str, singles: int, pairs: int,
+                  off: int = 0) -> list[str]:
+    """Directed probe-bucket SQL exprs (mirrors _directed_buckets)."""
+    pre = f"{off} + " if off else ""
+    out = [f"cast({pre}{code} AS bigint)"]
+    for t in range(singles):
+        out.append(f"cast({pre}xor({code}, 1 << {js}[{t + 1}]) "
+                   "AS bigint)")
+    for a in range(pairs):
+        for b in range(a + 1, pairs):
+            out.append(f"cast({pre}xor({code}, (1 << {js}[{a + 1}]) "
+                       f"| (1 << {js}[{b + 1}])) AS bigint)")
+    return out
+
+
 def _ann_probe_sql_lists() -> tuple[str, str]:
-    """(build_list, probe_list) SQL — composed from the SAME mask
-    tables the Spark plan uses, so the oracle is structurally the
-    multiprobe query, not a transcription."""
+    """(build_list, probe_list) SQL — composed from the SAME directed
+    parameters and generators the Spark plan uses, so the oracle is
+    structurally the multiprobe query, not a transcription."""
     off = 1 << ANN_FINE_BITS
-    build = f"[b0, {off} + f1]"
-    probes = [f"xor(b0, {m})" if m else "b0"
-              for m in _probe_masks(8, ANN_COARSE_PROBE_HAMMING)]
-    probes += [f"{off} + xor(f1, {m})" if m else f"{off} + f1"
-               for m in _probe_masks(ANN_FINE_BITS,
-                                     ANN_FINE_PROBE_HAMMING)]
+    build = f"[cast(b0 AS bigint), cast({off} + f1 AS bigint)]"
+    probes = _directed_sql("b0", "jc", *ANN_COARSE_DIRECTED)
+    probes += _directed_sql("f1", "jf", *ANN_FINE_DIRECTED, off=off)
     return build, "[" + ", ".join(probes) + "]"
 
 
@@ -2347,15 +2497,18 @@ _ANN_BUILD_SQL, _ANN_PROBE_SQL = _ann_probe_sql_lists()
 ORACLE_ANN_LSH_TOPK = f"""
 WITH coded AS (
   SELECT vec_id, embedding,
-         {_bucket_sql('embedding')} AS b0,
-         {_bucket_sql('embedding', _HP_FINE)} AS f1,
+         {_dots_sql('embedding', _HP)} AS dc,
+         {_dots_sql('embedding', _HP_FINE)} AS df,
          sqrt(list_dot_product(embedding::DOUBLE[],
                                embedding::DOUBLE[])) AS nrm
   FROM embeddings
 ), b AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[], x -> x / nrm) AS nemb,
-         b0, f1
+         {_code_sql('dc', 8)} AS b0,
+         {_code_sql('df', ANN_FINE_BITS)} AS f1,
+         {_rank_sql('dc', 8)} AS jc,
+         {_rank_sql('df', ANN_FINE_BITS)} AS jf
   FROM coded
 ), build AS (
   SELECT vec_id, unnest({_ANN_BUILD_SQL}) AS bucket FROM b

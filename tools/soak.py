@@ -140,8 +140,8 @@ def main() -> None:
         return
 
     if mode == "ann":
-        import hashlib
-        from pdfio_spark.pipeline.queries import ann_lsh_topk_over
+        from pdfio_spark.pipeline.queries import (ann_lsh_topk_over,
+                                                  _hyperplanes)
         n_vec = n_docs if len(sys.argv) > 2 else 100_000
         # deterministic synthetic vectors: 64 dims from xxhash64 of
         # (id, dim), scaled to [-1, 1) — JVM-side, no driver loop
@@ -152,29 +152,17 @@ def main() -> None:
                .selectExpr("id as vec_id", f"array({dims}) as embedding")
                .repartition(cpus * 2).localCheckpoint())
 
-        # INDEPENDENT planes (md5 per coefficient). The registry's
-        # pinned _hyperplanes use a multiplicative-hash-of-a-counter
-        # sequence whose consecutive planes correlate; at 8 bits the
-        # hot-bucket salting absorbs the resulting skew, but at 16 bits
-        # the correlated code collapses into ~9k of 65k buckets (avg
-        # occupancy 10.6 vs the ~1.5 an independent code gives at
-        # 100k vectors) and multiprobe multiplies that into ~350M
-        # candidate pairs. Plane INDEPENDENCE is part of the at-scale
-        # contract, same as bit count — measured here, lesson recorded
-        # in BENCH/BASELINE.md.
-        def md5_planes(n, dim=64, tag=""):
-            out = []
-            for j in range(n):
-                row = []
-                for i in range(dim):
-                    h = hashlib.md5(f"{tag}:{j}:{i}".encode()).digest()
-                    v = int.from_bytes(h[:8], "big") / 2 ** 64
-                    row.append(round(v * 2 - 1, 6))
-                out.append(row)
-            return out
-
-        coarse = md5_planes(16, tag="c")
-        fine = md5_planes(20, tag="f")
+        # Wider planes from the registry's OWN generator (r6: the
+        # default _hyperplanes are now md5-per-coefficient — the r5
+        # soak's finding that a correlated counter-hash code collapses
+        # into ~9k of 65k buckets at 16 bits and multiprobe amplifies
+        # that into ~350M candidate pairs is what forced the change;
+        # lesson recorded in BENCH/BASELINE.md 'bits-scale-with-n').
+        # Only the BIT WIDTH is overridden here: occupancy ~ n/2^bits,
+        # so 100k vectors get 16+20 bits where the registry's sf-scale
+        # tables use 8+12.
+        coarse = _hyperplanes(16, tag="c")
+        fine = _hyperplanes(20, tag="f")
         t0 = time.perf_counter()
         out = ann_lsh_topk_over(emb, coarse_planes=coarse,
                                 fine_planes=fine)
