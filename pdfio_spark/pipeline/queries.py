@@ -1391,34 +1391,94 @@ def _md5_fn(seed: int):
     return lambda s: F.md5(F.concat(s, lit))
 
 
-IVF_NPROBE = 2
+IVF_K = 16
+IVF_NPROBE = 4
+IVF_LLOYD_ITERS = 2
+#: Embedding coordinates are quantized to round(x * 1e6) bigints for
+#: Lloyd training: INTEGER sums are exact and order-independent, so
+#: the trained centroids are bit-identical between Spark's partial
+#: aggregation and DuckDB's — a double-sum centroid would be
+#: order-dependent and break the value-hash oracle (the known
+#: cross-engine double-sum hazard, CLAUDE.md). Cosine is
+#: scale-invariant, so the un-normalized integer SUM of a cell's
+#: members is exactly the spherical-k-means centroid direction — no
+#: division, no doubles, no epsilon.
+IVF_QUANT = 1_000_000
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (the brief's named scale path alongside LSH):
-    coarse-quantize every vector to its nearest of K=8 deterministic
-    centroids (the vectors with vec_id < 8 — the 'training' step made
-    oracle-able), then search top-5 within each probe's IVF_NPROBE=2
-    nearest cells (r5; was nprobe=1 — the classic IVF recall knob:
-    the true neighbor of a query near a cell boundary usually sits in
-    the SECOND-nearest cell). Centroids are an 8-row broadcast,
-    assignment is a broadcast cross join + per-vector argmax window
-    (parallel, partitioned by vec_id), and the search join is an
-    equi-join on cell id — candidates per probe shrink by ~K/nprobe,
-    the whole point of IVF at 10^12 vectors. Same output schema as
-    q_ann_bruteforce for recall comparison."""
+    coarse-quantize every vector to its nearest of IVF_K=16 centroids
+    TRAINED by IVF_LLOYD_ITERS=2 deterministic Lloyd iterations
+    (spherical k-means: init = vectors vec_id < K quantized to 1e6
+    bigints; each step reassigns by cosine argmax and replaces a cell
+    centroid with the exact integer SUM of its members — see
+    IVF_QUANT; an emptied cell keeps its previous centroid), then
+    search top-5 within each probe's IVF_NPROBE=4 nearest cells.
+    r6: K 8->16 with Lloyd raised pinned recall@5 at sf0.01 from 0.56
+    to 0.72 at the SAME ~25% searched fraction (untrained K=16/np=4
+    sits at 0.48 — the training is load-bearing; recall on these
+    near-uniform vectors tracks searched fraction, so finer cells
+    only pay off once centroids fit the data). Centroids are a K-row
+    broadcast, assignment is a broadcast cross join + per-vector
+    argmax window (parallel, partitioned by vec_id), and the search
+    join is an equi-join on cell id — candidates per probe shrink by
+    ~nprobe/K, the whole point of IVF at 10^12 vectors (where
+    training runs on a SAMPLE first — the iteration here scans the
+    full table only because sf-scale tables are the sample). Same
+    output schema as q_ann_bruteforce for recall comparison."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    dim = 64
+    qe = F.transform(F.col("embedding"),
+                     lambda x: F.round(x.cast("double") * IVF_QUANT)
+                     .cast("long"))
+    # quantized base feeds every Lloyd pass + the final assignment:
+    # checkpoint once (same rationale as the LSH coded base)
+    base = (emb.select("vec_id", "embedding", qe.alias("qe"))
+            .localCheckpoint())
+    cents = base.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("c_id"), F.col("qe").alias("c_emb"))
 
     cos = _cos_expr
-    scored = (emb.crossJoin(F.broadcast(cents))
-              .select("vec_id", "embedding", "c_id",
-                      cos(F.col("embedding"), F.col("c_emb"))
-                      .alias("c_sim")))
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"),
-                                              F.asc("c_id"))
-    ranked_cells = scored.withColumn("r", F.row_number().over(wc))
+
+    def rank_cells(c):
+        scored = (base.crossJoin(F.broadcast(c))
+                  .select("vec_id", "embedding", "qe", "c_id",
+                          cos(F.col("qe"), F.col("c_emb"))
+                          .alias("c_sim")))
+        wc = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"),
+                                                  F.asc("c_id"))
+        return scored.withColumn("r", F.row_number().over(wc))
+
+    for _ in range(IVF_LLOYD_ITERS):
+        # training argmax via max_by (partial-aggregable, no sort) —
+        # ties on the rounded cosine break toward the LOWEST c_id
+        # (max of -c_id), exactly the final window's ORDER BY c_sim
+        # DESC, c_id ASC. Only the final assignment needs ranks > 1
+        # (the nprobe list), so only it pays for a window.
+        assigned = (base.crossJoin(F.broadcast(cents))
+                    .select("vec_id", "qe",
+                            cos(F.col("qe"), F.col("c_emb"))
+                            .alias("c_sim"), "c_id")
+                    .groupBy("vec_id")
+                    .agg(F.max_by("c_id",
+                                  F.struct(F.col("c_sim"),
+                                           (-F.col("c_id")).alias("nc")))
+                         .alias("c_id"),
+                         F.first("qe").alias("qe")))
+        # exact integer elementwise sum per cell — 64 long-sum
+        # aggregates over <= K groups, order-independent by
+        # construction. Cells that lose every member keep their old
+        # centroid (left join fallback) so K stays fixed.
+        sums = assigned.groupBy("c_id").agg(
+            F.array(*[F.sum(F.element_at(F.col("qe"), i + 1))
+                      for i in range(dim)]).alias("new_emb"))
+        cents = (cents.join(sums, "c_id", "left")
+                 .select("c_id", F.coalesce("new_emb", "c_emb")
+                         .alias("c_emb"))
+                 .localCheckpoint())  # tiny; flattens the plan per pass
+
+    ranked_cells = rank_cells(cents)
     # database side: every vector lives in exactly its nearest cell
     cells = (ranked_cells.filter(F.col("r") == 1)
              .select("vec_id", "embedding", "c_id"))
@@ -1446,14 +1506,47 @@ _SQL_COS = ("round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
             " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
             " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)")
 
-ORACLE_ANN_IVF = f"""
-WITH c AS (
-  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-  WHERE vec_id < 8
-), scored AS (
-  SELECT e.vec_id, e.embedding, c.c_id,
-         {_SQL_COS.format(a='e.embedding', b='c.c_emb')} AS c_sim
-  FROM embeddings e CROSS JOIN c
+def _ivf_oracle_sql() -> str:
+    """ORACLE_ANN_IVF composed with the SAME Lloyd loop the Spark plan
+    runs — each iteration unrolls to assign/sum/update CTEs, integer
+    centroid sums exactly as in q_ann_ivf (order-independent, so the
+    trained centroids are bit-identical cross-engine)."""
+    ctes = [f"""base AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[],
+                        x -> cast(round(x * {IVF_QUANT}) AS bigint)) AS qe
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS c_id, qe AS c_emb FROM base WHERE vec_id < {IVF_K}
+)"""]
+    prev = "c0"
+    for it in range(IVF_LLOYD_ITERS):
+        a, s, c = f"a{it}", f"s{it}", f"c{it + 1}"
+        ctes.append(f"""{a} AS (
+  SELECT vec_id, qe, c_id FROM (
+    SELECT b.vec_id, b.qe, c.c_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_SQL_COS.format(a='b.qe', b='c.c_emb')} DESC,
+                      c.c_id ASC) AS r
+    FROM base b CROSS JOIN {prev} c) WHERE r = 1
+)""")
+        ctes.append(f"""{s} AS (
+  SELECT c_id, list(cast(s AS bigint) ORDER BY i) AS new_emb FROM (
+    SELECT c_id, g.i, sum(qe[g.i]) AS s
+    FROM {a}, generate_series(1, 64) g(i)
+    GROUP BY c_id, g.i)
+  GROUP BY c_id
+)""")
+        ctes.append(f"""{c} AS (
+  SELECT p.c_id, coalesce(s.new_emb, p.c_emb) AS c_emb
+  FROM {prev} p LEFT JOIN {s} s ON p.c_id = s.c_id
+)""")
+        prev = c
+    ctes.append(f"""scored AS (
+  SELECT b.vec_id, b.embedding, b.qe, c.c_id,
+         {_SQL_COS.format(a='b.qe', b='c.c_emb')} AS c_sim
+  FROM base b CROSS JOIN {prev} c
 ), cellsr AS (
   SELECT vec_id, embedding, c_id,
          row_number() OVER (PARTITION BY vec_id
@@ -1473,10 +1566,13 @@ WITH c AS (
          cast(row_number() OVER (PARTITION BY q_id
                             ORDER BY cos_sim DESC, vec_id ASC) AS int) AS rk
   FROM pairs
-)
-SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
-ORDER BY q_id, rk
-"""
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT q_id, vec_id, cos_sim, rk FROM ranked "
+              "WHERE rk <= 5\nORDER BY q_id, rk")
+
+
+ORACLE_ANN_IVF = _ivf_oracle_sql()
 
 
 def minhash_band_melt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

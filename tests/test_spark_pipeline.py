@@ -849,11 +849,14 @@ def test_stream_neardup_ttl_readmits(spark, tmp_path):
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
-    """IVF (nprobe=2, K=8) must return exact-cosine-ranked results
-    within each probe's two nearest cells and keep reasonable recall
-    vs brute force — the cost/recall trade is the operator's contract.
-    (Deterministic data: recall@5 is exactly 0.40 at sf0.001 / 0.56 at
-    sf0.01 with nprobe=2, vs 0.36 / 0.40 at the old nprobe=1 — r5.)"""
+    """IVF (r6: K=16 Lloyd-trained centroids, nprobe=4) must return
+    exact-cosine-ranked results within each probe's nearest cells and
+    keep reasonable recall vs brute force — the cost/recall trade is
+    the operator's contract. (Deterministic data: recall@5 is exactly
+    0.52 at sf0.001 / 0.72 at sf0.01, vs 0.40 / 0.56 for the r5
+    untrained K=8/nprobe=2 design at the SAME ~25% searched fraction;
+    untrained K=16/nprobe=4 sits at 0.48 at sf0.01 — the Lloyd
+    training is what pays for the finer cells.)"""
     from pdfio_spark.pipeline import queries as Q
     sf = "/root/testdata/sf0.001"
     bf = {(r.q_id, r.vec_id)
@@ -862,7 +865,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     ivf = {(r.q_id, r.vec_id) for r in ivf_rows}
     assert ivf  # every probe has a non-empty cell
     recall = len(ivf & bf) / len(bf)
-    assert recall >= 0.4, f"recall@5 {recall:.2f} collapsed"
+    assert recall >= 0.5, f"recall@5 {recall:.2f} collapsed"
     # within-cell ordering is exact: ranks are 1..n without gaps per q
     by_q = {}
     for r in ivf_rows:
