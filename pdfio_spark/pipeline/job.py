@@ -379,6 +379,59 @@ def wet_metrics(extracted: DataFrame) -> DataFrame:
                   .alias("n_ok")))
 
 
+def dedup_decisions(corpus: DataFrame) -> DataFrame:
+    """Production surface of the composed dedup operator (r6): (url,
+    text) -> exactly one keep decision per url via queries.
+    dedup_keep_list (exact hash-groupBy FIRST -> MinHash over exact
+    reps -> star connected components -> keep joins).
+
+    Graph node ids are xxhash64(url) — connected_components needs
+    LONG ids. A 64-bit collision makes two urls share a decision row
+    (both resolve to the same doc_id; min(text) picks the corpus copy
+    deterministically) — the failure direction is benign (both kept /
+    both judged together, never a lost row: the url->decision join
+    fans every input url back out). At 10^12 docs collisions become
+    plausible (~birthday at 4e9) — materialize a dense surrogate id
+    once (monotonically_increasing_id over a frozen snapshot) and key
+    the graph on that instead.
+
+    status: 'kept' (the cluster representative), 'exact_dup' (a
+    byte-identical copy of its exact-group rep), 'near_dup' (an exact
+    rep whose cluster keep is another doc)."""
+    from .queries import dedup_keep_list
+    ids = corpus.select(F.xxhash64("url").alias("doc_id"), "url", "text")
+    docs = ids.groupBy("doc_id").agg(F.min("text").alias("text"))
+    dec = dedup_keep_list(docs)
+    keep_urls = ids.select(F.col("doc_id").alias("keep_id"),
+                           F.col("url").alias("keep_url"))
+    # keep_url: ONE url per keep_id (collision-safe min) — keep_id is
+    # always a doc_id present in ids, so the join never drops rows
+    keep_urls = keep_urls.groupBy("keep_id").agg(
+        F.min("keep_url").alias("keep_url"))
+    return (ids.select("doc_id", "url")
+            .join(dec, "doc_id")
+            .join(keep_urls, "keep_id")
+            .select("url", "text_hash", "n_dups", "keep_url", "is_kept",
+                    F.when(F.col("is_kept"), "kept")
+                    .when(F.col("doc_id") != F.col("exact_keep"),
+                          "exact_dup")
+                    .otherwise("near_dup").alias("status")))
+
+
+def dedup_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for the dedup path (mirrors
+    extraction_metrics): docs decided, kept, and dropped per class."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+                 F.sum(F.when(F.col("status") == "exact_dup", 1)
+                       .otherwise(0)).alias("n_exact_dup"),
+                 F.sum(F.when(F.col("status") == "near_dup", 1)
+                       .otherwise(0)).alias("n_near_dup")))
+
+
 def rewrite_pdfs(corpus: DataFrame, encrypt: str | None = None,
                  user_pw: bytes = b"", owner_pw: bytes | None = None,
                  pack: str = "classic") -> DataFrame:

@@ -3,13 +3,17 @@
     spark-submit --py-files pdfio_spark.zip pdfio_spark/pipeline/run.py \
         --input  <parquet/iceberg of (url, warc_ts, html, text, lang)> \
         --output <results dir/table> --metrics <metrics dir/table> \
-        [--resume] [--cpus N] [--mode pdf|html|wet]
+        [--resume] [--cpus N] [--mode pdf|html|wet|dedup]
 
 --mode pdf (default) runs the full PDF parse stack; --mode html runs
 the web-page boilerplate strip (html_extract) over the same table
 shape; --mode wet ingests pre-extracted text (url, text — e.g. from
-sources.read_wet) and annotates the oracle-verified analytics set.
-All modes share the resume/metrics/run_id-reconcile contract.
+sources.read_wet) and annotates the oracle-verified analytics set;
+--mode dedup (r6) runs the composed exact+near-dup keep-decision
+operator (job.dedup_decisions) over (url, text). All modes share the
+resume/metrics/run_id-reconcile contract (dedup resume re-derives the
+corpus-global decisions and appends only unwritten rows — see
+run_job).
 
 Input is the Common-Crawl-style table of the north rule (the binary
 `html` column carries PDF bytes). The job:
@@ -74,14 +78,20 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "wet":
         from .job import annotate_wet, wet_metrics
         extract_fn, metrics_fn = annotate_wet, wet_metrics
+    elif mode == "dedup":
+        from .job import dedup_decisions, dedup_metrics
+        extract_fn, metrics_fn = dedup_decisions, dedup_metrics
     else:
-        raise ValueError(f"unknown mode {mode!r} (pdf | html | wet)")
+        raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
+                         "dedup)")
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
-    # column pruning reaches the scan; WET tables carry text, not html
-    corpus = src.select("url", "text" if mode == "wet" else "html")
+    # column pruning reaches the scan; wet/dedup read text, not html
+    corpus = src.select("url",
+                        "text" if mode in ("wet", "dedup") else "html")
 
+    prev = None
     if resume:
         try:
             # mergeSchema: a dir mixing pre-run_id part-files with
@@ -91,24 +101,41 @@ def run_job(spark, input_path: str, output_path: str,
             # lineage)
             prev = (spark.read.option("mergeSchema", True)
                     .parquet(output_path))
+        except AnalysisException:
+            pass  # no prior output -> fresh run
+    # the try covers ONLY the output read (ADVICE r5: the old block
+    # also swallowed AnalysisExceptions thrown by reconciliation —
+    # e.g. orphan rows written by a different --mode — and silently
+    # skipped it); resume/reconcile failures now surface
+    if prev is not None:
+        if mode != "dedup":
             # join strategy left to Spark (job.resume_filter): `done`
             # is the UNBOUNDED set of all previously-written urls — a
             # forced broadcast OOMs exactly on the crash-recovery path
             # it exists for (r4 review fix)
             from .job import resume_filter
             corpus = resume_filter(corpus, prev.select("url"))
-            if metrics_path and "run_id" in prev.columns:
-                _reconcile_metrics(spark, prev, metrics_path, metrics_fn)
-        except AnalysisException:
-            pass  # no prior output -> fresh run
+        if metrics_path and "run_id" in prev.columns:
+            _reconcile_metrics(spark, prev, metrics_path, metrics_fn)
 
     t0 = time.perf_counter()
+    extracted = extract_fn(corpus)
+    if mode == "dedup" and prev is not None:
+        # dedup decisions are corpus-GLOBAL: a doc's keep_id depends
+        # on every other doc, so resume must NOT shrink the input
+        # (deciding the missing docs against a partial corpus would
+        # mark survivors whose twins are already decided). Instead the
+        # deterministic decision set is re-derived over the full input
+        # snapshot and only the rows a crash failed to write are
+        # appended — exactly-once rows, globally correct decisions.
+        from .job import resume_filter
+        extracted = resume_filter(extracted, prev.select("url"))
     # localCheckpoint (not cache): the resume anti-join scans
     # output_path lazily, so ANY recomputation after the append —
     # cache eviction included — would see the job's own freshly
     # written rows and anti-join everything away. Checkpointing cuts
     # that lineage outright.
-    extracted = (extract_fn(corpus)
+    extracted = (extracted
                  .withColumn("run_id", F.lit(rid)).localCheckpoint())
     stats = {r["status"]: r["count"] for r in
              extracted.groupBy("status").count().collect()}
@@ -168,7 +195,7 @@ def main(argv=None) -> None:
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
-    ap.add_argument("--mode", choices=("pdf", "html", "wet"),
+    ap.add_argument("--mode", choices=("pdf", "html", "wet", "dedup"),
                     default="pdf")
     args = ap.parse_args(argv)
 

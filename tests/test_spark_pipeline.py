@@ -507,6 +507,70 @@ def test_stream_ingest_wet(spark, tmp_path):
     assert spark.read.parquet(outp).count() == 12  # nothing reprocessed
 
 
+def test_run_job_dedup_mode_crash_resume(spark, tmp_path):
+    """Production dedup path (r6): run_job --mode dedup writes one
+    keep decision per url under the resume/metrics/run_id contract.
+    Dedup is corpus-GLOBAL, so the crash-resume contract differs from
+    the per-doc modes: resume re-derives the deterministic decision
+    set over the FULL input snapshot and appends only the rows the
+    crashed run failed to write — the final table must be IDENTICAL
+    to an uninterrupted run, and the crashed run's missing metrics
+    must be reconciled from its committed rows."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.run import run_job
+    from pdfio_spark.pipeline.job import dedup_decisions
+    inp = str(tmp_path / "dd_in")
+    outp = str(tmp_path / "dd_out")
+    met = str(tmp_path / "dd_met")
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide field all day long without rest")
+    near = base.replace("rest", "pause")  # band-collides with base
+    other = ("completely different content about spark catalyst "
+             "optimizer internals and adaptive query execution plans")
+    pairtxt = "an exact duplicate pair lives here with its twin today"
+    rows = [("doc://0", base), ("doc://1", base), ("doc://2", base),
+            ("doc://3", near), ("doc://4", other),
+            ("doc://5", pairtxt), ("doc://6", pairtxt)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    df.write.parquet(inp)
+    # crash simulation: run r1 derived the full decision set but died
+    # after committing only 3 output rows and BEFORE its metrics append
+    (dedup_decisions(df).limit(3)
+     .withColumn("run_id", F.lit("r1")).write.parquet(outp))
+    r = run_job(spark, inp, outp, met, resume=True, mode="dedup",
+                run_id="r2")
+    assert r["written"] == 4
+    out = spark.read.parquet(outp)
+    assert out.count() == 7
+    assert out.select("url").distinct().count() == 7
+    # decisions are globally correct despite the partial first write:
+    # identical to an uninterrupted run over the same snapshot
+    want = {(x.url, x.keep_url, x.is_kept, x.status)
+            for x in dedup_decisions(df).collect()}
+    got = {(x.url, x.keep_url, x.is_kept, x.status)
+           for x in out.collect()}
+    assert got == want
+    by_url = {x.url: x for x in out.collect()}
+    # cluster structure (keeper identity depends on xxhash64(url)
+    # ordering, so assert shape, not which url wins): the exact
+    # triple 0/1/2 plus near-dup 3 form ONE cluster with ONE keeper
+    cluster = [by_url[f"doc://{i}"] for i in range(4)]
+    assert len({x.keep_url for x in cluster}) == 1
+    assert sum(x.is_kept for x in cluster) == 1
+    assert sum(x.status == "exact_dup" for x in cluster) == 2
+    assert by_url["doc://4"].status == "kept"
+    assert by_url["doc://4"].keep_url == "doc://4"
+    assert {by_url["doc://5"].status, by_url["doc://6"].status} == \
+        {"kept", "exact_dup"}
+    assert by_url["doc://5"].keep_url == by_url["doc://6"].keep_url
+    # metrics: r2's direct rows + r1's RECONCILED rows cover all 7 docs
+    m = spark.read.parquet(met)
+    assert m.filter("run_id = 'r1'").count() > 0
+    assert bool(m.filter("run_id = 'r1'").collect()[0]["reconciled"])
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 7
+    assert m.agg(F.sum("n_kept")).collect()[0][0] == 3
+
+
 def test_extract_pdfs_null_html_quarantined(spark):
     """r5 review: a NULL html row failed BOTH split-path filters and
     vanished; it must reach the UDF and come back as an error row."""

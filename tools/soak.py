@@ -4,8 +4,8 @@ a script): materialize an N-doc corpus to parquet, then time the
 extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
-Usage: python3 tools/soak.py [pdf|html|dedup|ann|stream|neardup]
-       [n_docs]
+Usage: python3 tools/soak.py [pdf|html|dedup|rundedup|ann|stream|
+       neardup] [n_docs]
        (default pdf 1e6)
 
 stream mode: n_docs PDFs (default 100k) through the exactly-once
@@ -33,6 +33,10 @@ Env:   SPARK_GRAFT_CPUS (default 32), SOAK_DIR (default /tmp/soak),
 dedup mode: the corpus is n_docs with 200-way exact duplication (the
 clique stress from BENCH/BASELINE.md) run through dedup_keep_list —
 the composed operator whose exact-first ordering is the point.
+
+rundedup mode (r6): the same corpus through run.py --mode dedup — the
+production launch surface (url-keyed decisions + lineage metrics +
+run_id, input read from parquet like a crawl table).
 """
 from __future__ import annotations
 
@@ -199,6 +203,43 @@ def main() -> None:
                           "rows": n_rows, "kept": n_kept,
                           "sec": round(dt, 1),
                           "docs_per_sec": round(n / dt, 1)}))
+        spark.stop()
+        return
+
+    if mode == "rundedup":
+        # the PRODUCTION dedup surface (r6 verdict #4): the same
+        # 200-way-duplicated corpus, but launched through run_job
+        # --mode dedup — url-keyed input parquet, keep decisions +
+        # lineage metrics written beside it, run_id stamped. Timed
+        # half = everything run_job does (decide + anti-join + two
+        # appends), reading a pre-materialized input like a real crawl
+        # table.
+        from pdfio_spark.pipeline.run import run_job
+        tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        k = max(1, n_docs // max(tbl.count(), 1))
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        docs = (tbl.select("doc_id", "text").crossJoin(reps)
+                .select(F.concat(F.lit("doc://"),
+                                 F.col("doc_id") * k + F.col("rep"))
+                        .alias("url"), "text")
+                .limit(n_docs).repartition(cpus * 2))
+        inp = os.path.join(soak_dir, "rundedup_in")
+        outp = os.path.join(soak_dir, "rundedup_out")
+        met = os.path.join(soak_dir, "rundedup_met")
+        for p in (inp, outp, met):
+            shutil.rmtree(p, ignore_errors=True)
+        docs.write.parquet(inp)
+        n = spark.read.parquet(inp).count()
+        t0 = time.perf_counter()
+        r = run_job(spark, inp, outp, met, mode="dedup")
+        dt = time.perf_counter() - t0
+        print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
+                          "written": r["written"],
+                          "by_status": r["by_status"],
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(n / dt, 1)}))
+        for p in (inp, outp, met):
+            shutil.rmtree(p, ignore_errors=True)
         spark.stop()
         return
 
