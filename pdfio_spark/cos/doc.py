@@ -118,60 +118,56 @@ class CosDoc:
             raise PDFError("%%EOF not found after startxref")
 
         b = self._seek(int(self.startxref))
-        b.chomp_space()
-        first = b.peek()
-        self.has_native_xrefstm = 0x30 <= first <= 0x39
-        if self.has_native_xrefstm:
-            self._read_xref_streams(b)
-        else:
-            self._read_xref_tables(b)
+        self._read_xref_chain(b)
 
-    def _read_xref_streams(self, b: Buf) -> None:
-        """Walk the Prev chain of /Type /XRef streams (CosDoc.jl:437-455).
-        Visited offsets are tracked: a corrupt /Prev that points back
-        into the chain must terminate, not loop forever (r4)."""
+    def _read_xref_chain(self, b: Buf) -> None:
+        """Walk the /Prev chain, dispatching EACH section by what the
+        offset points at — a classic `xref` table (CosDoc.jl:457-483)
+        or a /Type /XRef stream (CosDoc.jl:437-455). Real-world
+        incremental updates can mix styles (a classic document amended
+        with a cross-reference stream and vice versa — our own
+        writer.append_update emits both), so per-section dispatch
+        replaces the r5 assumption of a homogeneous chain. Visited
+        offsets share ONE cycle guard across both section kinds: a
+        corrupt /Prev ping-ponging between a table and a stream must
+        terminate, not loop forever (r4/r6)."""
         found = False
+        first_section = True
         seen: set[int] = set()
         while True:
-            stm = self._parse_indirect_obj(b).obj
-            if not isinstance(stm, (Stream, ObjStm)):
-                raise PDFError("xref stream expected")
-            if isinstance(stm, ObjStm):
-                stm = stm.stm
-            if not found:
-                if stm.dict.get(Name("Root")) is None:
-                    raise PDFError("bad trailer: no /Root in first xref stream")
-                found = True
-            self.xrefstm.append(stm)
-            self._read_xref_stream(stm)
-            prev = stm.dict.get(Name("Prev"))
-            if prev is None or int(prev) in seen:
-                break
-            seen.add(int(prev))
-            b = self._seek(int(prev))
-
-    def _read_xref_tables(self, b: Buf) -> None:
-        """Walk the Prev chain of classic xref tables, loading hybrid
-        /XRefStm streams too (CosDoc.jl:457-483). Visited offsets are
-        tracked so a cyclic /Prev terminates (r4)."""
-        found = False
-        seen: set[int] = set()
-        while True:
-            self._read_xref_table(b)
-            trailer = self._read_trailer_dict(b)
-            if not found:
-                if trailer.get(Name("Root")) is None:
-                    raise PDFError("bad trailer: no /Root")
-                found = True
-            self.trailers.append(trailer)
-            loc = trailer.get(Name("XRefStm"))
-            if loc is not None:
-                hb = self._seek(int(loc))
-                stm = self._parse_indirect_obj(hb).obj
+            b.chomp_space()
+            is_stream = 0x30 <= b.peek() <= 0x39
+            if first_section:
+                # trailer precedence keys off the NEWEST section's kind
+                self.has_native_xrefstm = is_stream
+                first_section = False
+            if is_stream:
+                stm = self._parse_indirect_obj(b).obj
+                if not isinstance(stm, (Stream, ObjStm)):
+                    raise PDFError("xref stream expected")
                 if isinstance(stm, ObjStm):
                     stm = stm.stm
-                if isinstance(stm, Stream):
-                    self._read_xref_stream(stm)
+                trailer = stm.dict
+                if not found and trailer.get(Name("Root")) is None:
+                    raise PDFError("bad trailer: no /Root in first "
+                                   "xref stream")
+                self.xrefstm.append(stm)
+                self._read_xref_stream(stm)
+            else:
+                self._read_xref_table(b)
+                trailer = self._read_trailer_dict(b)
+                if not found and trailer.get(Name("Root")) is None:
+                    raise PDFError("bad trailer: no /Root")
+                self.trailers.append(trailer)
+                loc = trailer.get(Name("XRefStm"))
+                if loc is not None:
+                    hb = self._seek(int(loc))
+                    hstm = self._parse_indirect_obj(hb).obj
+                    if isinstance(hstm, ObjStm):
+                        hstm = hstm.stm
+                    if isinstance(hstm, Stream):
+                        self._read_xref_stream(hstm)
+            found = True
             prev = trailer.get(Name("Prev"))
             if prev is None or int(prev) in seen:
                 break

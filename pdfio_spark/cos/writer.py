@@ -31,7 +31,7 @@ from .doc import CosDoc, PDFError
 from .lexer import ParseError
 from .objects import HexStr, LitStr, Name, ObjStm, Ref, Stream
 
-__all__ = ["rewrite_pdf", "serialize_object"]
+__all__ = ["append_update", "rewrite_pdf", "serialize_object"]
 
 
 def _name_bytes(n: str) -> bytes:
@@ -170,6 +170,135 @@ def _classic_xref(offsets: dict[int, tuple[int, int]], size: int) -> bytes:
             out += f"{off:010d} {gen:05d} n \n".encode()
         else:
             out += b"0000000000 65535 f \n"
+    return bytes(out)
+
+
+def _classic_xref_sparse(offsets: dict[int, tuple[int, int]]) -> bytes:
+    """Incremental-update xref section: SUBSECTIONS covering only the
+    updated object numbers (runs of consecutive nums), 20-byte
+    records — the ISO 32000 7.5.4 sparse form real-world amenders
+    emit (a full section would shadow every untouched object)."""
+    nums = sorted(offsets)
+    out = bytearray(b"xref\n")
+    i = 0
+    while i < len(nums):
+        j = i
+        while j + 1 < len(nums) and nums[j + 1] == nums[j] + 1:
+            j += 1
+        out += f"{nums[i]} {j - i + 1}\n".encode()
+        for n in nums[i:j + 1]:
+            off, gen = offsets[n]
+            out += f"{off:010d} {gen:05d} n \n".encode()
+        i = j + 1
+    return bytes(out)
+
+
+def _index_runs(nums: list[int]) -> list[int]:
+    """Sorted object numbers -> /Index [start1 count1 start2 count2…]
+    pairs for a sparse cross-reference stream."""
+    runs: list[int] = []
+    i = 0
+    while i < len(nums):
+        j = i
+        while j + 1 < len(nums) and nums[j + 1] == nums[j] + 1:
+            j += 1
+        runs += [nums[i], j - i + 1]
+        i = j + 1
+    return runs
+
+
+def append_update(data: bytes, updates: dict,
+                  style: str = "classic") -> bytes:
+    """Incremental update (ISO 32000 7.5.6): original bytes UNTOUCHED
+    + appended replacement/new objects + a new cross-reference section
+    whose /Prev points at the original's last xref — the way
+    real-world PDF tooling amends documents (prior signatures stay
+    verifiable over their ByteRange because the original is a byte
+    prefix of the output). This is the WRITE side of S5's precedence
+    rule: the reader walks newest-section-first and the first entry
+    seen for an object wins, so the appended section shadows the
+    original's entries for exactly the updated numbers.
+
+    updates: {Ref or (num, gen): parsed-COS object} — replacements for
+    existing objects and/or brand-new numbers past /Size. style:
+    "classic" (xref table with sparse subsections + trailer /Prev) |
+    "xrefstm" (appended cross-reference stream with /Index runs +
+    /Prev). Offsets are written relative to the original header
+    position (hoffset), matching how the reader resolves them.
+    Encrypted sources are refused (new strings/streams would need the
+    document key)."""
+    try:
+        doc = CosDoc(data)
+        if doc.sec_handler is not None:
+            raise ValueError("append_update to encrypted input "
+                             "not supported")
+    except ParseError as e:
+        raise PDFError(f"unparseable source: {e}") from e
+    trailer = doc.trailer
+    root = trailer.get(Name("Root"))
+    if root is None:
+        raise ValueError("source has no trailer /Root")
+    norm: dict[Ref, object] = {}
+    for k, v in updates.items():
+        ref = k if isinstance(k, Ref) else Ref(int(k[0]), int(k[1]))
+        norm[ref] = v
+    if not norm:
+        raise ValueError("no updates given")
+    prev = int(doc.startxref)
+    hoff = doc.hoffset
+    old_size = int(trailer.get(Name("Size"), 0) or 0)
+    size = max(old_size, max(r.num for r in norm) + 1)
+
+    out = bytearray(data)
+    if not out.endswith((b"\n", b"\r")):
+        out += b"\n"
+    offsets: dict[int, tuple[int, int]] = {}
+    for ref in sorted(norm, key=lambda r: (r.num, r.gen)):
+        offsets[ref.num] = (len(out) - hoff, ref.gen)
+        out += f"{ref.num} {ref.gen} obj\n".encode()
+        out += serialize_object(norm[ref], None, ref.num, ref.gen)
+        out += b"\nendobj\n"
+
+    def carry(tr: dict) -> None:
+        # /ID and /Info ride through unchanged (indirect /ID refs
+        # serialize as refs — the reader tolerates them, S8)
+        if Name("ID") in trailer:
+            tr[Name("ID")] = trailer[Name("ID")]
+        if trailer.get(Name("Info")) is not None:
+            tr[Name("Info")] = trailer[Name("Info")]
+
+    if style == "classic":
+        xref_pos = len(out) - hoff
+        out += _classic_xref_sparse(offsets)
+        tr = {Name("Size"): size, Name("Root"): root,
+              Name("Prev"): prev}
+        carry(tr)
+        out += b"trailer\n" + serialize_object(tr)
+        out += f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+        return bytes(out)
+    if style != "xrefstm":
+        raise ValueError(f"unknown update style {style!r}")
+
+    xref_num = size
+    size = xref_num + 1
+    entries = {n: (1, off, gen) for n, (off, gen) in offsets.items()}
+    xref_pos = len(out) - hoff
+    entries[xref_num] = (1, xref_pos, 0)
+    nums = sorted(entries)
+    rows = bytearray()
+    for n in nums:
+        rows += struct.pack(">B I H", *entries[n])
+    xdata = zlib.compress(bytes(rows))
+    xdict = {Name("Type"): Name("XRef"), Name("Size"): size,
+             Name("W"): [1, 4, 2], Name("Index"): _index_runs(nums),
+             Name("Filter"): Name("FlateDecode"),
+             Name("Length"): len(xdata), Name("Root"): root,
+             Name("Prev"): prev}
+    carry(xdict)
+    out += f"{xref_num} 0 obj\n".encode()
+    out += serialize_object(xdict) + b"\nstream\n" + xdata \
+        + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)
 
 

@@ -492,6 +492,94 @@ class TestCosWriter:
         assert extract_doc(out)["status"] == "ok"
 
 
+class TestAppendUpdate:
+    """cos/writer.append_update (r6): incremental updates — original
+    bytes stay a byte prefix, the appended section shadows exactly the
+    updated objects via the /Prev chain (S5 first-wins precedence
+    exercised from the writing side)."""
+
+    @staticmethod
+    def _page_and_contents(src):
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.cos.objects import Name
+        doc = CosDoc(src)
+        root = doc.get(doc.trailer, Name("Root"))
+        pages = doc.get(root, Name("Pages"))
+        kid_ref = pages[Name("Kids")][0]
+        page = doc.get_object(kid_ref)
+        return doc, kid_ref, page
+
+    @staticmethod
+    def _content_stream(text: str):
+        import zlib
+        from pdfio_spark.cos.objects import Name, Stream
+        body = (f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET").encode()
+        payload = zlib.compress(body)
+        return Stream({Name("Filter"): Name("FlateDecode"),
+                       Name("Length"): len(payload)}, payload)
+
+    @pytest.mark.parametrize("style", ["classic", "xrefstm"])
+    @pytest.mark.parametrize("cls", ["flate_simple", "xref_stream"])
+    def test_replace_and_add_objects(self, style, cls):
+        """Replace the page's /Contents with a Ref to a BRAND-NEW
+        object number past /Size (replacement + addition + Size bump
+        in one section), across classic/xref-stream sources x
+        classic/xref-stream update styles — all four chain mixes."""
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.cos.objects import Name, Ref
+        from pdfio_spark.cos.writer import append_update
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        src = build_fixture(cls, ["original body text"])
+        doc, kid_ref, page = self._page_and_contents(src)
+        new_num = int(doc.trailer[Name("Size")])
+        new_page = dict(page)
+        new_page[Name("Contents")] = Ref(new_num, 0)
+        out = append_update(
+            src, {kid_ref: new_page,
+                  (new_num, 0): self._content_stream("amended body")},
+            style=style)
+        assert out[:len(src)] == src  # original is a byte prefix
+        r = extract_doc(out)
+        assert r["status"] == "ok", r["err"]
+        assert "amended body" in r["text"]
+        assert "original body" not in r["text"]
+        # untouched objects still resolve through /Prev (fonts, pages)
+        d2 = CosDoc(out)
+        assert int(d2.trailer[Name("Size")]) >= new_num + 1
+
+    def test_two_generations_chain(self):
+        """An update OF an update: the newest section wins, the middle
+        one shadows the base — three-deep /Prev walk."""
+        from pdfio_spark.cos.objects import Name, Ref
+        from pdfio_spark.cos.writer import append_update
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        src = build_fixture("flate_simple", ["gen zero text"])
+        doc, kid_ref, page = self._page_and_contents(src)
+        n = int(doc.trailer[Name("Size")])
+        page1 = dict(page)
+        page1[Name("Contents")] = Ref(n, 0)
+        v1 = append_update(src, {kid_ref: page1,
+                                 (n, 0): self._content_stream("gen one")})
+        v2 = append_update(v1, {(n, 0):
+                                self._content_stream("gen two")},
+                           style="xrefstm")
+        assert v2[:len(v1)] == v1 and v1[:len(src)] == src
+        assert "gen one" in extract_doc(v1)["text"]
+        assert "gen two" in extract_doc(v2)["text"]
+        assert "gen one" not in extract_doc(v2)["text"]
+
+    def test_refuses_encrypted_and_empty(self):
+        from pdfio_spark.cos.writer import append_update
+        from pdfio_spark.fixtures import build_fixture
+        with pytest.raises(ValueError):
+            append_update(build_fixture("encrypt_aes256", ["x"]),
+                          {(50, 0): {}})
+        with pytest.raises(ValueError, match="no updates"):
+            append_update(build_fixture("flate_simple", ["x"]), {})
+
+
 class TestR5CoreReviewFixes:
     """Regression pins for the round-5 core-plane review findings."""
 

@@ -191,6 +191,37 @@ def test_writer_never_crashes_on_mutated_input(data):
 
 
 @given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_append_update_never_crashes_on_mutated_input(data):
+    """append_update over a bit-flipped source either returns bytes
+    (original still a byte prefix, result still quarantine-clean) or
+    raises ValueError/PDFError — never an uncontrolled exception
+    (r6, mirrors the rewrite_pdf mutation property)."""
+    import zlib
+    from pdfio_spark.cos.doc import PDFError
+    from pdfio_spark.cos.objects import Name, Stream
+    from pdfio_spark.cos.writer import append_update
+    pdf = bytearray(build_fixture("flate_simple", ["update fuzz"]))
+    n_flips = data.draw(st.integers(min_value=1, max_value=6))
+    for _ in range(n_flips):
+        i = data.draw(st.integers(min_value=0, max_value=len(pdf) - 1))
+        pdf[i] = data.draw(st.integers(min_value=0, max_value=255))
+    style = data.draw(st.sampled_from(["classic", "xrefstm"]))
+    payload = zlib.compress(b"BT (x) Tj ET")
+    stm = Stream({Name("Filter"): Name("FlateDecode"),
+                  Name("Length"): len(payload)}, payload)
+    try:
+        out = append_update(bytes(pdf), {(40, 0): stm}, style=style)
+    except (PDFError, ValueError):
+        return
+    assert isinstance(out, bytes)
+    assert out[:len(pdf)] == bytes(pdf)
+    r = extract_doc(out)
+    assert r["status"] in ("ok", "partial", "error", "empty",
+                           "unsupported_encryption")
+
+
+@given(st.data())
 @settings(max_examples=30, deadline=None)
 def test_signature_validation_never_crashes_on_mutation(data):
     """Bit-flipped signed PDFs: validate_signatures must return status

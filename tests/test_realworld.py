@@ -84,6 +84,56 @@ def test_real_pdf_writer_roundtrip(pack, encrypt):
         r["text"].encode()).hexdigest()[:16] == "6dac643cc478629d"
 
 
+@pytest.mark.parametrize("style", ["classic", "xrefstm"])
+def test_real_pdf_append_update(style):
+    """Incremental update of a REAL foreign PDF (r6): page 1's
+    contents are replaced via an appended section; the original bytes
+    stay a byte prefix, page 1 shows the amendment, and page 9 still
+    matches its committed golden through the /Prev chain."""
+    import zlib
+    path = "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    from pdfio_spark.cos.doc import CosDoc
+    from pdfio_spark.cos.objects import Name, Ref, Stream
+    from pdfio_spark.cos.writer import append_update
+    from pdfio_spark.pd.pagetree import PDDoc
+    src = open(path, "rb").read()
+    doc = CosDoc(src)
+
+    def first_page_ref(node_ref):
+        node = doc.get_object(node_ref)
+        if node.get(Name("Type")) == Name("Page"):
+            return node_ref, node
+        return first_page_ref(node.get(Name("Kids"))[0])
+
+    root = doc.get(doc.trailer, Name("Root"))
+    page_ref, page = first_page_ref(root[Name("Pages")])
+    new_num = int(doc.trailer[Name("Size")])
+    # show text with a font that actually exists in the page's
+    # (possibly inherited) resources — pdfTeX names are /F21-style
+    res = doc.get(page, Name("Resources"))
+    fname = sorted(doc.get(res, Name("Font")))[0]
+    body = (b"BT /" + str(fname).encode() +
+            b" 24 Tf 72 700 Td (AMENDED PAGE ONE) Tj ET")
+    payload = zlib.compress(body)
+    new_page = dict(page)
+    new_page[Name("Contents")] = Ref(new_num, 0)
+    out = append_update(
+        src, {page_ref: new_page,
+              (new_num, 0): Stream({Name("Filter"): Name("FlateDecode"),
+                                    Name("Length"): len(payload)},
+                                   payload)},
+        style=style)
+    assert out[:len(src)] == src
+    upd = PDDoc(out)
+    p1 = upd.get_page(1).extract_text()
+    assert "AMENDED PAGE ONE" in p1
+    golden = open(os.path.join(GOLDEN_DIR, "mimespec_p9.txt"),
+                  encoding="utf-8").read()
+    assert upd.get_page(9).extract_text() == golden
+
+
 def test_real_pdf_encrypted_wrong_password_quarantined():
     """A real foreign PDF encrypted with a NON-empty user password must
     quarantine (the crawl contract: only empty-password docs open)."""
