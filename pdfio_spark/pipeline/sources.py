@@ -19,6 +19,9 @@ src/PDDoc.jl); at corpus scale the equivalents are:
   read_wet      — WET shards (pre-extracted plain text, `conversion`
                   records) -> (url, warc_ts, text, nbytes); feeds the
                   text-plane operators directly (r5).
+  read_wat      — WAT shards (per-page JSON metadata, `metadata`
+                  records) -> (url, warc_ts, metadata map, nbytes);
+                  completes the Common-Crawl WARC/WET/WAT triple (r6).
 
 At 100 TB the WARC path scales by file count (one task per shard);
 shard sizes are uniform by construction, so no skew defense is needed
@@ -32,7 +35,7 @@ from typing import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_pdf_dir", "read_warc", "read_wet"]
+__all__ = ["read_pdf_dir", "read_warc", "read_wat", "read_wet"]
 
 
 def read_pdf_dir(spark: SparkSession, path: str,
@@ -216,3 +219,79 @@ def read_wet(spark: SparkSession, path: str,
         "url",
         F.to_timestamp("warc_ts_raw").alias("warc_ts"),
         "text", "nbytes")
+
+
+# ---------------------------------------------------------------- WAT
+
+def _flatten_wat(obj, prefix: str = "") -> Iterator[tuple[str, str]]:
+    """WAT JSON -> (dotted-path, value-string) pairs: scalars verbatim,
+    lists summarized by `<path>.length` (Common-Crawl link lists run
+    to hundreds of entries per page — a metadata MAP wants the page's
+    facts, not a second copy of its outline; callers needing the raw
+    links can json-parse the body themselves from read_warc)."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            key = f"{prefix}.{k}" if prefix else str(k)
+            yield from _flatten_wat(v, key)
+    elif isinstance(obj, list):
+        yield (f"{prefix}.length" if prefix else "length",
+               str(len(obj)))
+    elif isinstance(obj, bool):
+        yield prefix, "true" if obj else "false"
+    elif obj is None:
+        yield prefix, ""
+    else:
+        yield prefix, str(obj)
+
+
+def read_wat(spark: SparkSession, path: str,
+             glob: str = "*.warc.wat*") -> DataFrame:
+    """WAT shards (Common Crawl's per-page JSON metadata: the SAME
+    ISO 28500 container, `metadata` records whose bodies are one JSON
+    Envelope each) -> (url, warc_ts, metadata map<string,string>,
+    nbytes). The JSON is flattened to dotted scalar paths (list
+    fields become `<path>.length` counts) so downstream filters are
+    plain map lookups — e.g.
+    metadata['Envelope.Payload-Metadata.HTTP-Response-Metadata.'
+    'Headers.Content-Type'] — without a JSON parse per query. Same
+    per-shard parallelism and corrupt-member/record isolation as
+    read_warc/read_wet; a record whose body is not valid JSON is
+    skipped (its bytes cost only themselves, never the task)."""
+    import json as _json
+    files = _shard_files(spark, path, glob)
+
+    def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls, tss, metas, sizes = [], [], [], []
+            for blob in batch.column("content").to_pylist():
+                for member in _safe_iter(_split_gzip_members(blob or b"")):
+                    for rec in _safe_iter(_parse_warc_records(member)):
+                        if rec["type"] != "metadata" or not rec["url"]:
+                            continue
+                        try:
+                            # flatten INSIDE the guard: hostile
+                            # 1000-deep nesting raises RecursionError
+                            # from loads or the flatten walk — that
+                            # record must cost itself, not the task
+                            meta = dict(_flatten_wat(
+                                _json.loads(rec["body"])))
+                        except (ValueError, UnicodeDecodeError,
+                                RecursionError):
+                            continue
+                        urls.append(rec["url"])
+                        tss.append(rec["date"])
+                        metas.append(meta)
+                        sizes.append(len(rec["body"]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(tss, pa.string()),
+                 pa.array(metas, pa.map_(pa.string(), pa.string())),
+                 pa.array(sizes, pa.int64())],
+                names=["url", "warc_ts_raw", "metadata", "nbytes"])
+
+    out = files.mapInArrow(
+        parse, "url string, warc_ts_raw string, "
+               "metadata map<string,string>, nbytes long")
+    return out.select(
+        "url",
+        F.to_timestamp("warc_ts_raw").alias("warc_ts"),
+        "metadata", "nbytes")

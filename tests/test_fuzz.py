@@ -139,6 +139,34 @@ def test_warc_parsers_never_crash_under_safe_iter(blob):
                 assert isinstance(rec["type"], str)
 
 
+def test_wat_deep_nesting_isolated():
+    """A WAT record whose JSON nests past the recursion limit must be
+    skipped (RecursionError guarded), not kill the task — and its
+    well-formed neighbor must still come through (r6)."""
+    import json
+    from pdfio_spark.pipeline.sources import (_flatten_wat,
+                                              _parse_warc_records)
+    deep = ("[" * 5000) + ("]" * 5000)
+
+    def rec(url, body):
+        return (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+                b"WARC-Target-URI: " + url + b"\r\n"
+                b"WARC-Date: 2026-03-01T00:00:00Z\r\n"
+                b"Content-Length: " + str(len(body)).encode()
+                + b"\r\n\r\n" + body + b"\r\n\r\n")
+
+    data = rec(b"https://ex.org/deep", deep.encode()) + \
+        rec(b"https://ex.org/ok", json.dumps({"a": {"b": 1}}).encode())
+    out = []
+    for r in _parse_warc_records(data):
+        try:
+            out.append((r["url"], dict(_flatten_wat(
+                json.loads(r["body"])))))
+        except (ValueError, UnicodeDecodeError, RecursionError):
+            continue
+    assert out == [("https://ex.org/ok", {"a.b": "1"})]
+
+
 @given(st.data())
 @settings(max_examples=40, deadline=None)
 def test_writer_roundtrip_property(data):

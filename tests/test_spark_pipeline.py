@@ -448,6 +448,80 @@ def test_read_wet_source(spark, tmp_path):
     assert melted.count() == 4 * len(texts)
 
 
+def test_read_wat_source(spark, tmp_path):
+    """WAT ingestion (r6, completes the Common-Crawl triple):
+    metadata records' JSON envelopes -> (url, warc_ts, flattened
+    metadata map); scalar paths verbatim, list fields as .length
+    counts; non-metadata records, invalid-JSON bodies and corrupt
+    gzip members cost only themselves."""
+    import gzip
+    import json
+    from pdfio_spark.pipeline.sources import read_wat
+
+    def wat_record(url, ts, payload, rtype=b"metadata"):
+        body = (payload if isinstance(payload, bytes)
+                else json.dumps(payload).encode())
+        hdr = (b"WARC/1.0\r\n"
+               b"WARC-Type: " + rtype + b"\r\n"
+               b"WARC-Target-URI: " + url.encode() + b"\r\n"
+               b"WARC-Date: " + ts.encode() + b"\r\n"
+               b"Content-Type: application/json\r\n"
+               b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+               b"\r\n")
+        return hdr + body + b"\r\n\r\n"
+
+    def envelope(i):
+        return {"Envelope": {
+            "WARC-Header-Metadata": {"WARC-Type": "response"},
+            "Payload-Metadata": {
+                "Actual-Content-Length": 100 + i,
+                "HTTP-Response-Metadata": {
+                    "Headers": {"Content-Type": "text/html"},
+                    "Response-Message": {"Status": 200},
+                    "HTML-Metadata": {
+                        "Head": {"Title": f"Page {i}"},
+                        "Links": [{"url": f"l{j}"}
+                                  for j in range(i + 1)]}}}}}
+
+    recs = [wat_record(f"https://ex.org/p{i}",
+                       f"2026-03-0{i + 1}T00:00:00Z", envelope(i))
+            for i in range(4)]
+    skip_json = wat_record("https://ex.org/bad",
+                           "2026-03-09T00:00:00Z", b"{not json")
+    skip_type = wat_record("https://ex.org/warcinfo",
+                           "2026-03-09T00:00:00Z", {"x": 1},
+                           rtype=b"warcinfo")
+    d = tmp_path / "wats"
+    d.mkdir()
+    (d / "a.warc.wat").write_bytes(recs[0] + skip_json + recs[1]
+                                   + skip_type)
+    (d / "b.warc.wat.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs[2:])
+        + b"\x1f\x8b\x08TRUNCATED")
+    rows = {r["url"]: r for r in read_wat(spark, str(d)).collect()}
+    assert set(rows) == {f"https://ex.org/p{i}" for i in range(4)}
+    for i in range(4):
+        m = dict(rows[f"https://ex.org/p{i}"]["metadata"])
+        pm = "Envelope.Payload-Metadata"
+        assert m[f"{pm}.HTTP-Response-Metadata.Headers."
+                 "Content-Type"] == "text/html"
+        assert m[f"{pm}.HTTP-Response-Metadata.Response-Message."
+                 "Status"] == "200"
+        assert m[f"{pm}.HTTP-Response-Metadata.HTML-Metadata."
+                 "Head.Title"] == f"Page {i}"
+        assert m[f"{pm}.HTTP-Response-Metadata.HTML-Metadata."
+                 "Links.length"] == str(i + 1)
+        assert m[f"{pm}.Actual-Content-Length"] == str(100 + i)
+    assert all(r["warc_ts"] is not None for r in rows.values())
+    # map column is directly filterable — the point of flattening
+    from pyspark.sql import functions as F
+    n = (read_wat(spark, str(d))
+         .filter(F.col("metadata")[
+             "Envelope.Payload-Metadata.HTTP-Response-Metadata."
+             "Response-Message.Status"] == "200").count())
+    assert n == 4
+
+
 def test_run_job_wet_mode_resume(spark, tmp_path):
     """WET production path (r5): run_job --mode wet annotates
     pre-extracted text with the oracle-verified analytics set, under
