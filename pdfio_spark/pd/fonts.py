@@ -556,14 +556,18 @@ def get_font_widths(doc, font):
             return np.zeros(256, dtype=np.float32)
         return read_afm(str(basefont))
     d = np.zeros(256, dtype=np.float32)
-    # clamp: a corrupt negative /FirstChar would write through numpy
-    # NEGATIVE indices into the array tail — silently shifted widths
-    # (the reference throws a BoundsError; r5 core review)
-    firstchar = max(0, int(doc.get(font, Name("FirstChar"), 0)))
+    # clamp the WRITE range only: a corrupt negative /FirstChar would
+    # write through numpy NEGATIVE indices into the array tail (the
+    # reference throws a BoundsError; r5 core review). The widths
+    # INDEX keeps the original base (ADVICE r5: indexing from the
+    # clamped value gave char 0 the nonexistent negative char's width
+    # — misaligned table instead of just dropping the bogus entries).
+    orig_firstchar = int(doc.get(font, Name("FirstChar"), 0))
+    firstchar = max(0, orig_firstchar)
     lastchar = int(doc.get(font, Name("LastChar"), 0))
     widths = [doc.get_object(w) for w in widths_obj]
     for i in range(firstchar, min(lastchar, 255) + 1):
-        ix = i - firstchar
+        ix = i - orig_firstchar
         if ix < len(widths):
             # reference rounds to Int (PDFontMetrics.jl:174)
             d[i] = float(np.rint(float(widths[ix])))

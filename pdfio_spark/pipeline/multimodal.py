@@ -314,23 +314,73 @@ def media_audio_stats(media: DataFrame) -> DataFrame:
                "n_frames long, rms double")
 
 
+_VIDEO_MAGICS = (("h264", b"\x00\x00\x00\x01"),
+                 ("webm", b"\x1a\x45\xdf\xa3"))
+
+
+def _decode_frames(body: bytes, codecs: dict | None = None):
+    """Video decode hook (r6 — routes through set_media_codecs like
+    the image/audio hooks; the sandbox has no uncompressed in-repo
+    video format, so EVERY real decode comes from an injected codec).
+    Decoder contract: body -> (fps, frames) where frames is a
+    sequence of HxWx3 uint8 arrays. mp4's magic sits at offset 4
+    (....ftyp); H.264 Annex-B and WebM/Matroska match by prefix."""
+    if body[4:8] == b"ftyp" and codecs and "mp4" in codecs:
+        return codecs["mp4"](body)
+    for name, magic in _VIDEO_MAGICS:
+        if body[:len(magic)] == magic and codecs and name in codecs:
+            return codecs[name](body)
+    raise NotImplementedError("video codec not available")
+
+
 def media_frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling for video rows: one sample per `every_ms`,
-    inclusive of t=0 -> dur_ms // every_ms + 1 frames."""
+    """Frame sampling for video rows: one sample per `every_ms`.
+    With an injected video codec (set_media_codecs) whose magic
+    matches the body, the REAL frames are decoded and sampled every
+    `every_ms` of wall time (step = fps * every_ms / 1000), with a
+    mean-pixel stat over the sampled frames and decoded=true (r6 —
+    previously the header synthesis ran even when a codec was
+    registered). Without a codec — or on a decode error — the
+    header-derived count (dur_ms // every_ms + 1, inclusive of t=0)
+    stands in with decoded=false, exactly the r5 output values."""
+
+    codecs = dict(_MEDIA_CODECS)  # driver-time snapshot -> task closure
 
     def frames(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
         for batch in batches:
             ids = batch.column("media_id").to_pylist()
             payloads = batch.column("payload").to_pylist()
-            o_id, o_n = [], []
+            out = {k: [] for k in ("media_id", "decoded", "n_frames",
+                                   "mean_px")}
             for mid, p in zip(ids, payloads):
                 h = parse_media_header(p or b"")
                 if h is None or h["kind"] != 2:
                     continue
-                o_id.append(mid)
-                o_n.append(h["dur_ms"] // every_ms + 1)
+                out["media_id"].append(mid)
+                try:
+                    fps, fr = _decode_frames(h["body"], codecs)
+                    step = max(1, round(fps * every_ms / 1000))
+                    sampled = list(fr)[::step]
+                    out["decoded"].append(True)
+                    out["n_frames"].append(len(sampled))
+                    out["mean_px"].append(float(np.mean(
+                        [np.mean(f) for f in sampled]))
+                        if sampled else None)
+                except Exception:
+                    # no codec (NotImplementedError) or a malformed
+                    # body in an injected decoder — per-row fallback
+                    # to the header synthesis, never a task failure
+                    out["decoded"].append(False)
+                    out["n_frames"].append(h["dur_ms"] // every_ms + 1)
+                    out["mean_px"].append(None)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(o_id, pa.int64()), pa.array(o_n, pa.int32())],
-                names=["media_id", "n_frames"])
+                [pa.array(out["media_id"], pa.int64()),
+                 pa.array(out["decoded"], pa.bool_()),
+                 pa.array(out["n_frames"], pa.int32()),
+                 pa.array(out["mean_px"], pa.float64())],
+                names=["media_id", "decoded", "n_frames", "mean_px"])
 
-    return media.mapInArrow(frames, "media_id long, n_frames int")
+    return media.mapInArrow(
+        frames, "media_id long, decoded boolean, n_frames int, "
+                "mean_px double")

@@ -2771,7 +2771,10 @@ def q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = gen_media_corpus(emb)
     md = media_metadata(corpus)
     th = media_thumbnail(corpus).select("media_id", "out_w", "out_h")
-    fr = media_frame_sample(corpus)
+    # project away the r6 decoded/mean_px columns: the registry query
+    # runs codec-less, where n_frames is exactly the oracled header
+    # synthesis — schema stays the r5 contract
+    fr = media_frame_sample(corpus).select("media_id", "n_frames")
     # th/fr are one row per media row — corpus-sized, not dims;
     # shuffle joins (r5 review)
     return (md.join(th, "media_id", "left")

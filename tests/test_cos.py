@@ -654,7 +654,11 @@ class TestR5CoreReviewFixes:
 
     def test_negative_firstchar_clamped(self):
         """Corrupt /FirstChar -3 must not write widths through numpy
-        negative indices (shifted width table)."""
+        negative indices (shifted width table) — and the surviving
+        chars must keep their CORRECT widths (ADVICE r5: indexing
+        from the clamped base handed char 0 the bogus negative char's
+        width; the widths index keeps the original base, so char 0
+        reads Widths[3])."""
         from pdfio_spark.cos.doc import CosDoc
         from pdfio_spark.fixtures import build_fixture
         from pdfio_spark.pd.fonts import get_font_widths
@@ -664,7 +668,7 @@ class TestR5CoreReviewFixes:
                 Name("BaseFont"): Name("Helvetica")}
         w = get_font_widths(doc, font)
         assert w[253] == 0 and w[254] == 0 and w[255] == 0  # no wrap
-        assert w[0] == 111 and w[1] == 222  # clamped to cid 0
+        assert w[0] == 444 and w[1] == 555  # aligned to original base
 
     def test_ber_indefinite_length_distinct_error(self):
         from pdfio_spark.pd.signature import _tlv

@@ -247,6 +247,44 @@ def test_injected_codec_routes_decode(mspark, tmp_path):
         mm.set_media_codecs(None)
 
 
+def test_injected_video_codec_routes_frame_sample(mspark):
+    """r6 (r5 verdict #8 follow-through): media_frame_sample must
+    route video bodies through an injected decoder — real frames,
+    wall-time sampling by fps, mean-pixel stat — and fall back to the
+    oracled header synthesis (dur_ms // every_ms + 1, decoded=false)
+    without a codec or on a decode error."""
+    import numpy as np
+    from pdfio_spark.pipeline import multimodal as mm
+    spark = mspark
+    # 10 fps x 3 s = 30 frames; Annex-B start-code magic
+    frames = [np.full((8, 8, 3), i * 8, dtype=np.uint8)
+              for i in range(30)]
+    body = b"\x00\x00\x00\x01fake-h264-nalus"
+    payload = mm.make_container(2, 8, 8, 5000, 0, body)
+    df = spark.createDataFrame(
+        [(9, 2, bytearray(payload))],
+        "media_id long, kind int, payload binary")
+    try:
+        mm.set_media_codecs(
+            {"h264": lambda b: (10.0, [f.copy() for f in frames])})
+        row = mm.media_frame_sample(df).collect()[0]
+        # every_ms=1000 at 10 fps -> every 10th frame: 0,10,20
+        assert row.decoded is True and row.n_frames == 3
+        assert row.mean_px == pytest.approx(
+            np.mean([0, 80, 160]))
+        # a decoder that raises falls back per row to the header count
+        mm.set_media_codecs({"h264": lambda b: 1 / 0})
+        row = mm.media_frame_sample(df).collect()[0]
+        assert row.decoded is False and row.n_frames == 6
+        assert row.mean_px is None
+        # no codec: the r5 header-synthesis values, flagged undecoded
+        mm.set_media_codecs(None)
+        row = mm.media_frame_sample(df).collect()[0]
+        assert row.decoded is False and row.n_frames == 6
+    finally:
+        mm.set_media_codecs(None)
+
+
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 

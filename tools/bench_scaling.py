@@ -107,9 +107,18 @@ def main() -> None:
             prev_8_32 = {"low": prev["local8"],
                          "high": prev.get("local32"),
                          "efficiency": prev.get("scaling_efficiency", 0)}
-        if prev_2_8 and prev_2_8["efficiency"] > pair_2_8["efficiency"]:
+        # a legacy migration can yield half-empty pairs (old file with
+        # local2 but no matching high leg) — treat those as absent
+        # rather than letting a None leg win and propagate into the
+        # new layout's per-level fields (ADVICE r5)
+        def _complete(p):
+            return p and p.get("low") is not None \
+                and p.get("high") is not None
+        if _complete(prev_2_8) and \
+                prev_2_8["efficiency"] > pair_2_8["efficiency"]:
             pair_2_8 = prev_2_8
-        if prev_8_32 and prev_8_32["efficiency"] > pair_8_32["efficiency"]:
+        if _complete(prev_8_32) and \
+                prev_8_32["efficiency"] > pair_8_32["efficiency"]:
             pair_8_32 = prev_8_32
         earlier = (prev.get("all_runs", [])
                    + prev.get("earlier_runs", []))[:40]
