@@ -173,29 +173,10 @@ def _classic_xref(offsets: dict[int, tuple[int, int]], size: int) -> bytes:
     return bytes(out)
 
 
-def _classic_xref_sparse(offsets: dict[int, tuple[int, int]]) -> bytes:
-    """Incremental-update xref section: SUBSECTIONS covering only the
-    updated object numbers (runs of consecutive nums), 20-byte
-    records — the ISO 32000 7.5.4 sparse form real-world amenders
-    emit (a full section would shadow every untouched object)."""
-    nums = sorted(offsets)
-    out = bytearray(b"xref\n")
-    i = 0
-    while i < len(nums):
-        j = i
-        while j + 1 < len(nums) and nums[j + 1] == nums[j] + 1:
-            j += 1
-        out += f"{nums[i]} {j - i + 1}\n".encode()
-        for n in nums[i:j + 1]:
-            off, gen = offsets[n]
-            out += f"{off:010d} {gen:05d} n \n".encode()
-        i = j + 1
-    return bytes(out)
-
-
 def _index_runs(nums: list[int]) -> list[int]:
-    """Sorted object numbers -> /Index [start1 count1 start2 count2…]
-    pairs for a sparse cross-reference stream."""
+    """Sorted object numbers -> [start1 count1 start2 count2…] pairs
+    (consecutive runs) — the sparse-subsection grouping shared by the
+    classic incremental xref section and the xref stream's /Index."""
     runs: list[int] = []
     i = 0
     while i < len(nums):
@@ -205,6 +186,21 @@ def _index_runs(nums: list[int]) -> list[int]:
         runs += [nums[i], j - i + 1]
         i = j + 1
     return runs
+
+
+def _classic_xref_sparse(offsets: dict[int, tuple[int, int]]) -> bytes:
+    """Incremental-update xref section: SUBSECTIONS covering only the
+    updated object numbers, 20-byte records — the ISO 32000 7.5.4
+    sparse form real-world amenders emit (a full section would shadow
+    every untouched object)."""
+    runs = _index_runs(sorted(offsets))
+    out = bytearray(b"xref\n")
+    for start, count in zip(runs[0::2], runs[1::2]):
+        out += f"{start} {count}\n".encode()
+        for n in range(start, start + count):
+            off, gen = offsets[n]
+            out += f"{off:010d} {gen:05d} n \n".encode()
+    return bytes(out)
 
 
 def append_update(data: bytes, updates: dict,
@@ -244,9 +240,23 @@ def append_update(data: bytes, updates: dict,
         norm[ref] = v
     if not norm:
         raise ValueError("no updates given")
+    # offsets (and the xref section) are keyed by object NUMBER — two
+    # refs differing only in generation would silently shadow one
+    # another's entry (r6 review: the loser's body becomes dead bytes
+    # while the caller believes it replaced)
+    nums_seen = [r.num for r in norm]
+    if len(set(nums_seen)) != len(nums_seen):
+        raise ValueError("duplicate object numbers in updates "
+                         "(one generation per number per section)")
     prev = int(doc.startxref)
     hoff = doc.hoffset
-    old_size = int(trailer.get(Name("Size"), 0) or 0)
+    # /Size may be an indirect ref in the wild (same tolerance the
+    # reader extends to trailer /ID) — deref, and treat junk as 0
+    size_obj = doc.get(trailer, Name("Size")) if trailer else 0
+    try:
+        old_size = int(size_obj or 0)
+    except (TypeError, ValueError):
+        old_size = 0
     size = max(old_size, max(r.num for r in norm) + 1)
 
     out = bytearray(data)

@@ -399,6 +399,12 @@ def dedup_decisions(corpus: DataFrame) -> DataFrame:
     byte-identical copy of its exact-group rep), 'near_dup' (an exact
     rep whose cluster keep is another doc)."""
     from .queries import dedup_keep_list
+    # a url crawled twice is ONE decision subject: without this, the
+    # final fan-out join emits two identical rows for it, and a
+    # crash-resume (anti-join on url) then drops BOTH re-derived
+    # copies — resumed output diverges from an uninterrupted run
+    # (r6 review)
+    corpus = corpus.dropDuplicates(["url"])
     ids = corpus.select(F.xxhash64("url").alias("doc_id"), "url", "text")
     docs = ids.groupBy("doc_id").agg(F.min("text").alias("text"))
     dec = dedup_keep_list(docs)

@@ -324,12 +324,21 @@ def _decode_frames(body: bytes, codecs: dict | None = None):
     video format, so EVERY real decode comes from an injected codec).
     Decoder contract: body -> (fps, frames) where frames is a
     sequence of HxWx3 uint8 arrays. mp4's magic sits at offset 4
-    (....ftyp); H.264 Annex-B and WebM/Matroska match by prefix."""
-    if body[4:8] == b"ftyp" and codecs and "mp4" in codecs:
-        return codecs["mp4"](body)
+    (....ftyp); H.264 Annex-B and WebM/Matroska match by prefix.
+    Format identification runs FIRST and is exclusive: an mp4 whose
+    leading box uses the largesize encoding starts 00 00 00 01 — the
+    Annex-B start code — so falling through to the h264 registry
+    entry would hand mp4 bytes to the wrong decoder (r6 review);
+    a recognized-but-unregistered format raises instead."""
+    if body[4:8] == b"ftyp":
+        if codecs and "mp4" in codecs:
+            return codecs["mp4"](body)
+        raise NotImplementedError("video codec not available")
     for name, magic in _VIDEO_MAGICS:
-        if body[:len(magic)] == magic and codecs and name in codecs:
-            return codecs[name](body)
+        if body[:len(magic)] == magic:
+            if codecs and name in codecs:
+                return codecs[name](body)
+            break
     raise NotImplementedError("video codec not available")
 
 

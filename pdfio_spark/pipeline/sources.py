@@ -231,7 +231,11 @@ def _flatten_wat(obj, prefix: str = "") -> Iterator[tuple[str, str]]:
     links can json-parse the body themselves from read_warc)."""
     if isinstance(obj, dict):
         for k, v in obj.items():
-            key = f"{prefix}.{k}" if prefix else str(k)
+            # literal dots inside a JSON field name are escaped so
+            # {"a": {"b": 1}} and {"a.b": 2} flatten to DISTINCT map
+            # keys instead of silently overwriting (r6 review)
+            seg = str(k).replace(".", "\\.")
+            key = f"{prefix}.{seg}" if prefix else seg
             yield from _flatten_wat(v, key)
     elif isinstance(obj, list):
         yield (f"{prefix}.length" if prefix else "length",

@@ -579,6 +579,41 @@ class TestAppendUpdate:
         with pytest.raises(ValueError, match="no updates"):
             append_update(build_fixture("flate_simple", ["x"]), {})
 
+    def test_duplicate_object_numbers_refused(self):
+        """r6 review: {(5,0): A, (5,1): B} would silently shadow A's
+        xref entry (offsets key by num) — refuse loudly."""
+        from pdfio_spark.cos.writer import append_update
+        from pdfio_spark.fixtures import build_fixture
+        src = build_fixture("flate_simple", ["dup nums"])
+        with pytest.raises(ValueError, match="duplicate object num"):
+            append_update(src, {(50, 0): {}, (50, 1): {}})
+
+    def test_indirect_trailer_size_tolerated(self):
+        """r6 review: a wild trailer /Size given as an indirect ref
+        must deref (PDFError/ValueError-only contract), not TypeError."""
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.cos.objects import Ref
+        from pdfio_spark.cos.writer import append_update
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        src = build_fixture("flate_simple", ["indirect size"])
+        # simulate: trailer /Size replaced by a Ref to a nonexistent
+        # object -> doc.get derefs to None -> old_size falls back to
+        # 0 and the section's own max object number sets /Size
+        from pdfio_spark.cos.objects import Name
+        doc = CosDoc(src)
+        real_size = int(doc.trailer[Name("Size")])
+        fake = dict(doc.trailer)
+        fake[Name("Size")] = Ref(9999, 0)
+        orig_trailer = CosDoc.trailer
+        try:
+            CosDoc.trailer = property(lambda self: fake)
+            out = append_update(src, {(real_size, 0): {}})
+        finally:
+            CosDoc.trailer = orig_trailer
+        r = extract_doc(out)
+        assert r["status"] == "ok"
+
 
 class TestR5CoreReviewFixes:
     """Regression pins for the round-5 core-plane review findings."""

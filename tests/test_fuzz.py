@@ -167,6 +167,14 @@ def test_wat_deep_nesting_isolated():
     assert out == [("https://ex.org/ok", {"a.b": "1"})]
 
 
+def test_wat_flatten_escapes_literal_dots():
+    """r6 review: {'a': {'b': 1}} and {'a.b': 2} must flatten to
+    DISTINCT map keys (literal dots escaped), not silently collide."""
+    from pdfio_spark.pipeline.sources import _flatten_wat
+    m = dict(_flatten_wat({"a": {"b": 1}, "a.b": 2}))
+    assert m == {"a.b": "1", "a\\.b": "2"}
+
+
 @given(st.data())
 @settings(max_examples=40, deadline=None)
 def test_writer_roundtrip_property(data):

@@ -285,6 +285,28 @@ def test_injected_video_codec_routes_frame_sample(mspark):
         mm.set_media_codecs(None)
 
 
+def test_mp4_largesize_never_misroutes_to_h264():
+    """r6 review: an mp4 whose leading box uses largesize encoding
+    starts 00 00 00 01 — the Annex-B start code. With only an h264
+    decoder registered, the mp4 must NOT be handed to it; a
+    recognized-but-unregistered format raises."""
+    from pdfio_spark.pipeline.multimodal import _decode_frames
+    mp4_largesize = b"\x00\x00\x00\x01ftypisom" + b"\x00" * 16
+    calls = []
+
+    def h264(body):
+        calls.append(body)
+        return (10.0, [])
+
+    with pytest.raises(NotImplementedError):
+        _decode_frames(mp4_largesize, {"h264": h264})
+    assert calls == []
+    # a real Annex-B body (no ftyp at offset 4) still routes to h264
+    fps, frames = _decode_frames(b"\x00\x00\x00\x01nalu-data" + b"\x00" * 8,
+                                 {"h264": h264})
+    assert fps == 10.0 and calls
+
+
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 

@@ -604,7 +604,8 @@ def test_run_job_dedup_mode_crash_resume(spark, tmp_path):
     pairtxt = "an exact duplicate pair lives here with its twin today"
     rows = [("doc://0", base), ("doc://1", base), ("doc://2", base),
             ("doc://3", near), ("doc://4", other),
-            ("doc://5", pairtxt), ("doc://6", pairtxt)]
+            ("doc://5", pairtxt), ("doc://6", pairtxt),
+            ("doc://4", other)]  # url crawled TWICE -> ONE decision
     df = spark.createDataFrame(rows, "url string, text string")
     df.write.parquet(inp)
     # crash simulation: run r1 derived the full decision set but died
