@@ -1406,29 +1406,62 @@ IVF_LLOYD_ITERS = 2
 IVF_QUANT = 1_000_000
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the brief's named scale path alongside LSH):
-    coarse-quantize every vector to its nearest of IVF_K=16 centroids
-    TRAINED by IVF_LLOYD_ITERS=2 deterministic Lloyd iterations
-    (spherical k-means: init = vectors vec_id < K quantized to 1e6
-    bigints; each step reassigns by cosine argmax and replaces a cell
-    centroid with the exact integer SUM of its members — see
-    IVF_QUANT; an emptied cell keeps its previous centroid), then
-    search top-5 within each probe's IVF_NPROBE=4 nearest cells.
-    r6: K 8->16 with Lloyd raised pinned recall@5 at sf0.01 from 0.56
-    to 0.72 at the SAME ~25% searched fraction (untrained K=16/np=4
-    sits at 0.48 — the training is load-bearing; recall on these
-    near-uniform vectors tracks searched fraction, so finer cells
-    only pay off once centroids fit the data). Centroids are a K-row
-    broadcast, assignment is a broadcast cross join + per-vector
-    argmax window (parallel, partitioned by vec_id), and the search
-    join is an equi-join on cell id — candidates per probe shrink by
-    ~nprobe/K, the whole point of IVF at 10^12 vectors (where
-    training runs on a SAMPLE first — the iteration here scans the
-    full table only because sf-scale tables are the sample). Same
-    output schema as q_ann_bruteforce for recall comparison."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def ivf_train(base: DataFrame, k: int = IVF_K,
+              iters: int = IVF_LLOYD_ITERS,
+              train: DataFrame | None = None) -> DataFrame:
+    """Deterministic spherical-k-means centroids over a quantized
+    base (vec_id, qe: array<long>): init = the k lowest vec_ids; each
+    Lloyd pass reassigns by cosine argmax (max_by — partial-
+    aggregable, no sort; ties break toward the lowest c_id, matching
+    the search ranking's ORDER BY c_sim DESC, c_id ASC) and replaces
+    a cell centroid with the exact integer elementwise SUM of its
+    members (see IVF_QUANT — order-independent, so cross-engine
+    bit-identical; an emptied cell keeps its previous centroid).
+
+    `train` (default: the full base) is the at-scale lever: at 10^12
+    vectors the Lloyd passes run over a SAMPLE — centroid quality
+    needs ~1000x k training points, not the corpus (tools/soak.py ivf
+    mode demonstrates 100k vectors trained on a 10% sample). Returns
+    (c_id, c_emb) — k rows, broadcastable."""
+    t = train if train is not None else base
+    cents = (t.orderBy("vec_id").limit(k)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("qe").alias("c_emb")))
     dim = 64
+    cos = _cos_expr
+    for _ in range(iters):
+        assigned = (t.crossJoin(F.broadcast(cents))
+                    .select("vec_id", "qe",
+                            cos(F.col("qe"), F.col("c_emb"))
+                            .alias("c_sim"), "c_id")
+                    .groupBy("vec_id")
+                    .agg(F.max_by("c_id",
+                                  F.struct(F.col("c_sim"),
+                                           (-F.col("c_id")).alias("nc")))
+                         .alias("c_id"),
+                         F.first("qe").alias("qe")))
+        sums = assigned.groupBy("c_id").agg(
+            F.array(*[F.sum(F.element_at(F.col("qe"), i + 1))
+                      for i in range(dim)]).alias("new_emb"))
+        cents = (cents.join(sums, "c_id", "left")
+                 .select("c_id", F.coalesce("new_emb", "c_emb")
+                         .alias("c_emb"))
+                 .localCheckpoint())  # tiny; flattens the plan per pass
+    return cents
+
+
+def ann_ivf_over(emb: DataFrame, k: int = IVF_K,
+                 nprobe: int = IVF_NPROBE,
+                 iters: int = IVF_LLOYD_ITERS,
+                 train_frac: float | None = None,
+                 topk: int = 5,
+                 probe_filter=None) -> DataFrame:
+    """IVF ANN over an embeddings-shaped DataFrame: Lloyd-trained
+    coarse quantizer (ivf_train) + top-`topk` exact-cosine search
+    within each probe's `nprobe` nearest cells. train_frac samples
+    the training set (deterministic xxhash64(vec_id) slice — the
+    10^12-scale path); probe_filter (default vec_id % 100 == 0)
+    selects the query rows."""
     qe = F.transform(F.col("embedding"),
                      lambda x: F.round(x.cast("double") * IVF_QUANT)
                      .cast("long"))
@@ -1436,9 +1469,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint once (same rationale as the LSH coded base)
     base = (emb.select("vec_id", "embedding", qe.alias("qe"))
             .localCheckpoint())
-    cents = base.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("c_id"), F.col("qe").alias("c_emb"))
-
+    train = None
+    if train_frac is not None:
+        train = base.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
+            < int(train_frac * 1_000_000))
+    cents = ivf_train(base, k=k, iters=iters, train=train)
     cos = _cos_expr
 
     def rank_cells(c):
@@ -1450,42 +1486,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                   F.asc("c_id"))
         return scored.withColumn("r", F.row_number().over(wc))
 
-    for _ in range(IVF_LLOYD_ITERS):
-        # training argmax via max_by (partial-aggregable, no sort) —
-        # ties on the rounded cosine break toward the LOWEST c_id
-        # (max of -c_id), exactly the final window's ORDER BY c_sim
-        # DESC, c_id ASC. Only the final assignment needs ranks > 1
-        # (the nprobe list), so only it pays for a window.
-        assigned = (base.crossJoin(F.broadcast(cents))
-                    .select("vec_id", "qe",
-                            cos(F.col("qe"), F.col("c_emb"))
-                            .alias("c_sim"), "c_id")
-                    .groupBy("vec_id")
-                    .agg(F.max_by("c_id",
-                                  F.struct(F.col("c_sim"),
-                                           (-F.col("c_id")).alias("nc")))
-                         .alias("c_id"),
-                         F.first("qe").alias("qe")))
-        # exact integer elementwise sum per cell — 64 long-sum
-        # aggregates over <= K groups, order-independent by
-        # construction. Cells that lose every member keep their old
-        # centroid (left join fallback) so K stays fixed.
-        sums = assigned.groupBy("c_id").agg(
-            F.array(*[F.sum(F.element_at(F.col("qe"), i + 1))
-                      for i in range(dim)]).alias("new_emb"))
-        cents = (cents.join(sums, "c_id", "left")
-                 .select("c_id", F.coalesce("new_emb", "c_emb")
-                         .alias("c_emb"))
-                 .localCheckpoint())  # tiny; flattens the plan per pass
-
     ranked_cells = rank_cells(cents)
     # database side: every vector lives in exactly its nearest cell
     cells = (ranked_cells.filter(F.col("r") == 1)
              .select("vec_id", "embedding", "c_id"))
-    # probe side: each query visits its IVF_NPROBE nearest cells
+    # probe side: each query visits its `nprobe` nearest cells
+    pf = (probe_filter if probe_filter is not None
+          else (F.col("vec_id") % 100 == 0))
     probes = (ranked_cells
-              .filter((F.col("vec_id") % 100 == 0)
-                      & (F.col("r") <= IVF_NPROBE))
+              .filter(pf & (F.col("r") <= nprobe))
               .select(F.col("vec_id").alias("q_id"),
                       F.col("embedding").alias("q_emb"),
                       F.col("c_id").alias("q_cell")))
@@ -1498,8 +1507,30 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
                                            F.asc("vec_id"))
     return (pairs.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 5)
+            .filter(F.col("rk") <= topk)
             .orderBy("q_id", "rk"))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the brief's named scale path alongside LSH):
+    coarse-quantize every vector to its nearest of IVF_K=16 centroids
+    TRAINED by IVF_LLOYD_ITERS=2 deterministic Lloyd iterations
+    (ivf_train — integer-sum spherical k-means, cross-engine exact),
+    then search top-5 within each probe's IVF_NPROBE=4 nearest
+    cells. r6: K 8->16 with Lloyd raised pinned recall@5 at sf0.01
+    from 0.56 to 0.72 at the SAME ~25% searched fraction (untrained
+    K=16/np=4 sits at 0.48 — the training is load-bearing; recall on
+    these near-uniform vectors tracks searched fraction, so finer
+    cells only pay off once centroids fit the data). Centroids are a
+    K-row broadcast, assignment is a broadcast cross join + argmax,
+    and the search join is an equi-join on cell id — candidates per
+    probe shrink by ~nprobe/K, the whole point of IVF at 10^12
+    vectors (where ivf_train runs on a SAMPLE — ann_ivf_over's
+    train_frac; the registry tables ARE the sample, so it trains on
+    the full base here). Same output schema as q_ann_bruteforce for
+    recall comparison."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_over(emb)
 
 
 _SQL_COS = ("round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"

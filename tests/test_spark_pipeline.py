@@ -1117,6 +1117,28 @@ def test_multitable_lsh_recall_and_bucket_bound(spark):
     assert agg.mf <= agg.mc, (agg.mf, agg.mc)
 
 
+def test_ann_ivf_sampled_training(spark):
+    """r6: ivf_train over a deterministic SAMPLE (train_frac — the
+    10^12-scale path) still serves every probe with full top-k; the
+    sample only moves centroid QUALITY, never coverage (assignment
+    and search scan the full base)."""
+    from pdfio_spark.pipeline.queries import ann_ivf_over
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ann_ivf_over(emb, train_frac=0.5).collect()
+    full = ann_ivf_over(emb).collect()
+    # same probes served, same schema, exact per-query top-5 ranks
+    assert {r.q_id for r in out} == {r.q_id for r in full}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_q.values())
+    # deterministic: the sampled slice is a pure function of vec_id
+    again = ann_ivf_over(emb, train_frac=0.5).collect()
+    assert [(r.q_id, r.vec_id) for r in again] == \
+        [(r.q_id, r.vec_id) for r in out]
+
+
 def test_default_hyperplanes_hold_occupancy_bound(spark):
     """r6: the registry's DEFAULT planes must be independent — bucket
     occupancy within 85% of the Poisson expectation B*(1-(1-1/B)^n)

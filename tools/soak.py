@@ -4,9 +4,8 @@ a script): materialize an N-doc corpus to parquet, then time the
 extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
-Usage: python3 tools/soak.py [pdf|html|dedup|rundedup|ann|stream|
-       neardup] [n_docs]
-       (default pdf 1e6)
+Usage: python3 tools/soak.py [pdf|html|dedup|rundedup|ann|ivf|
+       stream|neardup] [n_docs]   (default pdf 1e6)
 
 stream mode: n_docs PDFs (default 100k) through the exactly-once
 streaming ingest (stream_extract: readStream -> extraction UDF ->
@@ -37,6 +36,10 @@ the composed operator whose exact-first ordering is the point.
 rundedup mode (r6): the same corpus through run.py --mode dedup — the
 production launch surface (url-keyed decisions + lineage metrics +
 run_id, input read from parquet like a crawl table).
+
+ivf mode (r6): 100k vectors through ann_ivf_over with SAMPLED Lloyd
+training (train_frac=0.1, K=64, nprobe=8) — the at-scale training
+path the operator docstring promises, demonstrated.
 """
 from __future__ import annotations
 
@@ -179,6 +182,36 @@ def main() -> None:
         print(json.dumps({"mode": mode, "smj": smj, "n_vectors": n_vec,
                           "bits": [16, 20], "topk_rows": n_rows,
                           "vectors_with_neighbors": with_nn,
+                          "sec": round(dt, 1),
+                          "vectors_per_sec": round(n_vec / dt, 1)}))
+        spark.stop()
+        return
+
+    if mode == "ivf":
+        # IVF at 100k vectors with SAMPLED training (r6): the
+        # docstring escalation demonstrated — ivf_train runs over a
+        # 10% deterministic slice (train_frac=0.1, ~10k points for
+        # K=64 cells), then the full corpus is assigned and searched.
+        # Centroid quality needs ~1000x K training points, not the
+        # corpus — at 10^12 vectors the Lloyd passes CANNOT scan the
+        # table, and here is the measured proof they don't need to.
+        from pdfio_spark.pipeline.queries import ann_ivf_over
+        n_vec = n_docs if len(sys.argv) > 2 else 100_000
+        dims = ",".join(
+            f"cast(xxhash64(id, {i}) % 1000003 as double) / 1000003.0"
+            for i in range(64))
+        emb = (spark.range(n_vec)
+               .selectExpr("id as vec_id", f"array({dims}) as embedding")
+               .repartition(cpus * 2).localCheckpoint())
+        t0 = time.perf_counter()
+        out = ann_ivf_over(emb, k=64, nprobe=8, train_frac=0.1)
+        agg = out.agg(F.count("*"),
+                      F.countDistinct("q_id")).collect()[0]
+        dt = time.perf_counter() - t0
+        print(json.dumps({"mode": mode, "smj": smj, "n_vectors": n_vec,
+                          "k": 64, "nprobe": 8, "train_frac": 0.1,
+                          "topk_rows": int(agg[0]),
+                          "queries": int(agg[1]),
                           "sec": round(dt, 1),
                           "vectors_per_sec": round(n_vec / dt, 1)}))
         spark.stop()
