@@ -313,6 +313,97 @@ def get_default_trust() -> "TrustStore | None":
     return store
 
 
+#: Process-wide CRL set for revocation checks (r6 — BEYOND the
+#: reference: PDFIO.jl's OpenSSL store does not consult revocation at
+#: all). Same precedence shape as the trust roots: explicit
+#: validate_signatures(crls=...) beats set_revocation_crls() beats
+#: $PDFIO_SPARK_CRL_PEMS (os.pathsep-separated CRL PEM/DER paths)
+#: beats none (no revocation checking — the reference's behavior).
+_CRL_CONFIG: "list | None" = None
+_ENV_CRL_CACHE: "tuple[str, list] | None" = None
+
+
+def _load_crls(blobs) -> list:
+    from cryptography import x509
+    out = []
+    for b in blobs:
+        if hasattr(b, "issuer"):  # already a loaded CRL object
+            out.append(b)
+            continue
+        try:
+            out.append(x509.load_pem_x509_crl(b))
+        except ValueError:
+            out.append(x509.load_der_x509_crl(b))
+    return out
+
+
+def set_revocation_crls(crls) -> None:
+    """Install process-wide certificate revocation lists used by
+    validate_signatures when no explicit `crls` is passed. Accepts an
+    iterable of CRL objects or PEM/DER bytes, or None to clear."""
+    global _CRL_CONFIG, _ENV_CRL_CACHE
+    _CRL_CONFIG = None if crls is None else _load_crls(list(crls))
+    _ENV_CRL_CACHE = None
+
+
+def get_default_crls() -> list:
+    """The configured CRL set, or [] for no revocation checking. Env
+    paths are parsed once per process and cached (same contract as
+    get_default_trust)."""
+    global _ENV_CRL_CACHE
+    if _CRL_CONFIG is not None:
+        return _CRL_CONFIG
+    import os
+    spec = os.environ.get("PDFIO_SPARK_CRL_PEMS")
+    if not spec:
+        return []
+    if _ENV_CRL_CACHE is not None and _ENV_CRL_CACHE[0] == spec:
+        return _ENV_CRL_CACHE[1]
+    blobs = []
+    for path in spec.split(os.pathsep):
+        if path:
+            with open(path, "rb") as f:
+                blobs.append(f.read())
+    crls = _load_crls(blobs)
+    _ENV_CRL_CACHE = (spec, crls)
+    return crls
+
+
+def _revocation_error(cert, pool, trust, crls, when) -> str | None:
+    """'revoked signer certificate' if an APPLICABLE CRL lists the
+    signer's serial. Applicable = the CRL's issuer matches the cert's
+    issuer AND its signature verifies against a known certificate
+    with that subject (CMS pool or trust store) — an unauthenticated
+    CRL can neither revoke nor un-revoke anything. With /M present,
+    only revocations effective at or before the signing time count
+    (a cert revoked AFTER a signature was made does not invalidate
+    it — the CRL analogue of the expiry-vs-/M rule)."""
+    candidates = list(pool) + (trust.certs if trust is not None else [])
+    for crl in crls:
+        if crl.issuer != cert.issuer:
+            continue
+        issuer = next((c for c in candidates
+                       if c.subject == crl.issuer), None)
+        if issuer is None:
+            continue
+        try:
+            if not crl.is_signature_valid(issuer.public_key()):
+                continue
+        except Exception:
+            continue
+        entry = crl.get_revoked_certificate_by_serial_number(
+            cert.serial_number)
+        if entry is None:
+            continue
+        try:
+            rd = entry.revocation_date_utc.replace(tzinfo=None)
+        except AttributeError:
+            rd = entry.revocation_date
+        if when is None or rd <= when:
+            return "revoked signer certificate"
+    return None
+
+
 def _cert_in_window(cert, when) -> bool:
     if when is None:
         return True
@@ -411,7 +502,8 @@ def _cert_info(cert) -> dict:
 
 def validate_signatures(doc, data: bytes,
                         trust: "TrustStore | None" = None,
-                        export_certs: bool = False) -> list[dict]:
+                        export_certs: bool = False,
+                        crls: "list | None" = None) -> list[dict]:
     """pd_validate_signature (PDSignature.jl:101-154) over every /Sig
     field: returns one status dict per signature with passed/subfilter/
     name/m/signer/error. With a TrustStore, additionally anchors the
@@ -421,9 +513,17 @@ def validate_signatures(doc, data: bytes,
     'untrusted signer certificate'. trust=None falls back to the
     process-wide store (set_trust_roots / $PDFIO_SPARK_TRUST_PEMS, r5);
     with neither configured, behavior is the pre-r4 local-validation
-    default."""
+    default. `crls` (r6, beyond the reference) adds revocation: an
+    authenticated CRL listing the signer's serial — effective at the
+    /M signing time — fails the signature with 'revoked signer
+    certificate' (explicit arg > set_revocation_crls >
+    $PDFIO_SPARK_CRL_PEMS > none)."""
     if trust is None:
         trust = get_default_trust()
+    if crls is None:
+        crls = get_default_crls()
+    else:
+        crls = _load_crls(list(crls))
     cos = doc.cos
     out = []
     for fld in get_signature_fields(doc):
@@ -483,6 +583,12 @@ def validate_signatures(doc, data: bytes,
                 if terr is not None:
                     status["passed"] = False
                     status["error"] = terr
+            if status["passed"] and cert is not None and crls:
+                rerr = _revocation_error(cert, pool, trust, crls,
+                                         _signing_time(status["m"]))
+                if rerr is not None:
+                    status["passed"] = False
+                    status["error"] = rerr
         except Exception as e:
             status["error"] = f"{type(e).__name__}: {e}"
     return out

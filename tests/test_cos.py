@@ -357,6 +357,146 @@ class TestSignatureValidation:
             st, _ = self._validate_trusted(identity="ec", subfilter=sub)
             assert st["passed"] and st["signer"] == "CN=pdfio-spark-ec"
 
+    # ---- r6: CRL revocation (BEYOND the reference — PDFIO.jl's
+    # OpenSSL store never consults revocation) ----
+
+    @staticmethod
+    def _make_crl(serials, revoked_at=None, signer="ca"):
+        """CRL signed by the packaged CA (or another identity for the
+        wrong-signer negative), revoking `serials`."""
+        import datetime
+        import importlib.resources as ir
+        from cryptography import x509
+        from cryptography.hazmat.primitives import hashes
+        from cryptography.hazmat.primitives.serialization import (
+            Encoding, load_pem_private_key)
+        fname = {"ca": "sig_ca_identity.pem",
+                 "untrusted": "sig_untrusted_identity.pem"}[signer]
+        pem = (ir.files("pdfio_spark") / "data" / fname).read_bytes()
+        cert = x509.load_pem_x509_certificates(pem)[0]
+        key = load_pem_private_key(pem, password=None)
+        when = revoked_at or datetime.datetime(2020, 1, 1)
+        b = (x509.CertificateRevocationListBuilder()
+             .issuer_name(cert.subject)
+             .last_update(when)
+             .next_update(when + datetime.timedelta(days=3650)))
+        for s in serials:
+            b = b.add_revoked_certificate(
+                x509.RevokedCertificateBuilder()
+                .serial_number(s).revocation_date(when).build())
+        return b.sign(key, hashes.SHA256()).public_bytes(Encoding.PEM)
+
+    def _leaf_serial(self):
+        import importlib.resources as ir
+        from cryptography import x509
+        pem = (ir.files("pdfio_spark") / "data"
+               / "sig_leaf_identity.pem").read_bytes()
+        return x509.load_pem_x509_certificates(pem)[0].serial_number
+
+    def test_crl_revoked_leaf_fails(self):
+        from pdfio_spark.fixtures import make_signed_pdf
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.signature import validate_signatures
+        pdf = make_signed_pdf(["Doc 1: revoked"], identity="leaf")
+        crl = self._make_crl([self._leaf_serial()])
+        st = validate_signatures(PDDoc(pdf), pdf, trust=self._trust(),
+                                 crls=[crl])[0]
+        assert not st["passed"]
+        assert st["error"] == "revoked signer certificate"
+        # same doc without the CRL: chain-trusted and passing
+        st2 = validate_signatures(PDDoc(pdf), pdf,
+                                  trust=self._trust())[0]
+        assert st2["passed"]
+
+    def test_crl_unrelated_serial_passes(self):
+        from pdfio_spark.fixtures import make_signed_pdf
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.signature import validate_signatures
+        pdf = make_signed_pdf(["x"], identity="leaf")
+        crl = self._make_crl([self._leaf_serial() ^ 0x5555])
+        st = validate_signatures(PDDoc(pdf), pdf, trust=self._trust(),
+                                 crls=[crl])[0]
+        assert st["passed"]
+
+    def test_crl_revocation_after_signing_time_passes(self):
+        """A cert revoked AFTER the signature's /M stays valid for
+        that signature (the CRL analogue of the expiry-vs-/M rule)."""
+        import datetime
+        from pdfio_spark.fixtures import make_signed_pdf
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.signature import validate_signatures
+        pdf = make_signed_pdf(["x"], identity="leaf")
+        crl = self._make_crl([self._leaf_serial()],
+                             revoked_at=datetime.datetime(2031, 1, 1))
+        st = validate_signatures(PDDoc(pdf), pdf, trust=self._trust(),
+                                 crls=[crl])[0]
+        assert st["passed"]
+
+    def test_crl_unauthenticated_is_ignored(self):
+        """A CRL whose signature does not verify against any known
+        cert with the claimed issuer subject must be ignored — an
+        attacker-supplied list can neither revoke nor un-revoke."""
+        import importlib.resources as ir
+        from cryptography import x509
+        from cryptography.hazmat.primitives import hashes
+        from cryptography.hazmat.primitives.serialization import (
+            Encoding, load_pem_private_key)
+        import datetime
+        from pdfio_spark.fixtures import make_signed_pdf
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.signature import validate_signatures
+        # forged: claims the CA's issuer NAME but signed by untrusted
+        ca_pem = (ir.files("pdfio_spark") / "data"
+                  / "sig_ca_identity.pem").read_bytes()
+        ca_cert = x509.load_pem_x509_certificates(ca_pem)[0]
+        u_pem = (ir.files("pdfio_spark") / "data"
+                 / "sig_untrusted_identity.pem").read_bytes()
+        u_key = load_pem_private_key(u_pem, password=None)
+        when = datetime.datetime(2020, 1, 1)
+        forged = (x509.CertificateRevocationListBuilder()
+                  .issuer_name(ca_cert.subject)
+                  .last_update(when)
+                  .next_update(when + datetime.timedelta(days=3650))
+                  .add_revoked_certificate(
+                      x509.RevokedCertificateBuilder()
+                      .serial_number(self._leaf_serial())
+                      .revocation_date(when).build())
+                  .sign(u_key, hashes.SHA256())
+                  .public_bytes(Encoding.PEM))
+        pdf = make_signed_pdf(["x"], identity="leaf")
+        st = validate_signatures(PDDoc(pdf), pdf, trust=self._trust(),
+                                 crls=[forged])[0]
+        assert st["passed"]  # forged CRL ignored
+
+    def test_crl_env_and_setter_precedence(self, tmp_path):
+        import os
+        from pdfio_spark.fixtures import make_signed_pdf
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd import signature as S
+        pdf = make_signed_pdf(["x"], identity="leaf")
+        crl = self._make_crl([self._leaf_serial()])
+        p = tmp_path / "revoke.crl.pem"
+        p.write_bytes(crl)
+        old = os.environ.get("PDFIO_SPARK_CRL_PEMS")
+        try:
+            os.environ["PDFIO_SPARK_CRL_PEMS"] = str(p)
+            S._ENV_CRL_CACHE = None
+            st = S.validate_signatures(PDDoc(pdf), pdf,
+                                       trust=self._trust())[0]
+            assert st["error"] == "revoked signer certificate"
+            # setter beats env: an empty CRL set via setter disables
+            S.set_revocation_crls([])
+            st = S.validate_signatures(PDDoc(pdf), pdf,
+                                       trust=self._trust())[0]
+            assert st["passed"]
+        finally:
+            S.set_revocation_crls(None)
+            if old is None:
+                os.environ.pop("PDFIO_SPARK_CRL_PEMS", None)
+            else:
+                os.environ["PDFIO_SPARK_CRL_PEMS"] = old
+            S._ENV_CRL_CACHE = None
+
     def test_ecdsa_tampered_fails(self):
         from pdfio_spark.fixtures import make_signed_pdf
         from pdfio_spark.pd.pagetree import PDDoc
