@@ -175,6 +175,25 @@ def test_wat_flatten_escapes_literal_dots():
     assert m == {"a.b": "1", "a\\.b": "2"}
 
 
+_json_vals = st.recursive(
+    st.one_of(st.none(), st.booleans(), st.integers(),
+              st.text(max_size=8)),
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(st.text(max_size=8), children, max_size=3)),
+    max_leaves=20)
+
+
+@given(_json_vals)
+@settings(max_examples=100, deadline=None)
+def test_wat_flatten_keys_never_collide(obj):
+    """Property: the escaped dotted paths are unique for any JSON
+    value — dict(_flatten_wat(x)) loses nothing."""
+    from pdfio_spark.pipeline.sources import _flatten_wat
+    pairs = list(_flatten_wat(obj))
+    assert len(pairs) == len(dict(pairs))
+
+
 @given(st.data())
 @settings(max_examples=40, deadline=None)
 def test_writer_roundtrip_property(data):
