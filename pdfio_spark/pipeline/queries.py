@@ -1461,7 +1461,11 @@ def ann_ivf_over(emb: DataFrame, k: int = IVF_K,
     within each probe's `nprobe` nearest cells. train_frac samples
     the training set (deterministic xxhash64(vec_id) slice — the
     10^12-scale path); probe_filter (default vec_id % 100 == 0)
-    selects the query rows."""
+    selects the query rows. CONTRACT: the probe set is broadcast to
+    the search join (queries are assumed small relative to the
+    corpus — the IVF usage shape); a probe_filter selecting a
+    corpus-sized fraction should instead go through repeated calls
+    or the LSH all-pairs operator, which shuffles both sides."""
     qe = F.transform(F.col("embedding"),
                      lambda x: F.round(x.cast("double") * IVF_QUANT)
                      .cast("long"))

@@ -24,6 +24,13 @@ per-bucket and per-probe candidate work constant — this is the
 escalation the operator docstrings promise, demonstrated rather than
 asserted. Run with SOAK_SMJ=1 for the pure shuffle-join shape.
 Env:   SPARK_GRAFT_CPUS (default 32), SOAK_DIR (default /tmp/soak),
+       SOAK_RECALL=N samples N queries for an exact-truth recall@3
+       estimate (near zero on this uniform corpus BY CONSTRUCTION —
+       it measures the searched fraction, see SOAK_PLANT),
+       SOAK_PLANT=frac appends frac*n noisy twins (cos~0.994) and
+       reports closed-form planted_recall_at_3 — the metric that
+       actually reflects operator quality on near-dup-structured
+       corpora at scale,
        SOAK_SMJ=1 disables broadcast joins (autoBroadcastJoinThreshold
        =-1) so every join runs the at-scale sort-merge path — the
        100 TB join shape, where key skew actually forms stragglers
@@ -52,6 +59,25 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from pyspark.sql import functions as F  # noqa: E402
+
+
+def _plant_twins(emb, n_vec: int, n_twin: int, cpus: int):
+    """Append n_twin noisy twins (0.9*source + 0.1*fresh-noise,
+    cos ~ 0.994) for vec_ids [0, n_twin); twin of source v gets
+    vec_id v + n_vec, so ground truth is closed-form — the metric
+    that reflects ANN quality on near-dup-structured corpora (the
+    uniform corpus alone has no genuine near-neighbors: exact-truth
+    recall there only measures the searched fraction)."""
+    noise = ",".join(
+        f"cast(xxhash64(vec_id + {n_vec}, {i}) % 1000003 "
+        "as double) / 1000003.0" for i in range(64))
+    twins = (emb.filter(f"vec_id < {n_twin}")
+             .selectExpr(
+                 f"vec_id + {n_vec} as vec_id",
+                 f"zip_with(embedding, array({noise}), "
+                 "(b, z) -> 0.9d * b + 0.1d * z) as embedding"))
+    return (emb.unionByName(twins)
+            .repartition(cpus * 2).localCheckpoint())
 
 
 def main() -> None:
@@ -170,6 +196,16 @@ def main() -> None:
         # tables use 8+12.
         coarse = _hyperplanes(16, tag="c")
         fine = _hyperplanes(20, tag="f")
+        plant = float(os.environ.get("SOAK_PLANT", "0"))
+        n_twin = int(n_vec * plant)
+        if n_twin:
+            # Planted-twin corpus (r6): the uniform-random corpus has
+            # NO genuine near-neighbors — exact top-3 is barely closer
+            # than random, so sampled exact recall (SOAK_RECALL) only
+            # measures the searched fraction (~0.04% at these widths),
+            # not operator quality. ~3.5%/bit sign-flip probability at
+            # random hyperplanes for the 0.9/0.1 mix.
+            emb = _plant_twins(emb, n_vec, n_twin, cpus)
         t0 = time.perf_counter()
         out = ann_lsh_topk_over(emb, coarse_planes=coarse,
                                 fine_planes=fine)
@@ -179,11 +215,63 @@ def main() -> None:
                       F.countDistinct("vec_id")).collect()[0]
         n_rows, with_nn = int(agg[0]), int(agg[1])
         dt = time.perf_counter() - t0
-        print(json.dumps({"mode": mode, "smj": smj, "n_vectors": n_vec,
-                          "bits": [16, 20], "topk_rows": n_rows,
-                          "vectors_with_neighbors": with_nn,
-                          "sec": round(dt, 1),
-                          "vectors_per_sec": round(n_vec / dt, 1)}))
+        res = {"mode": mode, "smj": smj, "n_vectors": n_vec,
+               "bits": [16, 20], "topk_rows": n_rows,
+               "vectors_with_neighbors": with_nn,
+               "sec": round(dt, 1),
+               "vectors_per_sec": round(n_vec / dt, 1)}
+        if n_twin:
+            # a twin's SOURCE in its top-3 = hit (by symmetry the
+            # source->twin direction is the same event; counting one
+            # direction keeps the denominator exact)
+            found = (out.filter(F.col("vec_id") >= n_vec)
+                     .filter(F.col("nn_id") == F.col("vec_id") - n_vec)
+                     .select("vec_id").distinct().count())
+            res["planted_twins"] = n_twin
+            res["planted_recall_at_3"] = round(found / n_twin, 3)
+        n_sample = int(os.environ.get("SOAK_RECALL", "0"))
+        if n_sample:
+            # AT-SCALE recall estimate (r6): the registry pins recall
+            # only at sf-scale; here exact top-3 ground truth is
+            # computed for a deterministic sample of queries (tiny
+            # side BROADCAST against the full corpus — n_sample x
+            # n_vec exact cosines, the brute-force shape the LSH
+            # operator exists to avoid corpus-wide) and compared
+            # against the operator's output for those queries.
+            # Excluded from the timing above by design.
+            qs = (emb.filter(F.pmod(F.col("vec_id"),
+                                    F.lit(n_vec // n_sample)) == 0)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_emb")))
+            dot = F.aggregate(
+                F.zip_with(F.col("q_emb"), F.col("embedding"),
+                           lambda x, y: x.cast("double")
+                           * y.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v)
+            nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+                F.transform(c, lambda x: x.cast("double")
+                            * x.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v))
+            from pyspark.sql.window import Window
+            sim = dot / (nrm(F.col("q_emb")) * nrm(F.col("embedding")))
+            w = Window.partitionBy("q_id").orderBy(
+                F.desc("sim"), F.asc("vec_id"))
+            truth = (emb.crossJoin(F.broadcast(qs))
+                     .filter(F.col("vec_id") != F.col("q_id"))
+                     .select("q_id", "vec_id", sim.alias("sim"))
+                     .withColumn("rk", F.row_number().over(w))
+                     .filter(F.col("rk") <= 3)
+                     .select("q_id", F.col("vec_id").alias("nn_id")))
+            got = (out.join(qs.select(F.col("q_id").alias("vec_id")),
+                            "vec_id")
+                   .select("vec_id", "nn_id"))
+            hits = truth.join(
+                got, (truth.q_id == got.vec_id)
+                & (truth.nn_id == got.nn_id)).count()
+            denom = truth.count()
+            res["recall_sample_queries"] = int(qs.count())
+            res["recall_at_3"] = round(hits / max(denom, 1), 3)
+        print(json.dumps(res))
         spark.stop()
         return
 
@@ -203,17 +291,34 @@ def main() -> None:
         emb = (spark.range(n_vec)
                .selectExpr("id as vec_id", f"array({dims}) as embedding")
                .repartition(cpus * 2).localCheckpoint())
+        plant = float(os.environ.get("SOAK_PLANT", "0"))
+        n_twin = int(n_vec * plant)
+        probe_filter = None
+        if n_twin:
+            # twins as the query set: closed-form ground truth for
+            # IVF too (does the source land in the twin's top-5 —
+            # i.e. do twin and source quantize to probed cells)
+            emb = _plant_twins(emb, n_vec, n_twin, cpus)
+            probe_filter = F.col("vec_id") >= n_vec
         t0 = time.perf_counter()
-        out = ann_ivf_over(emb, k=64, nprobe=8, train_frac=0.1)
+        out = ann_ivf_over(emb, k=64, nprobe=8, train_frac=0.1,
+                           probe_filter=probe_filter)
         agg = out.agg(F.count("*"),
                       F.countDistinct("q_id")).collect()[0]
         dt = time.perf_counter() - t0
-        print(json.dumps({"mode": mode, "smj": smj, "n_vectors": n_vec,
-                          "k": 64, "nprobe": 8, "train_frac": 0.1,
-                          "topk_rows": int(agg[0]),
-                          "queries": int(agg[1]),
-                          "sec": round(dt, 1),
-                          "vectors_per_sec": round(n_vec / dt, 1)}))
+        res = {"mode": mode, "smj": smj, "n_vectors": n_vec,
+               "k": 64, "nprobe": 8, "train_frac": 0.1,
+               "topk_rows": int(agg[0]),
+               "queries": int(agg[1]),
+               "sec": round(dt, 1),
+               "vectors_per_sec": round(n_vec / dt, 1)}
+        if n_twin:
+            found = (out.filter(F.col("vec_id")
+                                == F.col("q_id") - n_vec)
+                     .select("q_id").distinct().count())
+            res["planted_twins"] = n_twin
+            res["planted_recall_at_5"] = round(found / n_twin, 3)
+        print(json.dumps(res))
         spark.stop()
         return
 
