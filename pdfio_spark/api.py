@@ -140,7 +140,7 @@ def pdDocHasSignature(doc: PDDoc) -> bool:
 
 def pdDocValidateSignatures(doc: PDDoc, data: bytes | None = None,
                             export: bool = False,
-                            trust=None) -> list[dict]:
+                            trust=None, crls=None) -> list[dict]:
     """pdDocValidateSignatures (PDDoc.jl:519-562). The engine needs the
     original bytes for /ByteRange; PDDoc keeps them. `trust` (a
     pd.signature.TrustStore) enables chain-of-trust anchoring — the
@@ -148,10 +148,12 @@ def pdDocValidateSignatures(doc: PDDoc, data: bytes | None = None,
     attaches each signer's certs (subject/issuer/PEM) to the status —
     the reference writes them to `<pdf>.pem` (PDDoc.jl:548-559); here
     the PEM text rides in the result so a Spark caller can persist it
-    to a column/sink instead of an executor-local file."""
+    to a column/sink instead of an executor-local file. `crls` (r6,
+    beyond the reference) passes revocation lists per call — the
+    highest-precedence path of validate_signatures' CRL lookup."""
     return validate_signatures(
         doc, data if data is not None else doc.cos.data, trust=trust,
-        export_certs=export)
+        export_certs=export, crls=crls)
 
 
 def pdPageGetContents(page: PDPage) -> bytes:

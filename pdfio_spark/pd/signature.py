@@ -281,7 +281,11 @@ _ENV_TRUST_CACHE: "tuple[str, TrustStore | None] | None" = None
 def set_trust_roots(trust) -> None:
     """Install process-wide trust anchors used by validate_signatures
     when no explicit store is passed. Accepts a TrustStore, an iterable
-    of PEM bytes, or None to clear."""
+    of PEM bytes, or None to clear.
+
+    PROCESS-LOCAL: set on the driver it does not reach Spark executor
+    processes — pass `trust` explicitly into UDF closures or ship
+    $PDFIO_SPARK_TRUST_PEMS via spark.executorEnv for cluster runs."""
     global _TRUST_CONFIG, _ENV_TRUST_CACHE
     if trust is None or isinstance(trust, TrustStore):
         _TRUST_CONFIG = trust
@@ -340,7 +344,13 @@ def _load_crls(blobs) -> list:
 def set_revocation_crls(crls) -> None:
     """Install process-wide certificate revocation lists used by
     validate_signatures when no explicit `crls` is passed. Accepts an
-    iterable of CRL objects or PEM/DER bytes, or None to clear."""
+    iterable of CRL objects or PEM/DER bytes, or None to clear.
+
+    PROCESS-LOCAL, like set_trust_roots: a module global set on the
+    driver never reaches Spark executor processes (the set_media_codecs
+    lesson). For distributed validation either pass `crls` explicitly
+    so it snapshots into the UDF closure, or ship
+    $PDFIO_SPARK_CRL_PEMS to executors via spark.executorEnv."""
     global _CRL_CONFIG, _ENV_CRL_CACHE
     _CRL_CONFIG = None if crls is None else _load_crls(list(crls))
     _ENV_CRL_CACHE = None
@@ -369,6 +379,13 @@ def get_default_crls() -> list:
     return crls
 
 
+def _crl_sig_valid(crl, cand) -> bool:
+    try:
+        return crl.is_signature_valid(cand.public_key())
+    except Exception:
+        return False
+
+
 def _revocation_error(cert, pool, trust, crls, when) -> str | None:
     """'revoked signer certificate' if an APPLICABLE CRL lists the
     signer's serial. Applicable = the CRL's issuer matches the cert's
@@ -377,19 +394,23 @@ def _revocation_error(cert, pool, trust, crls, when) -> str | None:
     CRL can neither revoke nor un-revoke anything. With /M present,
     only revocations effective at or before the signing time count
     (a cert revoked AFTER a signature was made does not invalidate
-    it — the CRL analogue of the expiry-vs-/M rule)."""
+    it — the CRL analogue of the expiry-vs-/M rule).
+
+    The CRL is authenticated against EVERY candidate whose subject
+    matches its issuer, not just the first: the CMS pool rides in
+    /Contents, OUTSIDE /ByteRange, so an attacker can prepend a
+    same-subject/wrong-key decoy cert — first-match would try the
+    decoy, fail the CRL signature, and silently skip the genuine
+    revocation. Candidates must also be valid at the signing time
+    (same _cert_in_window rule every _trust_error chain link obeys)."""
     candidates = list(pool) + (trust.certs if trust is not None else [])
     for crl in crls:
         if crl.issuer != cert.issuer:
             continue
-        issuer = next((c for c in candidates
-                       if c.subject == crl.issuer), None)
-        if issuer is None:
-            continue
-        try:
-            if not crl.is_signature_valid(issuer.public_key()):
-                continue
-        except Exception:
+        if not any(
+                c.subject == crl.issuer and _cert_in_window(c, when)
+                and _crl_sig_valid(crl, c)
+                for c in candidates):
             continue
         entry = crl.get_revoked_certificate_by_serial_number(
             cert.serial_number)

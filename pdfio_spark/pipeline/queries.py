@@ -491,7 +491,11 @@ def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for url, html in zip(urls, htmls):
                 try:
                     doc = PDDoc(html)
-                    for st in validate_signatures(doc, html, trust=trust):
+                    # crls=[] pins revocation OFF like trust= pins the
+                    # anchors: the oracled passed/err columns must not
+                    # depend on process-wide setter/env CRL state
+                    for st in validate_signatures(doc, html, trust=trust,
+                                                  crls=[]):
                         o["url"].append(url)
                         o["subfilter"].append(st["subfilter"])
                         o["passed"].append(bool(st["passed"]))
@@ -1552,7 +1556,12 @@ def _ivf_oracle_sql() -> str:
                         x -> cast(round(x * {IVF_QUANT}) AS bigint)) AS qe
   FROM embeddings
 ), c0 AS (
-  SELECT vec_id AS c_id, qe AS c_emb FROM base WHERE vec_id < {IVF_K}
+  -- init = the K lowest vec_ids, STRUCTURALLY matching ivf_train's
+  -- orderBy(vec_id).limit(k) (not WHERE vec_id < K, which coincides
+  -- only while vec_ids are contiguous from 0 — a regenerated or
+  -- filtered corpus would silently diverge the trained seeds)
+  SELECT vec_id AS c_id, qe AS c_emb FROM base ORDER BY vec_id
+  LIMIT {IVF_K}
 )"""]
     prev = "c0"
     for it in range(IVF_LLOYD_ITERS):

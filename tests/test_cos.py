@@ -497,6 +497,75 @@ class TestSignatureValidation:
                 os.environ["PDFIO_SPARK_CRL_PEMS"] = old
             S._ENV_CRL_CACHE = None
 
+    def test_crl_decoy_issuer_cert_cannot_shadow_revocation(self):
+        """r6 review: the CMS cert pool rides in /Contents, OUTSIDE
+        /ByteRange — an attacker can prepend a same-subject/wrong-key
+        decoy cert. First-match issuer lookup would try only the
+        decoy, fail the CRL signature, and skip the genuine
+        revocation; the fix authenticates against EVERY
+        subject-matching candidate."""
+        import datetime
+        import importlib.resources as ir
+        from cryptography import x509
+        from cryptography.hazmat.primitives import hashes
+        from cryptography.hazmat.primitives.serialization import (
+            load_pem_private_key)
+        from pdfio_spark.pd.signature import (_load_crls,
+                                              _revocation_error)
+        ca_pem = (ir.files("pdfio_spark") / "data"
+                  / "sig_ca_identity.pem").read_bytes()
+        ca_cert = x509.load_pem_x509_certificates(ca_pem)[0]
+        leaf_pem = (ir.files("pdfio_spark") / "data"
+                    / "sig_leaf_identity.pem").read_bytes()
+        leaf_cert = x509.load_pem_x509_certificates(leaf_pem)[0]
+        u_pem = (ir.files("pdfio_spark") / "data"
+                 / "sig_untrusted_identity.pem").read_bytes()
+        u_key = load_pem_private_key(u_pem, password=None)
+        # decoy: the CA's exact subject, the attacker's key
+        decoy = (x509.CertificateBuilder()
+                 .subject_name(ca_cert.subject)
+                 .issuer_name(ca_cert.subject)
+                 .public_key(u_key.public_key())
+                 .serial_number(x509.random_serial_number())
+                 .not_valid_before(datetime.datetime(2015, 1, 1))
+                 .not_valid_after(datetime.datetime(2099, 1, 1))
+                 .sign(u_key, hashes.SHA256()))
+        crls = _load_crls([self._make_crl([self._leaf_serial()])])
+        when = datetime.datetime(2024, 1, 1)
+        # decoy FIRST in the pool — must still revoke via the real CA
+        err = _revocation_error(leaf_cert, [decoy, ca_cert], None,
+                                crls, when)
+        assert err == "revoked signer certificate"
+        # sanity: with ONLY the decoy the CRL stays unauthenticated
+        assert _revocation_error(leaf_cert, [decoy], None,
+                                 crls, when) is None
+
+    def test_crl_issuer_outside_validity_window_is_ignored(self):
+        """r6 review: CRL authentication must hold the issuer
+        candidate to the same validity-at-/M rule every _trust_error
+        chain link obeys — a CA outside its window at signing time
+        cannot authenticate a CRL."""
+        import datetime
+        import importlib.resources as ir
+        from cryptography import x509
+        from pdfio_spark.pd.signature import (_load_crls,
+                                              _revocation_error)
+        ca_pem = (ir.files("pdfio_spark") / "data"
+                  / "sig_ca_identity.pem").read_bytes()
+        ca_cert = x509.load_pem_x509_certificates(ca_pem)[0]
+        leaf_pem = (ir.files("pdfio_spark") / "data"
+                    / "sig_leaf_identity.pem").read_bytes()
+        leaf_cert = x509.load_pem_x509_certificates(leaf_pem)[0]
+        crls = _load_crls([self._make_crl([self._leaf_serial()])])
+        # inside the CA's window: revokes
+        assert _revocation_error(
+            leaf_cert, [ca_cert], None, crls,
+            datetime.datetime(2024, 1, 1)) == "revoked signer certificate"
+        # far past the CA's notAfter: CRL unauthenticated at /M
+        assert _revocation_error(
+            leaf_cert, [ca_cert], None, crls,
+            datetime.datetime(2099, 6, 1)) is None
+
     def test_ecdsa_tampered_fails(self):
         from pdfio_spark.fixtures import make_signed_pdf
         from pdfio_spark.pd.pagetree import PDDoc

@@ -61,6 +61,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def _uniform_corpus(spark, n_vec: int, cpus: int):
+    """Deterministic synthetic vectors: 64 dims from xxhash64 of
+    (id, dim), scaled to [-1, 1) — JVM-side, no driver loop. Shared
+    by the ann and ivf modes so both soaks measure the SAME corpus."""
+    dims = ",".join(
+        f"cast(xxhash64(id, {i}) % 1000003 as double) / 1000003.0"
+        for i in range(64))
+    return (spark.range(n_vec)
+            .selectExpr("id as vec_id", f"array({dims}) as embedding")
+            .repartition(cpus * 2).localCheckpoint())
+
+
 def _plant_twins(emb, n_vec: int, n_twin: int, cpus: int):
     """Append n_twin noisy twins (0.9*source + 0.1*fresh-noise,
     cos ~ 0.994) for vec_ids [0, n_twin); twin of source v gets
@@ -176,14 +188,7 @@ def main() -> None:
         from pdfio_spark.pipeline.queries import (ann_lsh_topk_over,
                                                   _hyperplanes)
         n_vec = n_docs if len(sys.argv) > 2 else 100_000
-        # deterministic synthetic vectors: 64 dims from xxhash64 of
-        # (id, dim), scaled to [-1, 1) — JVM-side, no driver loop
-        dims = ",".join(
-            f"cast(xxhash64(id, {i}) % 1000003 as double) / 1000003.0"
-            for i in range(64))
-        emb = (spark.range(n_vec)
-               .selectExpr("id as vec_id", f"array({dims}) as embedding")
-               .repartition(cpus * 2).localCheckpoint())
+        emb = _uniform_corpus(spark, n_vec, cpus)
 
         # Wider planes from the registry's OWN generator (r6: the
         # default _hyperplanes are now md5-per-coefficient — the r5
@@ -206,9 +211,16 @@ def main() -> None:
             # not operator quality. ~3.5%/bit sign-flip probability at
             # random hyperplanes for the 0.9/0.1 mix.
             emb = _plant_twins(emb, n_vec, n_twin, cpus)
+        n_sample = int(os.environ.get("SOAK_RECALL", "0"))
         t0 = time.perf_counter()
         out = ann_lsh_topk_over(emb, coarse_planes=coarse,
                                 fine_planes=fine)
+        if n_twin or n_sample:
+            # recall blocks below take MORE actions over `out`; pin it
+            # once so the salted join + top-k runs exactly once (the
+            # checkpoint materialization is inside the timed window —
+            # same work, measured once)
+            out = out.localCheckpoint()
         # both aggregates in ONE pass — a second .count() would re-run
         # the whole salted join + top-k (r5 review)
         agg = out.agg(F.count("*"),
@@ -229,7 +241,6 @@ def main() -> None:
                      .select("vec_id").distinct().count())
             res["planted_twins"] = n_twin
             res["planted_recall_at_3"] = round(found / n_twin, 3)
-        n_sample = int(os.environ.get("SOAK_RECALL", "0"))
         if n_sample:
             # AT-SCALE recall estimate (r6): the registry pins recall
             # only at sf-scale; here exact top-3 ground truth is
@@ -239,8 +250,11 @@ def main() -> None:
             # operator exists to avoid corpus-wide) and compared
             # against the operator's output for those queries.
             # Excluded from the timing above by design.
+            # clamp: SOAK_RECALL > n_vec would make the step 0
+            # (pmod-by-zero -> empty sample / ANSI error)
+            step = max(1, n_vec // n_sample)
             qs = (emb.filter(F.pmod(F.col("vec_id"),
-                                    F.lit(n_vec // n_sample)) == 0)
+                                    F.lit(step)) == 0)
                   .select(F.col("vec_id").alias("q_id"),
                           F.col("embedding").alias("q_emb")))
             dot = F.aggregate(
@@ -261,7 +275,8 @@ def main() -> None:
                      .select("q_id", "vec_id", sim.alias("sim"))
                      .withColumn("rk", F.row_number().over(w))
                      .filter(F.col("rk") <= 3)
-                     .select("q_id", F.col("vec_id").alias("nn_id")))
+                     .select("q_id", F.col("vec_id").alias("nn_id"))
+                     .localCheckpoint())  # hits join + denom count
             got = (out.join(qs.select(F.col("q_id").alias("vec_id")),
                             "vec_id")
                    .select("vec_id", "nn_id"))
@@ -285,12 +300,7 @@ def main() -> None:
         # table, and here is the measured proof they don't need to.
         from pdfio_spark.pipeline.queries import ann_ivf_over
         n_vec = n_docs if len(sys.argv) > 2 else 100_000
-        dims = ",".join(
-            f"cast(xxhash64(id, {i}) % 1000003 as double) / 1000003.0"
-            for i in range(64))
-        emb = (spark.range(n_vec)
-               .selectExpr("id as vec_id", f"array({dims}) as embedding")
-               .repartition(cpus * 2).localCheckpoint())
+        emb = _uniform_corpus(spark, n_vec, cpus)
         plant = float(os.environ.get("SOAK_PLANT", "0"))
         n_twin = int(n_vec * plant)
         probe_filter = None
@@ -303,6 +313,11 @@ def main() -> None:
         t0 = time.perf_counter()
         out = ann_ivf_over(emb, k=64, nprobe=8, train_frac=0.1,
                            probe_filter=probe_filter)
+        if n_twin:
+            # the recall count below is a second action over `out` —
+            # pin it so training + search run exactly once (inside
+            # the timed window: same work, measured once)
+            out = out.localCheckpoint()
         agg = out.agg(F.count("*"),
                       F.countDistinct("q_id")).collect()[0]
         dt = time.perf_counter() - t0
