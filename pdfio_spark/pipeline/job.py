@@ -379,6 +379,51 @@ def wet_metrics(extracted: DataFrame) -> DataFrame:
                   .alias("n_ok")))
 
 
+#: dotted prefix of the flattened HTTP-response half of a WAT
+#: envelope (sources._flatten_wat's key scheme)
+_WAT_HTTP = "Envelope.Payload-Metadata.HTTP-Response-Metadata."
+
+
+def annotate_wat(corpus: DataFrame) -> DataFrame:
+    """WAT-mode 'extraction' (r6, completes the CC triple's
+    production story beside pdf/html/wet): rows are
+    (url, metadata map<string,string>, nbytes) from sources.read_wat;
+    the stage promotes the metadata paths a crawl-selection pipeline
+    filters on (content type, server, HTTP status, link count, page
+    title) to typed columns in one map-only pass — plain JVM map
+    lookups, no JSON parse, no shuffle. status mirrors the other
+    modes: 'empty' for a row whose envelope carried no keys."""
+    m = F.col("metadata")
+    return (corpus.select(
+        "url", "metadata", "nbytes",
+        F.size("metadata").alias("n_keys"),
+        m[_WAT_HTTP + "Headers.Content-Type"].alias("content_type"),
+        m[_WAT_HTTP + "Headers.Server"].alias("server"),
+        m[_WAT_HTTP + "Response-Message.Status"].cast("int")
+         .alias("http_status"),
+        F.coalesce(m[_WAT_HTTP + "HTML-Metadata.Links.length"]
+                   .cast("int"), F.lit(0)).alias("n_links"),
+        m[_WAT_HTTP + "HTML-Metadata.Head.Title"].alias("title"))
+        .withColumn("status",
+                    F.when(F.col("n_keys") > 0, "ok")
+                    .otherwise("empty"))
+        .withColumn("err", F.lit(None).cast("string")))
+
+
+def wat_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for the WAT path (mirrors wet_metrics;
+    sums read only columns the output rows carry, so the crash
+    reconcile pass stays exact)."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_keys").alias("sum_keys"),
+                 F.sum("nbytes").alias("sum_bytes"),
+                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+                  .alias("n_ok")))
+
+
 def dedup_decisions(corpus: DataFrame) -> DataFrame:
     """Production surface of the composed dedup operator (r6): (url,
     text) -> exactly one keep decision per url via queries.

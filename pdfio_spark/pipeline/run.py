@@ -3,12 +3,15 @@
     spark-submit --py-files pdfio_spark.zip pdfio_spark/pipeline/run.py \
         --input  <parquet/iceberg of (url, warc_ts, html, text, lang)> \
         --output <results dir/table> --metrics <metrics dir/table> \
-        [--resume] [--cpus N] [--mode pdf|html|wet|dedup]
+        [--resume] [--cpus N] [--mode pdf|html|wet|wat|dedup]
 
 --mode pdf (default) runs the full PDF parse stack; --mode html runs
 the web-page boilerplate strip (html_extract) over the same table
 shape; --mode wet ingests pre-extracted text (url, text — e.g. from
 sources.read_wet) and annotates the oracle-verified analytics set;
+--mode wat (r6) ingests flattened crawl metadata (url, metadata map,
+nbytes — sources.read_wat) and promotes the selection paths (content
+type, server, HTTP status, link count, title) to typed columns;
 --mode dedup (r6) runs the composed exact+near-dup keep-decision
 operator (job.dedup_decisions) over (url, text). All modes share the
 resume/metrics/run_id-reconcile contract (dedup resume re-derives the
@@ -81,15 +84,20 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "dedup":
         from .job import dedup_decisions, dedup_metrics
         extract_fn, metrics_fn = dedup_decisions, dedup_metrics
+    elif mode == "wat":
+        from .job import annotate_wat, wat_metrics
+        extract_fn, metrics_fn = annotate_wat, wat_metrics
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
-                         "dedup)")
+                         "wat | dedup)")
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
-    # column pruning reaches the scan; wet/dedup read text, not html
-    corpus = src.select("url",
-                        "text" if mode in ("wet", "dedup") else "html")
+    # column pruning reaches the scan: each mode reads only its columns
+    cols = {"wet": ["url", "text"], "dedup": ["url", "text"],
+            "wat": ["url", "metadata", "nbytes"]}.get(mode,
+                                                      ["url", "html"])
+    corpus = src.select(*cols)
 
     prev = None
     if resume:
@@ -195,7 +203,8 @@ def main(argv=None) -> None:
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
-    ap.add_argument("--mode", choices=("pdf", "html", "wet", "dedup"),
+    ap.add_argument("--mode",
+                    choices=("pdf", "html", "wet", "wat", "dedup"),
                     default="pdf")
     args = ap.parse_args(argv)
 

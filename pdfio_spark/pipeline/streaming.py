@@ -254,6 +254,29 @@ def stream_ingest_wet(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_ingest_wat(spark: SparkSession, input_dir: str,
+                      checkpoint_dir: str, output_dir: str,
+                      available_now: bool = True):
+    """Streaming twin of run.py --mode wat: file-source stream of
+    (url, metadata map, nbytes) crawl-metadata rows -> typed
+    selection columns (job.annotate_wat's expression set; stateless)
+    -> parquet sink, exactly-once via the checkpoint."""
+    from .job import annotate_wat
+    src = (spark.readStream
+           .schema("url string, metadata map<string,string>, "
+                   "nbytes long")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    writer = (annotate_wat(src).writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_metrics(spark: SparkSession, input_dir: str,
                    checkpoint_dir: str,
                    window: str = "1 minute",

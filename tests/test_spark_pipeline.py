@@ -581,6 +581,77 @@ def test_stream_ingest_wet(spark, tmp_path):
     assert spark.read.parquet(outp).count() == 12  # nothing reprocessed
 
 
+def _wat_rows(n, start=0):
+    pm = "Envelope.Payload-Metadata.HTTP-Response-Metadata."
+    return [(f"wat://{i}",
+             {pm + "Headers.Content-Type": "text/html",
+              pm + "Headers.Server": "nginx",
+              pm + "Response-Message.Status": "200",
+              pm + "HTML-Metadata.Links.length": str(i + 1),
+              pm + "HTML-Metadata.Head.Title": f"Page {i}"},
+             100 + i) for i in range(start, start + n)]
+
+
+_WAT_SCHEMA = "url string, metadata map<string,string>, nbytes long"
+
+
+def test_run_job_wat_mode_resume(spark, tmp_path):
+    """WAT production path (r6): run_job --mode wat promotes the
+    flattened crawl-metadata selection paths to typed columns under
+    the same resume / metrics / run_id contract as pdf/html/wet."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.run import run_job
+    inp = str(tmp_path / "wat_in")
+    outp = str(tmp_path / "wat_out")
+    met = str(tmp_path / "wat_met")
+    rows = _wat_rows(20) + [("wat://empty", {}, 0)]
+    spark.createDataFrame(rows, _WAT_SCHEMA).write.parquet(inp)
+    r1 = run_job(spark, inp, outp, met, mode="wat", run_id="t1")
+    assert r1["by_status"].get("ok") == 20
+    assert r1["by_status"].get("empty") == 1
+    out = spark.read.parquet(outp)
+    row = out.filter("url = 'wat://3'").collect()[0]
+    assert row["content_type"] == "text/html"
+    assert row["server"] == "nginx"
+    assert row["http_status"] == 200
+    assert row["n_links"] == 4
+    assert row["title"] == "Page 3"
+    assert row["n_keys"] == 5 and row["nbytes"] == 103
+    # the typed columns are directly filterable at the sink
+    assert out.filter("http_status = 200 AND n_links > 10").count() == 10
+    # resume: only new urls processed, metrics balance
+    spark.createDataFrame(_wat_rows(3, start=50), _WAT_SCHEMA) \
+        .write.mode("append").parquet(inp)
+    r2 = run_job(spark, inp, outp, met, resume=True, mode="wat",
+                 run_id="t2")
+    assert r2["written"] == 3
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 24
+    assert m.agg(F.sum("n_ok")).collect()[0][0] == 23
+    assert spark.read.parquet(outp).count() == 24
+
+
+def test_stream_ingest_wat(spark, tmp_path):
+    """Streaming twin of --mode wat: exactly-once typed-column
+    promotion of a crawl-metadata stream; restart reprocesses
+    nothing."""
+    from pdfio_spark.pipeline.streaming import stream_ingest_wat
+    inp = str(tmp_path / "swat_in")
+    chk = str(tmp_path / "swat_chk")
+    outp = str(tmp_path / "swat_out")
+    spark.createDataFrame(_wat_rows(12), _WAT_SCHEMA) \
+        .write.parquet(inp)
+    q = stream_ingest_wat(spark, inp, chk, outp)
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    assert out.count() == 12
+    assert out.filter("status = 'ok'").count() == 12
+    assert out.filter("url = 'wat://5'").collect()[0]["n_links"] == 6
+    q2 = stream_ingest_wat(spark, inp, chk, outp)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(outp).count() == 12  # nothing reprocessed
+
+
 def test_run_job_dedup_mode_crash_resume(spark, tmp_path):
     """Production dedup path (r6): run_job --mode dedup writes one
     keep decision per url under the resume/metrics/run_id contract.
