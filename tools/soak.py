@@ -4,7 +4,7 @@ a script): materialize an N-doc corpus to parquet, then time the
 extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
-Usage: python3 tools/soak.py [pdf|html|dedup|rundedup|ann|ivf|
+Usage: python3 tools/soak.py [pdf|html|dedup|rundedup|wat|ann|ivf|
        stream|neardup] [n_docs]   (default pdf 1e6)
 
 stream mode: n_docs PDFs (default 100k) through the exactly-once
@@ -356,6 +356,51 @@ def main() -> None:
                           "rows": n_rows, "kept": n_kept,
                           "sec": round(dt, 1),
                           "docs_per_sec": round(n / dt, 1)}))
+        spark.stop()
+        return
+
+    if mode == "wat":
+        # the WAT production surface (r6): n_docs synthetic flattened
+        # crawl-metadata rows (the sources.read_wat output shape)
+        # through run_job --mode wat — typed-column promotion +
+        # lineage metrics + run_id, reading a pre-materialized input
+        # like a real metadata table. All map values JVM-side.
+        from pdfio_spark.pipeline.run import run_job
+        pm = "Envelope.Payload-Metadata.HTTP-Response-Metadata."
+        rows = (spark.range(n_docs).selectExpr(
+            "concat('wat://', id) as url",
+            f"""map(
+              '{pm}Headers.Content-Type',
+              element_at(array('text/html', 'application/pdf',
+                               'image/png'), cast(id % 3 + 1 as int)),
+              '{pm}Headers.Server',
+              element_at(array('nginx', 'apache'),
+                         cast(id % 2 + 1 as int)),
+              '{pm}Response-Message.Status',
+              cast(200 + (id % 5) * 100 as string),
+              '{pm}HTML-Metadata.Links.length',
+              cast(id % 50 as string),
+              '{pm}HTML-Metadata.Head.Title',
+              concat('Page ', id)) as metadata""",
+            "cast(1000 + id % 9000 as long) as nbytes")
+            .repartition(cpus * 2))
+        inp = os.path.join(soak_dir, "wat_in")
+        outp = os.path.join(soak_dir, "wat_out")
+        met = os.path.join(soak_dir, "wat_met")
+        for p in (inp, outp, met):
+            shutil.rmtree(p, ignore_errors=True)
+        rows.write.parquet(inp)
+        n = spark.read.parquet(inp).count()
+        t0 = time.perf_counter()
+        r = run_job(spark, inp, outp, met, mode="wat")
+        dt = time.perf_counter() - t0
+        print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
+                          "written": r["written"],
+                          "by_status": r["by_status"],
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(n / dt, 1)}))
+        for p in (inp, outp, met):
+            shutil.rmtree(p, ignore_errors=True)
         spark.stop()
         return
 
