@@ -528,6 +528,91 @@ def rewrite_pdfs(corpus: DataFrame, encrypt: str | None = None,
             "err string")
 
 
+def append_updates(corpus: DataFrame, update_fn,
+                   style: str = "classic") -> DataFrame:
+    """Distributed incremental update via cos/writer.append_update —
+    the amend-in-place transform of a document pipeline: each (url,
+    html) row gains appended replacement objects + a /Prev-chained
+    xref section while the ORIGINAL bytes stay a byte prefix (prior
+    signatures remain verifiable over their /ByteRange; ISO 32000
+    7.5.6). `update_fn(data: bytes) -> {Ref|(num, gen): COS object}`
+    decides per document what to amend and is snapshotted into the
+    task closure at DataFrame build time (a module global would not
+    reach Spark worker processes — the set_media_codecs lesson);
+    returning {} passes the document through byte-identical with
+    status='empty'. Unparseable/unwritable/encrypted rows quarantine
+    with status='error' and NULL html — row-level isolation, one bad
+    document never fails a task. Same fan-out rules as extraction
+    apply upstream (parse + re-serialize is CPU-bound per row)."""
+    from ..cos.writer import append_update
+    fn = update_fn  # closure snapshot
+
+    def rw(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            out_html, out_n, out_st, out_err = [], [], [], []
+            for html in htmls:
+                try:
+                    data = bytes(html or b"")
+                    ups = fn(data)
+                    if ups:
+                        b = append_update(data, ups, style=style)
+                        st = "ok"
+                    else:
+                        b, st = data, "empty"
+                    out_html.append(b)
+                    out_n.append(len(b))
+                    out_st.append(st)
+                    out_err.append(None)
+                except Exception as e:
+                    out_html.append(None)
+                    out_n.append(None)
+                    out_st.append("error")
+                    out_err.append(f"{type(e).__name__}: {e}"[:500])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(out_html, pa.binary()),
+                 pa.array(out_n, pa.int64()),
+                 pa.array(out_st, pa.string()),
+                 pa.array(out_err, pa.string())],
+                names=["url", "html", "nbytes", "status", "err"])
+
+    return corpus.select("url", "html").mapInArrow(
+        rw, "url string, html binary, nbytes long, status string, "
+            "err string")
+
+
+def info_stamp(entries: dict) -> "callable":
+    """update_fn factory for append_updates: replace the trailer
+    /Info dictionary with a copy carrying `entries` (str keys ->
+    str/bytes values, stored as literal strings) — the canonical
+    provenance stamp ('this corpus was processed by run X') that
+    leaves every original byte, including signed ranges, intact.
+    Documents whose /Info is absent or inline in the trailer (not an
+    indirect ref — amendable only by rewriting the trailer itself)
+    are skipped via {}."""
+    from ..cos.objects import LitStr, Name, Ref
+
+    def fn(data: bytes) -> dict:
+        from ..cos.doc import CosDoc
+        doc = CosDoc(data)
+        tr = doc.trailer
+        info_ref = tr.get(Name("Info")) if tr else None
+        if not isinstance(info_ref, Ref):
+            return {}
+        info = doc.get_object(info_ref)
+        if not isinstance(info, dict):
+            return {}
+        new = dict(info)
+        for k, v in entries.items():
+            new[Name(k)] = LitStr(v.encode() if isinstance(v, str)
+                                  else bytes(v))
+        return {info_ref: new}
+
+    return fn
+
+
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics rows — the checkpoint payload
     (SURVEY §2.1 S10). Written per batch to the metrics table; resume

@@ -83,6 +83,47 @@ def test_cc_table_schema(spark):
     assert ext.filter("status = 'ok'").count() == 20
 
 
+def test_append_updates_distributed(spark):
+    """Distributed incremental update (r6): info_stamp amends /Info
+    via an appended section — original bytes stay a byte PREFIX of
+    every amended document (signed ranges intact), text extraction is
+    unchanged, no-/Info docs pass through byte-identical, garbage
+    quarantines row-local."""
+    from pdfio_spark.fixtures import build_fixture
+    from pdfio_spark.pipeline.job import append_updates, info_stamp
+    rows = [("u0", bytearray(build_fixture("with_info",
+                                           ["Stamped doc body"]))),
+            ("u1", bytearray(build_fixture("flate_simple",
+                                           ["No info dict here"]))),
+            ("u2", bytearray(b"%PDF-garbage not a real pdf"))]
+    corpus = spark.createDataFrame(rows, "url string, html binary")
+    for style in ("classic", "xrefstm"):
+        out = {r["url"]: r for r in append_updates(
+            corpus, info_stamp({"Processor": "pdfio-spark-r6"}),
+            style=style).collect()}
+        assert out["u0"]["status"] == "ok"
+        src = bytes(rows[0][1])
+        amended = bytes(out["u0"]["html"])
+        assert amended[:len(src)] == src  # byte prefix
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.cos.objects import Name, str_bytes
+        doc = CosDoc(amended)
+        info = doc.get(doc.trailer, Name("Info"))
+        # str_bytes: the writer canonically re-serializes strings as
+        # hex, so compare decoded payloads, not container bytes
+        assert str_bytes(info[Name("Processor")]) == b"pdfio-spark-r6"
+        assert str_bytes(info[Name("Producer")]) == b"pdfio-spark"
+        from pdfio_spark.pd.extract import extract_doc
+        assert (extract_doc(amended)["text"]
+                == extract_doc(src)["text"])
+        # no /Info -> byte-identical passthrough, flagged distinctly
+        assert out["u1"]["status"] == "empty"
+        assert bytes(out["u1"]["html"]) == bytes(rows[1][1])
+        # garbage -> row-local quarantine
+        assert out["u2"]["status"] == "error"
+        assert out["u2"]["html"] is None
+
+
 def test_run_job_resume(spark, corpus, tmp_path):
     """Crash-resume: second run with --resume writes only missing urls."""
     from pdfio_spark.pipeline.run import run_job
