@@ -4,7 +4,7 @@ a script): materialize an N-doc corpus to parquet, then time the
 extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
-Usage: python3 tools/soak.py [pdf|html|dedup|rundedup|wat|ann|ivf|
+Usage: python3 tools/soak.py [pdf|html|amend|dedup|rundedup|wat|ann|ivf|
        stream|neardup] [n_docs]   (default pdf 1e6)
 
 stream mode: n_docs PDFs (default 100k) through the exactly-once
@@ -454,6 +454,20 @@ def main() -> None:
         gen_pdf_corpus(docs.select("doc_id", "text")).write \
             .parquet(corpus_path)
         run = extract_pdfs
+    elif mode == "amend":
+        # distributed incremental amendment (r6): every doc carries
+        # /Info (classes pinned) so each row pays the full parse +
+        # append-section serialize — the operator's real per-doc cost,
+        # not the empty-passthrough shortcut
+        from pdfio_spark.pipeline.job import (append_updates,
+                                              gen_pdf_corpus,
+                                              info_stamp)
+        gen_pdf_corpus(docs.select("doc_id", "text"),
+                       classes=["with_info"]).write.parquet(corpus_path)
+        stamp = info_stamp({"Processor": "pdfio-spark-soak"})
+
+        def run(c):
+            return append_updates(c, stamp)
     else:
         from pdfio_spark.pipeline.html_extract import (extract_html,
                                                        gen_html_corpus)
