@@ -204,7 +204,8 @@ def _classic_xref_sparse(offsets: dict[int, tuple[int, int]]) -> bytes:
 
 
 def append_update(data: bytes, updates: dict,
-                  style: str = "classic") -> bytes:
+                  style: str = "classic",
+                  doc: "CosDoc | None" = None) -> bytes:
     """Incremental update (ISO 32000 7.5.6): original bytes UNTOUCHED
     + appended replacement/new objects + a new cross-reference section
     whose /Prev points at the original's last xref — the way
@@ -223,8 +224,15 @@ def append_update(data: bytes, updates: dict,
     position (hoffset), matching how the reader resolves them.
     Encrypted sources are refused (new strings/streams would need the
     document key)."""
+    if style not in ("classic", "xrefstm"):
+        raise ValueError(f"unknown update style {style!r} "
+                         "(classic | xrefstm)")
     try:
-        doc = CosDoc(data)
+        if doc is None:
+            # callers that already parsed `data` (append_updates'
+            # per-row update_fn did) pass the CosDoc to skip the
+            # second header/xref walk
+            doc = CosDoc(data)
         if doc.sec_handler is not None:
             raise ValueError("append_update to encrypted input "
                              "not supported")

@@ -384,7 +384,8 @@ def wet_metrics(extracted: DataFrame) -> DataFrame:
 _WAT_HTTP = "Envelope.Payload-Metadata.HTTP-Response-Metadata."
 
 
-def annotate_wat(corpus: DataFrame) -> DataFrame:
+def annotate_wat(corpus: DataFrame,
+                 keep_metadata: bool = False) -> DataFrame:
     """WAT-mode 'extraction' (r6, completes the CC triple's
     production story beside pdf/html/wet): rows are
     (url, metadata map<string,string>, nbytes) from sources.read_wat;
@@ -392,11 +393,18 @@ def annotate_wat(corpus: DataFrame) -> DataFrame:
     filters on (content type, server, HTTP status, link count, page
     title) to typed columns in one map-only pass — plain JVM map
     lookups, no JSON parse, no shuffle. status mirrors the other
-    modes: 'empty' for a row whose envelope carried no keys."""
+    modes: 'empty' for a row whose envelope carried no keys. The raw
+    map is DROPPED by default (r6 review: on a real WAT table it is
+    ~the whole input — carrying it would duplicate the corpus into
+    the output append AND run_job's localCheckpoint); keep_metadata
+    retains it for pipelines that filter on untyped paths
+    downstream."""
     m = F.col("metadata")
     return (corpus.select(
-        "url", "metadata", "nbytes",
-        F.size("metadata").alias("n_keys"),
+        "url", *(["metadata"] if keep_metadata else []), "nbytes",
+        # greatest(.., 0): a NULL map reads as size -1 (legacy) or
+        # NULL — either would corrupt sum_keys lineage
+        F.greatest(F.size("metadata"), F.lit(0)).alias("n_keys"),
         m[_WAT_HTTP + "Headers.Content-Type"].alias("content_type"),
         m[_WAT_HTTP + "Headers.Server"].alias("server"),
         m[_WAT_HTTP + "Response-Message.Status"].cast("int")
@@ -535,19 +543,28 @@ def append_updates(corpus: DataFrame, update_fn,
     html) row gains appended replacement objects + a /Prev-chained
     xref section while the ORIGINAL bytes stay a byte prefix (prior
     signatures remain verifiable over their /ByteRange; ISO 32000
-    7.5.6). `update_fn(data: bytes) -> {Ref|(num, gen): COS object}`
-    decides per document what to amend and is snapshotted into the
-    task closure at DataFrame build time (a module global would not
-    reach Spark worker processes — the set_media_codecs lesson);
+    7.5.6). `update_fn(data: bytes, doc: CosDoc) -> {Ref|(num, gen):
+    COS object}` decides per document what to amend — it receives
+    the ALREADY-PARSED CosDoc (parsed once per row; the same object
+    feeds the writer, so the xref walk never runs twice) and is
+    snapshotted into the task closure at DataFrame build time (a
+    module global would not reach Spark worker processes — the
+    set_media_codecs lesson);
     returning {} passes the document through byte-identical with
     status='empty'. Unparseable/unwritable/encrypted rows quarantine
     with status='error' and NULL html — row-level isolation, one bad
     document never fails a task. Same fan-out rules as extraction
     apply upstream (parse + re-serialize is CPU-bound per row)."""
     from ..cos.writer import append_update
+    if style not in ("classic", "xrefstm"):
+        # fail fast on the driver: inside the per-row try a typo'd
+        # style would quarantine the WHOLE corpus as row errors
+        raise ValueError(f"unknown update style {style!r} "
+                         "(classic | xrefstm)")
     fn = update_fn  # closure snapshot
 
     def rw(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..cos.doc import CosDoc
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
@@ -555,9 +572,11 @@ def append_updates(corpus: DataFrame, update_fn,
             for html in htmls:
                 try:
                     data = bytes(html or b"")
-                    ups = fn(data)
+                    doc = CosDoc(data)
+                    ups = fn(data, doc)
                     if ups:
-                        b = append_update(data, ups, style=style)
+                        b = append_update(data, ups, style=style,
+                                          doc=doc)
                         st = "ok"
                     else:
                         b, st = data, "empty"
@@ -594,9 +613,7 @@ def info_stamp(entries: dict) -> "callable":
     are skipped via {}."""
     from ..cos.objects import LitStr, Name, Ref
 
-    def fn(data: bytes) -> dict:
-        from ..cos.doc import CosDoc
-        doc = CosDoc(data)
+    def fn(data: bytes, doc) -> dict:
         tr = doc.trailer
         info_ref = tr.get(Name("Info")) if tr else None
         if not isinstance(info_ref, Ref):

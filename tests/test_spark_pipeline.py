@@ -623,7 +623,9 @@ def test_stream_ingest_wet(spark, tmp_path):
 
 
 def _wat_rows(n, start=0):
-    pm = "Envelope.Payload-Metadata.HTTP-Response-Metadata."
+    # the production prefix, not a copy — drift in the flatten key
+    # scheme must fail these tests (r6 review)
+    from pdfio_spark.pipeline.job import _WAT_HTTP as pm
     return [(f"wat://{i}",
              {pm + "Headers.Content-Type": "text/html",
               pm + "Headers.Server": "nginx",
@@ -645,11 +647,12 @@ def test_run_job_wat_mode_resume(spark, tmp_path):
     inp = str(tmp_path / "wat_in")
     outp = str(tmp_path / "wat_out")
     met = str(tmp_path / "wat_met")
-    rows = _wat_rows(20) + [("wat://empty", {}, 0)]
+    rows = _wat_rows(20) + [("wat://empty", {}, 0),
+                            ("wat://nullmap", None, 0)]
     spark.createDataFrame(rows, _WAT_SCHEMA).write.parquet(inp)
     r1 = run_job(spark, inp, outp, met, mode="wat", run_id="t1")
     assert r1["by_status"].get("ok") == 20
-    assert r1["by_status"].get("empty") == 1
+    assert r1["by_status"].get("empty") == 2
     out = spark.read.parquet(outp)
     row = out.filter("url = 'wat://3'").collect()[0]
     assert row["content_type"] == "text/html"
@@ -667,9 +670,12 @@ def test_run_job_wat_mode_resume(spark, tmp_path):
                  run_id="t2")
     assert r2["written"] == 3
     m = spark.read.parquet(met)
-    assert m.agg(F.sum("n_docs")).collect()[0][0] == 24
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 25
     assert m.agg(F.sum("n_ok")).collect()[0][0] == 23
-    assert spark.read.parquet(outp).count() == 24
+    # NULL map pins n_keys to 0, never -1/NULL (sum_keys lineage)
+    assert (out.filter("url = 'wat://nullmap'").collect()[0]["n_keys"]
+            == 0)
+    assert spark.read.parquet(outp).count() == 25
 
 
 def test_stream_ingest_wat(spark, tmp_path):

@@ -61,6 +61,34 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def _soak_run_job(spark, rows_df, job_mode: str, mode: str, smj: bool,
+                  soak_dir: str) -> None:
+    """Shared harness for run_job-surfaced soak modes (wat, rundedup):
+    materialize the input like a crawl table, time EVERYTHING run_job
+    does (transform + both parquet appends), report one JSON line,
+    clean up."""
+    import time as _t
+    from pdfio_spark.pipeline.run import run_job
+    inp = os.path.join(soak_dir, f"{mode}_in")
+    outp = os.path.join(soak_dir, f"{mode}_out")
+    met = os.path.join(soak_dir, f"{mode}_met")
+    for p in (inp, outp, met):
+        shutil.rmtree(p, ignore_errors=True)
+    rows_df.write.parquet(inp)
+    n = spark.read.parquet(inp).count()
+    t0 = _t.perf_counter()
+    r = run_job(spark, inp, outp, met, mode=job_mode)
+    dt = _t.perf_counter() - t0
+    print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
+                      "written": r["written"],
+                      "by_status": r["by_status"],
+                      "sec": round(dt, 1),
+                      "docs_per_sec": round(n / dt, 1)}))
+    for p in (inp, outp, met):
+        shutil.rmtree(p, ignore_errors=True)
+    spark.stop()
+
+
 def _uniform_corpus(spark, n_vec: int, cpus: int):
     """Deterministic synthetic vectors: 64 dims from xxhash64 of
     (id, dim), scaled to [-1, 1) — JVM-side, no driver loop. Shared
@@ -364,9 +392,9 @@ def main() -> None:
         # crawl-metadata rows (the sources.read_wat output shape)
         # through run_job --mode wat — typed-column promotion +
         # lineage metrics + run_id, reading a pre-materialized input
-        # like a real metadata table. All map values JVM-side.
-        from pdfio_spark.pipeline.run import run_job
-        pm = "Envelope.Payload-Metadata.HTTP-Response-Metadata."
+        # like a real metadata table. All map values JVM-side; the
+        # dotted prefix is the PRODUCTION constant, not a copy.
+        from pdfio_spark.pipeline.job import _WAT_HTTP as pm
         rows = (spark.range(n_docs).selectExpr(
             "concat('wat://', id) as url",
             f"""map(
@@ -384,24 +412,7 @@ def main() -> None:
               concat('Page ', id)) as metadata""",
             "cast(1000 + id % 9000 as long) as nbytes")
             .repartition(cpus * 2))
-        inp = os.path.join(soak_dir, "wat_in")
-        outp = os.path.join(soak_dir, "wat_out")
-        met = os.path.join(soak_dir, "wat_met")
-        for p in (inp, outp, met):
-            shutil.rmtree(p, ignore_errors=True)
-        rows.write.parquet(inp)
-        n = spark.read.parquet(inp).count()
-        t0 = time.perf_counter()
-        r = run_job(spark, inp, outp, met, mode="wat")
-        dt = time.perf_counter() - t0
-        print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
-                          "written": r["written"],
-                          "by_status": r["by_status"],
-                          "sec": round(dt, 1),
-                          "docs_per_sec": round(n / dt, 1)}))
-        for p in (inp, outp, met):
-            shutil.rmtree(p, ignore_errors=True)
-        spark.stop()
+        _soak_run_job(spark, rows, "wat", mode, smj, soak_dir)
         return
 
     if mode == "rundedup":
@@ -412,7 +423,6 @@ def main() -> None:
         # half = everything run_job does (decide + anti-join + two
         # appends), reading a pre-materialized input like a real crawl
         # table.
-        from pdfio_spark.pipeline.run import run_job
         tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
         k = max(1, n_docs // max(tbl.count(), 1))
         reps = spark.range(k).select(F.col("id").alias("rep"))
@@ -421,24 +431,7 @@ def main() -> None:
                                  F.col("doc_id") * k + F.col("rep"))
                         .alias("url"), "text")
                 .limit(n_docs).repartition(cpus * 2))
-        inp = os.path.join(soak_dir, "rundedup_in")
-        outp = os.path.join(soak_dir, "rundedup_out")
-        met = os.path.join(soak_dir, "rundedup_met")
-        for p in (inp, outp, met):
-            shutil.rmtree(p, ignore_errors=True)
-        docs.write.parquet(inp)
-        n = spark.read.parquet(inp).count()
-        t0 = time.perf_counter()
-        r = run_job(spark, inp, outp, met, mode="dedup")
-        dt = time.perf_counter() - t0
-        print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
-                          "written": r["written"],
-                          "by_status": r["by_status"],
-                          "sec": round(dt, 1),
-                          "docs_per_sec": round(n / dt, 1)}))
-        for p in (inp, outp, met):
-            shutil.rmtree(p, ignore_errors=True)
-        spark.stop()
+        _soak_run_job(spark, docs, "dedup", mode, smj, soak_dir)
         return
 
     from bench import replicate_corpus
