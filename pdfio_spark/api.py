@@ -140,7 +140,8 @@ def pdDocHasSignature(doc: PDDoc) -> bool:
 
 def pdDocValidateSignatures(doc: PDDoc, data: bytes | None = None,
                             export: bool = False,
-                            trust=None, crls=None) -> list[dict]:
+                            trust=None, crls=None,
+                            ocsp=None) -> list[dict]:
     """pdDocValidateSignatures (PDDoc.jl:519-562). The engine needs the
     original bytes for /ByteRange; PDDoc keeps them. `trust` (a
     pd.signature.TrustStore) enables chain-of-trust anchoring — the
@@ -150,10 +151,11 @@ def pdDocValidateSignatures(doc: PDDoc, data: bytes | None = None,
     the PEM text rides in the result so a Spark caller can persist it
     to a column/sink instead of an executor-local file. `crls` (r6,
     beyond the reference) passes revocation lists per call — the
-    highest-precedence path of validate_signatures' CRL lookup."""
+    highest-precedence path of validate_signatures' CRL lookup;
+    `ocsp` is its pre-fetched-OCSP-response twin (RFC 6960)."""
     return validate_signatures(
         doc, data if data is not None else doc.cos.data, trust=trust,
-        export_certs=export, crls=crls)
+        export_certs=export, crls=crls, ocsp=ocsp)
 
 
 def pdPageGetContents(page: PDPage) -> bytes:

@@ -379,6 +379,65 @@ def get_default_crls() -> list:
     return crls
 
 
+#: Process-wide OCSP response set (r6, the offline half of RFC 6960:
+#: responses are pre-fetched DER blobs — this sandbox has no network,
+#: and a 1000-executor cluster should not hammer a responder per task
+#: either; stapling pre-fetched responses is the at-scale shape).
+#: Same precedence ladder and PROCESS-LOCAL scope as the CRL set:
+#: explicit validate_signatures(ocsp=...) beats set_revocation_ocsp()
+#: beats $PDFIO_SPARK_OCSP_DERS (os.pathsep-separated DER paths)
+#: beats none.
+_OCSP_CONFIG: "list | None" = None
+_ENV_OCSP_CACHE: "tuple[str, list] | None" = None
+
+
+def _load_ocsps(blobs) -> list:
+    from cryptography.x509 import ocsp as _ocsp
+    out = []
+    for b in blobs:
+        if hasattr(b, "tbs_response_bytes"):  # already loaded
+            out.append(b)
+        else:
+            out.append(_ocsp.load_der_ocsp_response(bytes(b)))
+    return out
+
+
+def set_revocation_ocsp(responses) -> None:
+    """Install process-wide pre-fetched OCSP responses consulted by
+    validate_signatures when no explicit `ocsp` is passed. Accepts an
+    iterable of loaded OCSPResponse objects or DER bytes, or None to
+    clear. PROCESS-LOCAL like set_revocation_crls: driver globals
+    never reach executors — pass `ocsp` explicitly on the pipeline
+    surface or ship $PDFIO_SPARK_OCSP_DERS via spark.executorEnv."""
+    global _OCSP_CONFIG, _ENV_OCSP_CACHE
+    _OCSP_CONFIG = (None if responses is None
+                    else _load_ocsps(list(responses)))
+    _ENV_OCSP_CACHE = None
+
+
+def get_default_ocsps() -> list:
+    """The configured OCSP response set, or [] for none. Env paths
+    parsed once per process and cached (same contract as
+    get_default_crls)."""
+    global _ENV_OCSP_CACHE
+    if _OCSP_CONFIG is not None:
+        return _OCSP_CONFIG
+    import os
+    spec = os.environ.get("PDFIO_SPARK_OCSP_DERS")
+    if not spec:
+        return []
+    if _ENV_OCSP_CACHE is not None and _ENV_OCSP_CACHE[0] == spec:
+        return _ENV_OCSP_CACHE[1]
+    blobs = []
+    for path in spec.split(os.pathsep):
+        if path:
+            with open(path, "rb") as f:
+                blobs.append(f.read())
+    rs = _load_ocsps(blobs)
+    _ENV_OCSP_CACHE = (spec, rs)
+    return rs
+
+
 def _crl_sig_valid(crl, cand) -> bool:
     try:
         return crl.is_signature_valid(cand.public_key())
@@ -421,6 +480,96 @@ def _revocation_error(cert, pool, trust, crls, when) -> str | None:
         except AttributeError:
             rd = entry.revocation_date
         if when is None or rd <= when:
+            return "revoked signer certificate"
+    return None
+
+
+def _ocsp_id_matches(resp, cert, issuer) -> bool:
+    """Does the response's CertID (RFC 6960 4.1.1: hash of issuer
+    subject DER + hash of issuer public key + serial, in the
+    response's own hash algorithm) bind `cert` under `issuer`?
+    Computed by building the matching OCSPRequest and comparing its
+    fields — correct by construction, no hand-rolled DER hashing."""
+    from cryptography.x509 import ocsp as _ocsp
+    try:
+        req = (_ocsp.OCSPRequestBuilder()
+               .add_certificate(cert, issuer, resp.hash_algorithm)
+               .build())
+        return (req.serial_number == resp.serial_number
+                and req.issuer_name_hash == resp.issuer_name_hash
+                and req.issuer_key_hash == resp.issuer_key_hash)
+    except Exception:
+        return False
+
+
+def _ocsp_sig_valid(resp, cand) -> bool:
+    halg = resp.signature_hash_algorithm
+    if halg is None:
+        return False
+    return _key_verify(cand, resp.tbs_response_bytes, resp.signature,
+                       halg.name)
+
+
+def _ocsp_revocation_error(cert, pool, trust, ocsps, when) -> str | None:
+    """'revoked signer certificate' if an APPLICABLE pre-fetched OCSP
+    response reports the signer REVOKED at or before the /M signing
+    time. Applicable = the response's CertID binds the signer under a
+    candidate issuer cert (CMS pool or trust store, valid at `when`)
+    AND its signature authenticates — signed by that issuer directly,
+    or by a delegated responder cert carried IN the response that the
+    issuer signed for id-kp-OCSPSigning (RFC 6960 4.2.2.2). Same
+    decoy discipline as _revocation_error: every CertID-matching
+    issuer candidate is tried, never just the first (the CMS pool
+    rides outside /ByteRange). A GOOD response neither un-revokes a
+    CRL hit nor blocks later responses — revocation holds if ANY
+    authenticated source reports it, matching the CRL semantics."""
+    from cryptography import x509
+    from cryptography.x509 import ocsp as _ocsp
+    from cryptography.x509.oid import ExtendedKeyUsageOID
+    candidates = list(pool) + (trust.certs if trust is not None else [])
+    issuers = [c for c in candidates
+               if c.subject == cert.issuer and _cert_in_window(c, when)]
+    if not issuers:
+        return None
+    for resp in ocsps:
+        try:
+            if (resp.response_status
+                    != _ocsp.OCSPResponseStatus.SUCCESSFUL):
+                continue
+            matched = [c for c in issuers
+                       if _ocsp_id_matches(resp, cert, c)]
+            if not matched:
+                continue
+            authentic = any(_ocsp_sig_valid(resp, c) for c in matched)
+            if not authentic:
+                for d in resp.certificates:
+                    if not _cert_in_window(d, when):
+                        continue
+                    try:
+                        eku = d.extensions.get_extension_for_class(
+                            x509.ExtendedKeyUsage).value
+                    except x509.ExtensionNotFound:
+                        continue
+                    if ExtendedKeyUsageOID.OCSP_SIGNING not in eku:
+                        continue
+                    if (any(_link_verifies(d, c) for c in matched)
+                            and _ocsp_sig_valid(resp, d)):
+                        authentic = True
+                        break
+            if not authentic:
+                continue
+            if (resp.certificate_status
+                    != _ocsp.OCSPCertStatus.REVOKED):
+                continue
+            try:
+                rd = resp.revocation_time_utc.replace(tzinfo=None)
+            except AttributeError:
+                rd = resp.revocation_time
+        except Exception:
+            # a malformed/multi-single response can't revoke; the
+            # authenticity gate above already ran or failed closed
+            continue
+        if rd is not None and (when is None or rd <= when):
             return "revoked signer certificate"
     return None
 
@@ -524,7 +673,8 @@ def _cert_info(cert) -> dict:
 def validate_signatures(doc, data: bytes,
                         trust: "TrustStore | None" = None,
                         export_certs: bool = False,
-                        crls: "list | None" = None) -> list[dict]:
+                        crls: "list | None" = None,
+                        ocsp: "list | None" = None) -> list[dict]:
     """pd_validate_signature (PDSignature.jl:101-154) over every /Sig
     field: returns one status dict per signature with passed/subfilter/
     name/m/signer/error. With a TrustStore, additionally anchors the
@@ -538,13 +688,21 @@ def validate_signatures(doc, data: bytes,
     authenticated CRL listing the signer's serial — effective at the
     /M signing time — fails the signature with 'revoked signer
     certificate' (explicit arg > set_revocation_crls >
-    $PDFIO_SPARK_CRL_PEMS > none)."""
+    $PDFIO_SPARK_CRL_PEMS > none). `ocsp` is the pre-fetched-response
+    twin (RFC 6960; explicit arg > set_revocation_ocsp >
+    $PDFIO_SPARK_OCSP_DERS > none) — CRL and OCSP combine as ANY
+    authenticated source reporting revocation-at-/M fails the
+    signature."""
     if trust is None:
         trust = get_default_trust()
     if crls is None:
         crls = get_default_crls()
     else:
         crls = _load_crls(list(crls))
+    if ocsp is None:
+        ocsp = get_default_ocsps()
+    else:
+        ocsp = _load_ocsps(list(ocsp))
     cos = doc.cos
     out = []
     for fld in get_signature_fields(doc):
@@ -607,6 +765,13 @@ def validate_signatures(doc, data: bytes,
             if status["passed"] and cert is not None and crls:
                 rerr = _revocation_error(cert, pool, trust, crls,
                                          _signing_time(status["m"]))
+                if rerr is not None:
+                    status["passed"] = False
+                    status["error"] = rerr
+            if status["passed"] and cert is not None and ocsp:
+                rerr = _ocsp_revocation_error(
+                    cert, pool, trust, ocsp,
+                    _signing_time(status["m"]))
                 if rerr is not None:
                     status["passed"] = False
                     status["error"] = rerr

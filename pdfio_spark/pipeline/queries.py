@@ -491,11 +491,11 @@ def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for url, html in zip(urls, htmls):
                 try:
                     doc = PDDoc(html)
-                    # crls=[] pins revocation OFF like trust= pins the
-                    # anchors: the oracled passed/err columns must not
-                    # depend on process-wide setter/env CRL state
+                    # crls=[]/ocsp=[] pin revocation OFF like trust=
+                    # pins the anchors: the oracled passed/err columns
+                    # must not depend on process-wide setter/env state
                     for st in validate_signatures(doc, html, trust=trust,
-                                                  crls=[]):
+                                                  crls=[], ocsp=[]):
                         o["url"].append(url)
                         o["subfilter"].append(st["subfilter"])
                         o["passed"].append(bool(st["passed"]))

@@ -566,6 +566,154 @@ class TestSignatureValidation:
             leaf_cert, [ca_cert], None, crls,
             datetime.datetime(2099, 6, 1)) is None
 
+    # ---- r6: OCSP pre-fetched responses (RFC 6960, the offline /
+    # stapled half of the revocation story beside the CRL plane) ----
+
+    @staticmethod
+    def _identity(name):
+        import importlib.resources as ir
+        from cryptography import x509
+        from cryptography.hazmat.primitives.serialization import (
+            load_pem_private_key)
+        fname = {"ca": "sig_ca_identity.pem",
+                 "leaf": "sig_leaf_identity.pem",
+                 "untrusted": "sig_untrusted_identity.pem"}[name]
+        pem = (ir.files("pdfio_spark") / "data" / fname).read_bytes()
+        return (x509.load_pem_x509_certificates(pem)[0],
+                load_pem_private_key(pem, password=None))
+
+    @classmethod
+    def _make_ocsp(cls, target="leaf", revoked=True, revoked_at=None,
+                   signer="ca", delegate=False):
+        """DER OCSP response for `target`'s cert under the packaged
+        CA, signed by `signer`'s key (or by an in-test delegated
+        responder cert the CA issued for id-kp-OCSPSigning when
+        delegate=True)."""
+        import datetime
+        from cryptography import x509
+        from cryptography.hazmat.primitives import hashes
+        from cryptography.hazmat.primitives.serialization import (
+            Encoding)
+        from cryptography.x509 import ocsp
+        ca_cert, ca_key = cls._identity("ca")
+        tgt_cert, _ = cls._identity(target)
+        _, sign_key = cls._identity(signer)
+        sign_cert = cls._identity(signer)[0]
+        when = datetime.datetime(2020, 1, 1)
+        rt = revoked_at or when
+        extra = []
+        if delegate:
+            # responder cert the CA delegates OCSP signing to
+            from cryptography.hazmat.primitives.asymmetric import rsa
+            dkey = rsa.generate_private_key(public_exponent=65537,
+                                            key_size=2048)
+            dcert = (x509.CertificateBuilder()
+                     .subject_name(x509.Name([x509.NameAttribute(
+                         x509.NameOID.COMMON_NAME, "ocsp-delegate")]))
+                     .issuer_name(ca_cert.subject)
+                     .public_key(dkey.public_key())
+                     .serial_number(x509.random_serial_number())
+                     .not_valid_before(datetime.datetime(2015, 1, 1))
+                     .not_valid_after(datetime.datetime(2099, 1, 1))
+                     .add_extension(x509.ExtendedKeyUsage(
+                         [x509.oid.ExtendedKeyUsageOID.OCSP_SIGNING]),
+                         critical=False)
+                     .sign(ca_key, hashes.SHA256()))
+            sign_cert, sign_key = dcert, dkey
+            extra = [dcert]
+        b = (ocsp.OCSPResponseBuilder()
+             .add_response(
+                 cert=tgt_cert, issuer=ca_cert,
+                 algorithm=hashes.SHA256(),
+                 cert_status=(ocsp.OCSPCertStatus.REVOKED if revoked
+                              else ocsp.OCSPCertStatus.GOOD),
+                 this_update=when,
+                 next_update=when + datetime.timedelta(days=3650),
+                 revocation_time=rt if revoked else None,
+                 revocation_reason=None)
+             .responder_id(ocsp.OCSPResponderEncoding.NAME, sign_cert))
+        if extra:
+            b = b.certificates(extra)
+        return b.sign(sign_key, hashes.SHA256()).public_bytes(
+            Encoding.DER)
+
+    def _validate_leaf_ocsp(self, ocsp_ders):
+        from pdfio_spark.fixtures import make_signed_pdf
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd.signature import validate_signatures
+        pdf = make_signed_pdf(["Doc 1: ocsp"], identity="leaf")
+        return validate_signatures(PDDoc(pdf), pdf,
+                                   trust=self._trust(),
+                                   ocsp=ocsp_ders)[0]
+
+    def test_ocsp_revoked_leaf_fails(self):
+        st = self._validate_leaf_ocsp([self._make_ocsp()])
+        assert not st["passed"]
+        assert st["error"] == "revoked signer certificate"
+        # no responses: same doc chain-trusts and passes
+        assert self._validate_leaf_ocsp([])["passed"]
+
+    def test_ocsp_good_status_passes(self):
+        st = self._validate_leaf_ocsp([self._make_ocsp(revoked=False)])
+        assert st["passed"] and st["error"] is None
+
+    def test_ocsp_other_certid_is_ignored(self):
+        # a revocation for the CA's own cert says nothing about the
+        # leaf (CertID serial mismatch)
+        st = self._validate_leaf_ocsp([self._make_ocsp(target="ca")])
+        assert st["passed"]
+
+    def test_ocsp_revocation_after_signing_time_passes(self):
+        """The /M rule, OCSP flavor: a cert revoked AFTER the
+        signature was made does not invalidate it."""
+        import datetime
+        st = self._validate_leaf_ocsp([self._make_ocsp(
+            revoked_at=datetime.datetime(2031, 1, 1))])
+        assert st["passed"]
+
+    def test_ocsp_unauthenticated_is_ignored(self):
+        """A response signed by a key that is neither the CertID's
+        issuer nor a CA-delegated responder cannot revoke."""
+        st = self._validate_leaf_ocsp([self._make_ocsp(
+            signer="untrusted")])
+        assert st["passed"]
+
+    def test_ocsp_delegated_responder_revokes(self):
+        """RFC 6960 4.2.2.2: the response is signed by a responder
+        cert carried in the response itself, issued by the CA with
+        the id-kp-OCSPSigning EKU."""
+        st = self._validate_leaf_ocsp([self._make_ocsp(delegate=True)])
+        assert not st["passed"]
+        assert st["error"] == "revoked signer certificate"
+
+    def test_ocsp_env_and_setter_precedence(self, tmp_path):
+        import os
+        from pdfio_spark.fixtures import make_signed_pdf
+        from pdfio_spark.pd.pagetree import PDDoc
+        from pdfio_spark.pd import signature as S
+        pdf = make_signed_pdf(["x"], identity="leaf")
+        p = tmp_path / "staple.ocsp.der"
+        p.write_bytes(self._make_ocsp())
+        old = os.environ.get("PDFIO_SPARK_OCSP_DERS")
+        try:
+            os.environ["PDFIO_SPARK_OCSP_DERS"] = str(p)
+            S._ENV_OCSP_CACHE = None
+            st = S.validate_signatures(PDDoc(pdf), pdf,
+                                       trust=self._trust())[0]
+            assert st["error"] == "revoked signer certificate"
+            # setter beats env: empty set via setter disables
+            S.set_revocation_ocsp([])
+            st = S.validate_signatures(PDDoc(pdf), pdf,
+                                       trust=self._trust())[0]
+            assert st["passed"]
+        finally:
+            S.set_revocation_ocsp(None)
+            if old is None:
+                os.environ.pop("PDFIO_SPARK_OCSP_DERS", None)
+            else:
+                os.environ["PDFIO_SPARK_OCSP_DERS"] = old
+            S._ENV_OCSP_CACHE = None
+
     def test_ecdsa_tampered_fails(self):
         from pdfio_spark.fixtures import make_signed_pdf
         from pdfio_spark.pd.pagetree import PDDoc
