@@ -630,6 +630,108 @@ def info_stamp(entries: dict) -> "callable":
     return fn
 
 
+def validate_signatures_over(corpus: DataFrame,
+                             trust_pems: "list[bytes] | None" = None,
+                             crl_blobs: "list[bytes] | None" = None,
+                             ocsp_ders: "list[bytes] | None" = None,
+                             export_certs: bool = False) -> DataFrame:
+    """Corpus-scale signature audit (SURVEY X11 as a production
+    operator): (url, html) -> one row PER SIGNATURE with
+    passed/subfilter/signer/m/err, plus 'nosig' rows for unsigned
+    documents and 'error' quarantine rows for unparseable ones — the
+    same row-level isolation contract as extraction. Trust anchors and
+    revocation material are passed as RAW BYTES (PEM certs, PEM/DER
+    CRLs, DER OCSP responses) and snapshotted into the task closure —
+    the set_trust_roots/set_revocation_* setters are PROCESS-LOCAL and
+    never reach executors (the set_media_codecs lesson); None falls
+    through to each executor's $PDFIO_SPARK_* env lookup, the
+    documented spark.executorEnv path. All blobs are parsed once on
+    the driver to fail fast on malformed input (a bad CRL must raise
+    here, not quarantine a corpus as row errors) and once per task,
+    never per row. export_certs=True adds a certs_pem array column
+    (the reference writes <pdf>.pem files, PDDoc.jl:548-559;
+    executors must not write local files, so the PEM text rides in
+    the row)."""
+    from ..pd.signature import TrustStore, _load_crls, _load_ocsps
+    if trust_pems is not None:
+        TrustStore.from_pems(list(trust_pems))  # driver fail-fast
+    if crl_blobs is not None:
+        _load_crls(list(crl_blobs))
+    if ocsp_ders is not None:
+        _load_ocsps(list(ocsp_ders))
+    t_pems = None if trust_pems is None else [bytes(b) for b in trust_pems]
+    c_blobs = None if crl_blobs is None else [bytes(b) for b in crl_blobs]
+    o_ders = None if ocsp_ders is None else [bytes(b) for b in ocsp_ders]
+
+    def sigs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..pd.pagetree import PDDoc
+        from ..pd.signature import (TrustStore as TS, _load_crls as lc,
+                                    _load_ocsps as lo,
+                                    validate_signatures)
+        trust = None if t_pems is None else TS.from_pems(t_pems)
+        crls = None if c_blobs is None else lc(c_blobs)
+        ocsps = None if o_ders is None else lo(o_ders)
+        cols = ["url", "sig_index", "subfilter", "passed", "signer",
+                "m", "err", "status"]
+        if export_certs:
+            cols.append("certs_pem")
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            o = {k: [] for k in cols}
+
+            def emit(url, i=None, sub=None, passed=None, signer=None,
+                     m=None, err=None, status="ok", certs=None):
+                o["url"].append(url)
+                o["sig_index"].append(i)
+                o["subfilter"].append(sub)
+                o["passed"].append(passed)
+                o["signer"].append(signer)
+                o["m"].append(m)
+                o["err"].append(err)
+                o["status"].append(status)
+                if export_certs:
+                    o["certs_pem"].append(certs)
+
+            for url, html in zip(urls, htmls):
+                try:
+                    data = bytes(html or b"")
+                    doc = PDDoc(data)
+                    sts = validate_signatures(
+                        doc, data, trust=trust, crls=crls, ocsp=ocsps,
+                        export_certs=export_certs)
+                    if not sts:
+                        emit(url, status="nosig")
+                    for i, st in enumerate(sts):
+                        emit(url, i, st["subfilter"],
+                             bool(st["passed"]), st["signer"], st["m"],
+                             st["error"],
+                             certs=[c["pem"] for c in st["certs"]]
+                             if export_certs and "certs" in st else None)
+                except Exception as e:
+                    emit(url, err=f"{type(e).__name__}: {e}"[:500],
+                         status="error")
+            arrays = [pa.array(o["url"], pa.string()),
+                      pa.array(o["sig_index"], pa.int32()),
+                      pa.array(o["subfilter"], pa.string()),
+                      pa.array(o["passed"], pa.bool_()),
+                      pa.array(o["signer"], pa.string()),
+                      pa.array(o["m"], pa.string()),
+                      pa.array(o["err"], pa.string()),
+                      pa.array(o["status"], pa.string())]
+            if export_certs:
+                arrays.append(pa.array(o["certs_pem"],
+                                       pa.list_(pa.string())))
+            yield pa.RecordBatch.from_arrays(arrays, names=cols)
+
+    schema = ("url string, sig_index int, subfilter string, "
+              "passed boolean, signer string, m string, err string, "
+              "status string")
+    if export_certs:
+        schema += ", certs_pem array<string>"
+    return corpus.select("url", "html").mapInArrow(sigs, schema)
+
+
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics rows — the checkpoint payload
     (SURVEY §2.1 S10). Written per batch to the metrics table; resume

@@ -143,6 +143,97 @@ def test_run_job_resume(spark, corpus, tmp_path):
     assert spark.read.parquet(met).count() > 0
 
 
+def _revocation_blobs():
+    """(crl_pem, ocsp_der) both revoking the packaged leaf identity,
+    signed by the packaged CA — compact local twins of the
+    test_cos.py builders (tests are not a package; no cross-file
+    import)."""
+    import datetime
+    import importlib.resources as ir
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.serialization import (
+        Encoding, load_pem_private_key)
+    from cryptography.x509 import ocsp
+
+    def ident(f):
+        pem = (ir.files("pdfio_spark") / "data" / f).read_bytes()
+        return (x509.load_pem_x509_certificates(pem)[0],
+                load_pem_private_key(pem, password=None))
+
+    ca_cert, ca_key = ident("sig_ca_identity.pem")
+    leaf_cert, _ = ident("sig_leaf_identity.pem")
+    when = datetime.datetime(2020, 1, 1)
+    crl = (x509.CertificateRevocationListBuilder()
+           .issuer_name(ca_cert.subject)
+           .last_update(when)
+           .next_update(when + datetime.timedelta(days=3650))
+           .add_revoked_certificate(
+               x509.RevokedCertificateBuilder()
+               .serial_number(leaf_cert.serial_number)
+               .revocation_date(when).build())
+           .sign(ca_key, hashes.SHA256()).public_bytes(Encoding.PEM))
+    resp = (ocsp.OCSPResponseBuilder()
+            .add_response(cert=leaf_cert, issuer=ca_cert,
+                          algorithm=hashes.SHA256(),
+                          cert_status=ocsp.OCSPCertStatus.REVOKED,
+                          this_update=when,
+                          next_update=when + datetime.timedelta(days=3650),
+                          revocation_time=when, revocation_reason=None)
+            .responder_id(ocsp.OCSPResponderEncoding.NAME, ca_cert)
+            .sign(ca_key, hashes.SHA256()).public_bytes(Encoding.DER))
+    return crl, resp
+
+
+def test_validate_signatures_over(spark):
+    """Corpus-scale signature audit (r6): per-signature rows, nosig/
+    error isolation, and the trust/CRL/OCSP material shipped as bytes
+    into the task closure (setters are process-local and never reach
+    executors)."""
+    from pdfio_spark.fixtures import (build_fixture, make_signed_pdf,
+                                      test_trust_pems)
+    from pdfio_spark.pipeline.job import validate_signatures_over
+    crl, resp = _revocation_blobs()
+    rows = [("signed", bytearray(make_signed_pdf(["body"],
+                                                 identity="leaf"))),
+            ("unsigned", bytearray(build_fixture("flate_simple",
+                                                 ["plain"]))),
+            ("garbage", bytearray(b"%PDF-not really"))]
+    corpus = spark.createDataFrame(rows, "url string, html binary")
+    trust = [bytes(p) for p in test_trust_pems()]
+
+    # no revocation material: leaf chain-trusts and passes
+    out = {r["url"]: r for r in validate_signatures_over(
+        corpus, trust_pems=trust, crl_blobs=[], ocsp_ders=[]).collect()}
+    assert out["signed"]["status"] == "ok"
+    assert out["signed"]["passed"] is True
+    assert out["signed"]["signer"] == "CN=pdfio-spark-leaf"
+    assert out["signed"]["sig_index"] == 0
+    assert out["unsigned"]["status"] == "nosig"
+    assert out["unsigned"]["passed"] is None
+    assert out["garbage"]["status"] == "error"
+    assert out["garbage"]["err"] is not None
+
+    # CRL and OCSP blobs each revoke it, executor-side
+    for kw in ({"crl_blobs": [crl]}, {"ocsp_ders": [resp]}):
+        out = {r["url"]: r for r in validate_signatures_over(
+            corpus, trust_pems=trust, **kw).collect()}
+        assert out["signed"]["passed"] is False
+        assert out["signed"]["err"] == "revoked signer certificate"
+
+    # export_certs: PEM text rides in the row
+    out = {r["url"]: r for r in validate_signatures_over(
+        corpus, trust_pems=trust, export_certs=True).collect()}
+    pems = out["signed"]["certs_pem"]
+    assert pems and any("BEGIN CERTIFICATE" in p for p in pems)
+
+    # malformed revocation material fails fast on the DRIVER
+    with pytest.raises(Exception):
+        validate_signatures_over(corpus, crl_blobs=[b"not a crl"])
+    with pytest.raises(Exception):
+        validate_signatures_over(corpus, ocsp_ders=[b"not ocsp"])
+
+
 def test_rewrite_pdfs_corpus_roundtrip(spark, corpus):
     """Distributed writer transform (r5): the whole fixture corpus is
     AES-128-encrypted + ObjStm-repacked inside executor UDFs and must
