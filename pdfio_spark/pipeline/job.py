@@ -732,6 +732,32 @@ def validate_signatures_over(corpus: DataFrame,
     return corpus.select("url", "html").mapInArrow(sigs, schema)
 
 
+def sigaudit_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for the signature-audit path: output
+    rows (one per signature), docs with signatures, pass/revoked/
+    untrusted classes, and the nosig/error tallies — sums read only
+    columns the output rows carry, so the crash reconcile pass stays
+    exact (the wat_metrics rule)."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+                  .alias("n_sigs"),
+                 F.sum(F.when(F.col("passed"), 1).otherwise(0))
+                  .alias("n_passed"),
+                 F.sum(F.when(
+                     F.col("err") == "revoked signer certificate", 1)
+                     .otherwise(0)).alias("n_revoked"),
+                 F.sum(F.when(
+                     F.col("err") == "untrusted signer certificate", 1)
+                     .otherwise(0)).alias("n_untrusted"),
+                 F.sum(F.when(F.col("status") == "nosig", 1)
+                       .otherwise(0)).alias("n_nosig"),
+                 F.sum(F.when(F.col("status") == "error", 1)
+                       .otherwise(0)).alias("n_error")))
+
+
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics rows — the checkpoint payload
     (SURVEY §2.1 S10). Written per batch to the metrics table; resume

@@ -13,7 +13,12 @@ sources.read_wet) and annotates the oracle-verified analytics set;
 nbytes — sources.read_wat) and promotes the selection paths (content
 type, server, HTTP status, link count, title) to typed columns;
 --mode dedup (r6) runs the composed exact+near-dup keep-decision
-operator (job.dedup_decisions) over (url, text). All modes share the
+operator (job.dedup_decisions) over (url, text); --mode sigaudit
+(r6) runs the corpus-scale signature audit
+(job.validate_signatures_over) over (url, html) — trust anchors and
+CRL/OCSP revocation material come from --trust-pems/--crl-pems/
+--ocsp-ders (driver-read, closure-shipped) or each executor's
+$PDFIO_SPARK_* env. All modes share the
 resume/metrics/run_id-reconcile contract (dedup resume re-derives the
 corpus-global decisions and appends only unwritten rows — see
 run_job).
@@ -53,7 +58,8 @@ def make_cc_table(docs, classes=None):
 
 def run_job(spark, input_path: str, output_path: str,
             metrics_path: str | None = None, resume: bool = False,
-            mode: str = "pdf", run_id: str | None = None) -> dict:
+            mode: str = "pdf", run_id: str | None = None,
+            sig_material: dict | None = None) -> dict:
     """mode='pdf' (default): full PDF parse stack. mode='html': the
     web-page half — DOM block-scoring boilerplate strip over the same
     (url, html binary) table shape, same resume/metrics contract.
@@ -87,9 +93,29 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "wat":
         from .job import annotate_wat, wat_metrics
         extract_fn, metrics_fn = annotate_wat, wat_metrics
+    elif mode == "sigaudit":
+        from .job import sigaudit_metrics, validate_signatures_over
+        sm = sig_material or {}
+        # fail fast on a typo'd key: a misspelled 'crl_blobs' would
+        # otherwise silently audit WITHOUT revocation checking (the
+        # append_updates style-typo lesson)
+        bad = set(sm) - {"trust_pems", "crl_blobs", "ocsp_ders"}
+        if bad:
+            raise ValueError(f"unknown sig_material keys {sorted(bad)} "
+                             "(trust_pems | crl_blobs | ocsp_ders)")
+
+        def extract_fn(c, _sm=sm):
+            return validate_signatures_over(
+                c, trust_pems=_sm.get("trust_pems"),
+                crl_blobs=_sm.get("crl_blobs"),
+                ocsp_ders=_sm.get("ocsp_ders"))
+        metrics_fn = sigaudit_metrics
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
-                         "wat | dedup)")
+                         "wat | dedup | sigaudit)")
+    if sig_material is not None and mode != "sigaudit":
+        raise ValueError("sig_material is only valid with "
+                         "mode='sigaudit'")
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
@@ -204,15 +230,39 @@ def main(argv=None) -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--mode",
-                    choices=("pdf", "html", "wet", "wat", "dedup"),
+                    choices=("pdf", "html", "wet", "wat", "dedup",
+                             "sigaudit"),
                     default="pdf")
+    # sigaudit material: os.pathsep-separated file paths, read on the
+    # driver and shipped into task closures (works on a real cluster
+    # where executors lack the driver's filesystem); omit to fall
+    # through to the executor-side $PDFIO_SPARK_* env lookup
+    ap.add_argument("--trust-pems", default=None)
+    ap.add_argument("--crl-pems", default=None)
+    ap.add_argument("--ocsp-ders", default=None)
     args = ap.parse_args(argv)
+
+    sig_material = None
+    if args.mode == "sigaudit":
+        import os
+
+        def _read_all(spec):
+            if not spec:
+                return None
+            return [open(p, "rb").read()
+                    for p in spec.split(os.pathsep) if p]
+        sig_material = {
+            k: v for k, v in
+            (("trust_pems", _read_all(args.trust_pems)),
+             ("crl_blobs", _read_all(args.crl_pems)),
+             ("ocsp_ders", _read_all(args.ocsp_ders))) if v is not None}
 
     from .session import get_spark
     spark = get_spark(cpus=args.cpus, app="pdfio_spark_job")
     spark.sparkContext.setLogLevel("WARN")
     out = run_job(spark, args.input, args.output, args.metrics,
-                  args.resume, mode=args.mode)
+                  args.resume, mode=args.mode,
+                  sig_material=sig_material)
     print(out)
     spark.stop()
 

@@ -19,7 +19,7 @@ from .job import _EXTRACT_DDL, _extract_batches
 
 __all__ = ["stream_extract", "stream_metrics", "stream_dedup",
            "stream_neardup", "neardup_keep_decisions",
-           "stream_ingest_wet"]
+           "stream_ingest_wet", "stream_ingest_wat", "stream_sigaudit"]
 
 
 def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
@@ -268,6 +268,37 @@ def stream_ingest_wat(spark: SparkSession, input_dir: str,
            .option("maxFilesPerTrigger", 8)
            .parquet(input_dir))
     writer = (annotate_wat(src).writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_sigaudit(spark: SparkSession, input_dir: str,
+                    checkpoint_dir: str, output_dir: str,
+                    trust_pems=None, crl_blobs=None, ocsp_ders=None,
+                    available_now: bool = True):
+    """Streaming twin of run.py --mode sigaudit: file-source stream
+    of (url, html) documents -> per-signature audit rows
+    (job.validate_signatures_over — trust/CRL/OCSP bytes snapshotted
+    into the task closure at plan build time, the only way driver
+    material reaches executors) -> parquet sink, exactly-once via the
+    checkpoint. CMS parse + verify is CPU-bound per row, so each
+    micro-batch fans out across every core (the stream_extract
+    lesson)."""
+    from .job import validate_signatures_over
+    src = (spark.readStream
+           .schema("url string, html binary")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    par = spark.sparkContext.defaultParallelism
+    audited = validate_signatures_over(
+        src.repartition(par), trust_pems=trust_pems,
+        crl_blobs=crl_blobs, ocsp_ders=ocsp_ders)
+    writer = (audited.writeStream
               .format("parquet")
               .option("path", output_dir)
               .option("checkpointLocation", checkpoint_dir)

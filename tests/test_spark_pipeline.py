@@ -790,6 +790,84 @@ def test_stream_ingest_wat(spark, tmp_path):
     assert spark.read.parquet(outp).count() == 12  # nothing reprocessed
 
 
+def test_run_job_sigaudit_mode_resume(spark, tmp_path):
+    """run.py --mode sigaudit (r6): corpus signature audit under the
+    resume/metrics/run_id contract, with OCSP revocation material
+    shipped into executor closures via sig_material."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.fixtures import (build_fixture, make_signed_pdf,
+                                      test_trust_pems)
+    from pdfio_spark.pipeline.run import run_job
+    crl, resp = _revocation_blobs()
+    rows = ([(f"sig://{i}",
+              bytearray(make_signed_pdf([f"b{i}"], identity="leaf")))
+             for i in range(8)]
+            + [("sig://nosig", bytearray(build_fixture(
+                "flate_simple", ["x"]))),
+               ("sig://bad", bytearray(b"%PDF-nope"))])
+    inp = str(tmp_path / "sa_in")
+    outp = str(tmp_path / "sa_out")
+    met = str(tmp_path / "sa_met")
+    spark.createDataFrame(rows, "url string, html binary") \
+        .write.parquet(inp)
+    mat = {"trust_pems": [bytes(p) for p in test_trust_pems()],
+           "ocsp_ders": [resp]}
+    r1 = run_job(spark, inp, outp, met, mode="sigaudit", run_id="s1",
+                 sig_material=mat)
+    assert r1["by_status"] == {"ok": 8, "nosig": 1, "error": 1}
+    out = spark.read.parquet(outp)
+    # the stapled OCSP response revokes every leaf signature
+    assert out.filter("passed").count() == 0
+    assert (out.filter("err = 'revoked signer certificate'").count()
+            == 8)
+    # resume appends only the new docs
+    more = [(f"sig://n{i}",
+             bytearray(make_signed_pdf(["m"], identity="leaf")))
+            for i in range(3)]
+    spark.createDataFrame(more, "url string, html binary") \
+        .write.mode("append").parquet(inp)
+    r2 = run_job(spark, inp, outp, met, mode="sigaudit", resume=True,
+                 run_id="s2", sig_material=mat)
+    assert r2["written"] == 3
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_rows")).collect()[0][0] == 13
+    assert m.agg(F.sum("n_revoked")).collect()[0][0] == 11
+    assert m.agg(F.sum("n_nosig")).collect()[0][0] == 1
+    assert m.agg(F.sum("n_error")).collect()[0][0] == 1
+    # typo'd sig_material key / wrong-mode material fail driver-side
+    with pytest.raises(ValueError):
+        run_job(spark, inp, outp, met, mode="sigaudit",
+                sig_material={"crls": [crl]})
+    with pytest.raises(ValueError):
+        run_job(spark, inp, outp, met, mode="pdf", sig_material={})
+
+
+def test_stream_sigaudit(spark, tmp_path):
+    """Streaming twin of --mode sigaudit: exactly-once per-signature
+    audit rows; restart with the same checkpoint reprocesses
+    nothing."""
+    from pdfio_spark.fixtures import make_signed_pdf, test_trust_pems
+    from pdfio_spark.pipeline.streaming import stream_sigaudit
+    inp = str(tmp_path / "ssig_in")
+    chk = str(tmp_path / "ssig_chk")
+    outp = str(tmp_path / "ssig_out")
+    rows = [(f"s://{i}",
+             bytearray(make_signed_pdf([f"x{i}"], identity="leaf")))
+            for i in range(6)]
+    spark.createDataFrame(rows, "url string, html binary") \
+        .write.parquet(inp)
+    trust = [bytes(p) for p in test_trust_pems()]
+    q = stream_sigaudit(spark, inp, chk, outp, trust_pems=trust)
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    assert out.count() == 6
+    assert out.filter("passed").count() == 6
+    assert out.filter("signer = 'CN=pdfio-spark-leaf'").count() == 6
+    q2 = stream_sigaudit(spark, inp, chk, outp, trust_pems=trust)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(outp).count() == 6  # nothing reprocessed
+
+
 def test_run_job_dedup_mode_crash_resume(spark, tmp_path):
     """Production dedup path (r6): run_job --mode dedup writes one
     keep decision per url under the resume/metrics/run_id contract.
