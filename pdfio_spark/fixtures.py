@@ -1149,6 +1149,97 @@ def test_trust_pems() -> list[bytes]:
             for f in TRUST_STORE_FILES]
 
 
+def sig_identity(name: str):
+    """-> (cert, private_key) of a packaged synthetic signing
+    identity: 'ca' | 'leaf' | 'untrusted' | 'ec' | 'expired'. Shared
+    by the revocation-material builders below and the signature tests
+    (one loader, not three copies — r6 review)."""
+    import importlib.resources as ir
+    from cryptography import x509
+    from cryptography.hazmat.primitives.serialization import (
+        load_pem_private_key)
+    fname = {"ca": "sig_ca_identity.pem",
+             "leaf": "sig_leaf_identity.pem",
+             "untrusted": "sig_untrusted_identity.pem",
+             "ec": "sig_ec_identity.pem",
+             "expired": "sig_expired_identity.pem"}[name]
+    pem = (ir.files("pdfio_spark") / "data" / fname).read_bytes()
+    return (x509.load_pem_x509_certificates(pem)[0],
+            load_pem_private_key(pem, password=None))
+
+
+def make_crl(serials, revoked_at=None, signer="ca") -> bytes:
+    """PEM CRL revoking `serials`, issued under the packaged CA's
+    subject and signed by `signer`'s key (signer != 'ca' builds the
+    unauthenticated negative)."""
+    import datetime
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.serialization import Encoding
+    ca_cert, _ = sig_identity("ca")
+    _, key = sig_identity(signer)
+    when = revoked_at or datetime.datetime(2020, 1, 1)
+    b = (x509.CertificateRevocationListBuilder()
+         .issuer_name(ca_cert.subject)
+         .last_update(when)
+         .next_update(when + datetime.timedelta(days=3650)))
+    for s in serials:
+        b = b.add_revoked_certificate(
+            x509.RevokedCertificateBuilder()
+            .serial_number(s).revocation_date(when).build())
+    return b.sign(key, hashes.SHA256()).public_bytes(Encoding.PEM)
+
+
+def make_ocsp_response(target="leaf", revoked=True, revoked_at=None,
+                       signer="ca", delegate=False) -> bytes:
+    """DER OCSP response for `target`'s packaged cert under the CA,
+    signed by `signer`'s key — or, with delegate=True, by a freshly
+    generated responder cert the CA issues for id-kp-OCSPSigning and
+    carries inside the response (RFC 6960 4.2.2.2)."""
+    import datetime
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.serialization import Encoding
+    from cryptography.x509 import ocsp
+    ca_cert, ca_key = sig_identity("ca")
+    tgt_cert, _ = sig_identity(target)
+    sign_cert, sign_key = sig_identity(signer)
+    when = datetime.datetime(2020, 1, 1)
+    extra = []
+    if delegate:
+        from cryptography.hazmat.primitives.asymmetric import rsa
+        dkey = rsa.generate_private_key(public_exponent=65537,
+                                        key_size=2048)
+        dcert = (x509.CertificateBuilder()
+                 .subject_name(x509.Name([x509.NameAttribute(
+                     x509.NameOID.COMMON_NAME, "ocsp-delegate")]))
+                 .issuer_name(ca_cert.subject)
+                 .public_key(dkey.public_key())
+                 .serial_number(x509.random_serial_number())
+                 .not_valid_before(datetime.datetime(2015, 1, 1))
+                 .not_valid_after(datetime.datetime(2099, 1, 1))
+                 .add_extension(x509.ExtendedKeyUsage(
+                     [x509.oid.ExtendedKeyUsageOID.OCSP_SIGNING]),
+                     critical=False)
+                 .sign(ca_key, hashes.SHA256()))
+        sign_cert, sign_key = dcert, dkey
+        extra = [dcert]
+    b = (ocsp.OCSPResponseBuilder()
+         .add_response(
+             cert=tgt_cert, issuer=ca_cert,
+             algorithm=hashes.SHA256(),
+             cert_status=(ocsp.OCSPCertStatus.REVOKED if revoked
+                          else ocsp.OCSPCertStatus.GOOD),
+             this_update=when,
+             next_update=when + datetime.timedelta(days=3650),
+             revocation_time=(revoked_at or when) if revoked else None,
+             revocation_reason=None)
+         .responder_id(ocsp.OCSPResponderEncoding.NAME, sign_cert))
+    if extra:
+        b = b.certificates(extra)
+    return b.sign(sign_key, hashes.SHA256()).public_bytes(Encoding.DER)
+
+
 def _test_identity(which: str = "default"):
     """-> (signer_cert, key, extra_certs). extra_certs = further certs
     in the PEM (e.g. the issuing CA for 'leaf') to embed in the CMS."""

@@ -395,10 +395,15 @@ def _load_ocsps(blobs) -> list:
     from cryptography.x509 import ocsp as _ocsp
     out = []
     for b in blobs:
-        if hasattr(b, "tbs_response_bytes"):  # already loaded
-            out.append(b)
-        else:
+        if isinstance(b, (bytes, bytearray, memoryview)):
             out.append(_ocsp.load_der_ocsp_response(bytes(b)))
+        else:
+            # already a loaded OCSPResponse. Detect by TYPE, not by
+            # probing a data property: tbs_response_bytes RAISES
+            # ValueError (not AttributeError) on a loaded
+            # non-SUCCESSFUL response, so hasattr-probing crashed on
+            # objects the docstring accepts (r6 review)
+            out.append(b)
     return out
 
 

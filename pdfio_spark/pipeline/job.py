@@ -734,10 +734,11 @@ def validate_signatures_over(corpus: DataFrame,
 
 def sigaudit_metrics(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage for the signature-audit path: output
-    rows (one per signature), docs with signatures, pass/revoked/
-    untrusted classes, and the nosig/error tallies — sums read only
-    columns the output rows carry, so the crash reconcile pass stays
-    exact (the wat_metrics rule)."""
+    rows, SIGNATURE rows (status='ok' — a 3-signature doc contributes
+    3, this is per-signature, not per-doc), pass/revoked/untrusted
+    classes, and the nosig/error doc tallies — sums read only columns
+    the output rows carry, so the crash reconcile pass stays exact
+    (the wat_metrics rule)."""
     return (extracted
             .withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")

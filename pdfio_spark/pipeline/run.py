@@ -249,8 +249,12 @@ def main(argv=None) -> None:
         def _read_all(spec):
             if not spec:
                 return None
-            return [open(p, "rb").read()
-                    for p in spec.split(os.pathsep) if p]
+            blobs = []
+            for p in spec.split(os.pathsep):
+                if p:
+                    with open(p, "rb") as f:
+                        blobs.append(f.read())
+            return blobs
         sig_material = {
             k: v for k, v in
             (("trust_pems", _read_all(args.trust_pems)),

@@ -362,36 +362,12 @@ class TestSignatureValidation:
 
     @staticmethod
     def _make_crl(serials, revoked_at=None, signer="ca"):
-        """CRL signed by the packaged CA (or another identity for the
-        wrong-signer negative), revoking `serials`."""
-        import datetime
-        import importlib.resources as ir
-        from cryptography import x509
-        from cryptography.hazmat.primitives import hashes
-        from cryptography.hazmat.primitives.serialization import (
-            Encoding, load_pem_private_key)
-        fname = {"ca": "sig_ca_identity.pem",
-                 "untrusted": "sig_untrusted_identity.pem"}[signer]
-        pem = (ir.files("pdfio_spark") / "data" / fname).read_bytes()
-        cert = x509.load_pem_x509_certificates(pem)[0]
-        key = load_pem_private_key(pem, password=None)
-        when = revoked_at or datetime.datetime(2020, 1, 1)
-        b = (x509.CertificateRevocationListBuilder()
-             .issuer_name(cert.subject)
-             .last_update(when)
-             .next_update(when + datetime.timedelta(days=3650)))
-        for s in serials:
-            b = b.add_revoked_certificate(
-                x509.RevokedCertificateBuilder()
-                .serial_number(s).revocation_date(when).build())
-        return b.sign(key, hashes.SHA256()).public_bytes(Encoding.PEM)
+        from pdfio_spark.fixtures import make_crl
+        return make_crl(serials, revoked_at=revoked_at, signer=signer)
 
     def _leaf_serial(self):
-        import importlib.resources as ir
-        from cryptography import x509
-        pem = (ir.files("pdfio_spark") / "data"
-               / "sig_leaf_identity.pem").read_bytes()
-        return x509.load_pem_x509_certificates(pem)[0].serial_number
+        from pdfio_spark.fixtures import sig_identity
+        return sig_identity("leaf")[0].serial_number
 
     def test_crl_revoked_leaf_fails(self):
         from pdfio_spark.fixtures import make_signed_pdf
@@ -570,72 +546,9 @@ class TestSignatureValidation:
     # stapled half of the revocation story beside the CRL plane) ----
 
     @staticmethod
-    def _identity(name):
-        import importlib.resources as ir
-        from cryptography import x509
-        from cryptography.hazmat.primitives.serialization import (
-            load_pem_private_key)
-        fname = {"ca": "sig_ca_identity.pem",
-                 "leaf": "sig_leaf_identity.pem",
-                 "untrusted": "sig_untrusted_identity.pem"}[name]
-        pem = (ir.files("pdfio_spark") / "data" / fname).read_bytes()
-        return (x509.load_pem_x509_certificates(pem)[0],
-                load_pem_private_key(pem, password=None))
-
-    @classmethod
-    def _make_ocsp(cls, target="leaf", revoked=True, revoked_at=None,
-                   signer="ca", delegate=False):
-        """DER OCSP response for `target`'s cert under the packaged
-        CA, signed by `signer`'s key (or by an in-test delegated
-        responder cert the CA issued for id-kp-OCSPSigning when
-        delegate=True)."""
-        import datetime
-        from cryptography import x509
-        from cryptography.hazmat.primitives import hashes
-        from cryptography.hazmat.primitives.serialization import (
-            Encoding)
-        from cryptography.x509 import ocsp
-        ca_cert, ca_key = cls._identity("ca")
-        tgt_cert, _ = cls._identity(target)
-        _, sign_key = cls._identity(signer)
-        sign_cert = cls._identity(signer)[0]
-        when = datetime.datetime(2020, 1, 1)
-        rt = revoked_at or when
-        extra = []
-        if delegate:
-            # responder cert the CA delegates OCSP signing to
-            from cryptography.hazmat.primitives.asymmetric import rsa
-            dkey = rsa.generate_private_key(public_exponent=65537,
-                                            key_size=2048)
-            dcert = (x509.CertificateBuilder()
-                     .subject_name(x509.Name([x509.NameAttribute(
-                         x509.NameOID.COMMON_NAME, "ocsp-delegate")]))
-                     .issuer_name(ca_cert.subject)
-                     .public_key(dkey.public_key())
-                     .serial_number(x509.random_serial_number())
-                     .not_valid_before(datetime.datetime(2015, 1, 1))
-                     .not_valid_after(datetime.datetime(2099, 1, 1))
-                     .add_extension(x509.ExtendedKeyUsage(
-                         [x509.oid.ExtendedKeyUsageOID.OCSP_SIGNING]),
-                         critical=False)
-                     .sign(ca_key, hashes.SHA256()))
-            sign_cert, sign_key = dcert, dkey
-            extra = [dcert]
-        b = (ocsp.OCSPResponseBuilder()
-             .add_response(
-                 cert=tgt_cert, issuer=ca_cert,
-                 algorithm=hashes.SHA256(),
-                 cert_status=(ocsp.OCSPCertStatus.REVOKED if revoked
-                              else ocsp.OCSPCertStatus.GOOD),
-                 this_update=when,
-                 next_update=when + datetime.timedelta(days=3650),
-                 revocation_time=rt if revoked else None,
-                 revocation_reason=None)
-             .responder_id(ocsp.OCSPResponderEncoding.NAME, sign_cert))
-        if extra:
-            b = b.certificates(extra)
-        return b.sign(sign_key, hashes.SHA256()).public_bytes(
-            Encoding.DER)
+    def _make_ocsp(**kw):
+        from pdfio_spark.fixtures import make_ocsp_response
+        return make_ocsp_response(**kw)
 
     def _validate_leaf_ocsp(self, ocsp_ders):
         from pdfio_spark.fixtures import make_signed_pdf
@@ -684,6 +597,26 @@ class TestSignatureValidation:
         the id-kp-OCSPSigning EKU."""
         st = self._validate_leaf_ocsp([self._make_ocsp(delegate=True)])
         assert not st["passed"]
+        assert st["error"] == "revoked signer certificate"
+
+    def test_ocsp_loaded_unsuccessful_object_tolerated(self):
+        """r6 review: a loaded non-SUCCESSFUL OCSPResponse object
+        (e.g. a responder's tryLater) must be ACCEPTED by the loader
+        and IGNORED by validation — the old hasattr probe on
+        tbs_response_bytes raised ValueError on exactly these, and
+        the same response as DER bytes was tolerated fine."""
+        from cryptography.x509 import ocsp
+        from pdfio_spark.pd import signature as S
+        unsucc = ocsp.OCSPResponseBuilder.build_unsuccessful(
+            ocsp.OCSPResponseStatus.TRY_LATER)
+        st = self._validate_leaf_ocsp([unsucc])
+        assert st["passed"]  # ignored, not crashed
+        try:
+            S.set_revocation_ocsp([unsucc])  # setter path too
+        finally:
+            S.set_revocation_ocsp(None)
+        # an unsuccessful response never masks a revoking one
+        st = self._validate_leaf_ocsp([unsucc, self._make_ocsp()])
         assert st["error"] == "revoked signer certificate"
 
     def test_ocsp_env_and_setter_precedence(self, tmp_path):

@@ -145,44 +145,12 @@ def test_run_job_resume(spark, corpus, tmp_path):
 
 def _revocation_blobs():
     """(crl_pem, ocsp_der) both revoking the packaged leaf identity,
-    signed by the packaged CA — compact local twins of the
-    test_cos.py builders (tests are not a package; no cross-file
-    import)."""
-    import datetime
-    import importlib.resources as ir
-    from cryptography import x509
-    from cryptography.hazmat.primitives import hashes
-    from cryptography.hazmat.primitives.serialization import (
-        Encoding, load_pem_private_key)
-    from cryptography.x509 import ocsp
-
-    def ident(f):
-        pem = (ir.files("pdfio_spark") / "data" / f).read_bytes()
-        return (x509.load_pem_x509_certificates(pem)[0],
-                load_pem_private_key(pem, password=None))
-
-    ca_cert, ca_key = ident("sig_ca_identity.pem")
-    leaf_cert, _ = ident("sig_leaf_identity.pem")
-    when = datetime.datetime(2020, 1, 1)
-    crl = (x509.CertificateRevocationListBuilder()
-           .issuer_name(ca_cert.subject)
-           .last_update(when)
-           .next_update(when + datetime.timedelta(days=3650))
-           .add_revoked_certificate(
-               x509.RevokedCertificateBuilder()
-               .serial_number(leaf_cert.serial_number)
-               .revocation_date(when).build())
-           .sign(ca_key, hashes.SHA256()).public_bytes(Encoding.PEM))
-    resp = (ocsp.OCSPResponseBuilder()
-            .add_response(cert=leaf_cert, issuer=ca_cert,
-                          algorithm=hashes.SHA256(),
-                          cert_status=ocsp.OCSPCertStatus.REVOKED,
-                          this_update=when,
-                          next_update=when + datetime.timedelta(days=3650),
-                          revocation_time=when, revocation_reason=None)
-            .responder_id(ocsp.OCSPResponderEncoding.NAME, ca_cert)
-            .sign(ca_key, hashes.SHA256()).public_bytes(Encoding.DER))
-    return crl, resp
+    via the shared fixtures builders (r6 review: one implementation,
+    not three)."""
+    from pdfio_spark.fixtures import (make_crl, make_ocsp_response,
+                                      sig_identity)
+    crl = make_crl([sig_identity("leaf")[0].serial_number])
+    return crl, make_ocsp_response()
 
 
 def test_validate_signatures_over(spark):

@@ -467,46 +467,19 @@ def main() -> None:
         # parse + RSA verify + chain build + CRL AND OCSP matching per
         # row (revocation material present but targeting a different
         # serial, so the whole match path runs without short-circuit)
-        import datetime
-        import importlib.resources as ir
-        from cryptography import x509
-        from cryptography.hazmat.primitives import hashes
-        from cryptography.hazmat.primitives.serialization import (
-            Encoding, load_pem_private_key)
-        from cryptography.x509 import ocsp as _ocsp
-        from pdfio_spark.fixtures import test_trust_pems
+        from pdfio_spark.fixtures import (make_crl, make_ocsp_response,
+                                          test_trust_pems)
         from pdfio_spark.pipeline.job import (gen_pdf_corpus,
                                               validate_signatures_over)
         gen_pdf_corpus(docs.select("doc_id", "text"),
                        classes=["signed_chain"]).write \
             .parquet(corpus_path)
-
-        def _ident(f):
-            pem = (ir.files("pdfio_spark") / "data" / f).read_bytes()
-            return (x509.load_pem_x509_certificates(pem)[0],
-                    load_pem_private_key(pem, password=None))
-        ca_cert, ca_key = _ident("sig_ca_identity.pem")
-        when = datetime.datetime(2020, 1, 1)
-        crl = (x509.CertificateRevocationListBuilder()
-               .issuer_name(ca_cert.subject).last_update(when)
-               .next_update(when + datetime.timedelta(days=3650))
-               .add_revoked_certificate(
-                   x509.RevokedCertificateBuilder()
-                   .serial_number(1).revocation_date(when).build())
-               .sign(ca_key, hashes.SHA256())
-               .public_bytes(Encoding.PEM))
-        resp = (_ocsp.OCSPResponseBuilder()
-                .add_response(cert=ca_cert, issuer=ca_cert,
-                              algorithm=hashes.SHA256(),
-                              cert_status=_ocsp.OCSPCertStatus.GOOD,
-                              this_update=when,
-                              next_update=when
-                              + datetime.timedelta(days=3650),
-                              revocation_time=None,
-                              revocation_reason=None)
-                .responder_id(_ocsp.OCSPResponderEncoding.NAME, ca_cert)
-                .sign(ca_key, hashes.SHA256())
-                .public_bytes(Encoding.DER))
+        # revocation material targets serials OTHER than the signing
+        # identities' (serial 1 / the CA under GOOD status), so every
+        # row pays the full CRL scan + OCSP CertID match with no
+        # revoked short-circuit
+        crl = make_crl([1])
+        resp = make_ocsp_response(target="ca", revoked=False)
         trust = [bytes(p) for p in test_trust_pems()]
 
         def run(c):
