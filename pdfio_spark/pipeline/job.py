@@ -732,6 +732,73 @@ def validate_signatures_over(corpus: DataFrame,
     return corpus.select("url", "html").mapInArrow(sigs, schema)
 
 
+#: reason tags quality_decisions can emit — filter_metrics aggregates
+#: one counter per tag, so the two stay in one place
+QUALITY_REASONS = ("too_few_words", "too_many_words", "punct_ratio",
+                   "low_stopword_ratio", "lang", "dup_words",
+                   "repetition")
+
+
+def quality_decisions(corpus: DataFrame,
+                      min_words: int = 50,
+                      max_words: int = 100_000,
+                      max_punct_ratio: float = 0.2,
+                      min_stop_ratio: float = 0.01,
+                      langs: tuple = ("en",),
+                      max_dup_word_frac: float = 0.3,
+                      max_top_bigram_frac: float = 0.18) -> DataFrame:
+    """The Gopher/C4-style quality gate of a training-data pipeline:
+    (url, text) -> per-doc keep decision with machine-readable
+    REASONS, composed from the SAME oracle-verified expression sets
+    the registry pins (queries.text_metrics_cols +
+    queries.repetition_metric_cols — the shared-kernel rule, so the
+    production gate and the driver-checked queries agree by
+    construction). Thresholds are the Rae et al. Gopher defaults
+    adapted to the available metrics; every one is a keyword so a
+    pipeline tunes per corpus.
+
+    Entirely row-local JVM expressions: no UDF, no shuffle — at
+    100 TB this is a map-only stage that runs at scan speed.
+    status: 'kept' | 'dropped' (run_job by_status contract); reasons
+    is [] when kept, every tripped rule's tag otherwise
+    (QUALITY_REASONS)."""
+    from .queries import repetition_metric_cols, text_metrics_cols
+    m = corpus.select("url", *text_metrics_cols(),
+                      *repetition_metric_cols())
+    reasons = F.array_compact(F.array(
+        F.when(F.col("n_words") < min_words, F.lit("too_few_words")),
+        F.when(F.col("n_words") > max_words, F.lit("too_many_words")),
+        F.when(F.col("punct_ratio") > max_punct_ratio,
+               F.lit("punct_ratio")),
+        F.when(F.col("stop_ratio") < min_stop_ratio,
+               F.lit("low_stopword_ratio")),
+        F.when(~F.col("pred_lang").isin(*langs), F.lit("lang")),
+        F.when(F.col("dup_word_frac") > max_dup_word_frac,
+               F.lit("dup_words")),
+        F.when(F.col("top_bigram_frac") > max_top_bigram_frac,
+               F.lit("repetition"))))
+    return (m.withColumn("reasons", reasons)
+            .withColumn("status", F.when(F.size("reasons") == 0,
+                                         "kept").otherwise("dropped")))
+
+
+def filter_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for the quality-filter path: docs
+    decided, kept, and one counter per reason tag (a doc tripping two
+    rules counts in both) — reads only output-borne columns, so the
+    crash reconcile pass stays exact (the wat_metrics rule)."""
+    aggs = [F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+             .alias("n_kept")]
+    for r in QUALITY_REASONS:
+        aggs.append(
+            F.sum(F.when(F.array_contains("reasons", r), 1)
+                  .otherwise(0)).alias(f"n_{r}"))
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id").agg(*aggs))
+
+
 def sigaudit_metrics(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage for the signature-audit path: output
     rows, SIGNATURE rows (status='ok' — a 3-signature doc contributes

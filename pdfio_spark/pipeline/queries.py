@@ -1244,21 +1244,21 @@ FROM w ORDER BY doc_id
 """
 
 
-def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition filters (training-data quality gate):
-    duplicate-word fraction and top-bigram fraction per doc, plus the
-    keep/drop decision. All row-local JVM expressions — no explode, no
-    shuffle before the final sort; at 100 TB this is a map-only stage."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
-    d = docs.select("doc_id", words.alias("w"))
-    nw = F.size("w")
+def repetition_metric_cols() -> list:
+    """Gopher-style repetition metrics over a `text` column — ONE
+    definition shared by q_repetition_filter (oracled) and the
+    production quality gate (job.quality_decisions), the
+    text_metrics_cols rule. All row-local JVM expressions."""
+    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))),
+                    r"\s+")
+    nw = F.size(words)
     dup_frac = F.round(
-        (nw - F.size(F.array_distinct("w")))
+        (nw - F.size(F.array_distinct(words)))
         / F.greatest(nw, F.lit(1)).cast("double"), 6)
     bg = F.transform(F.sequence(F.lit(1), nw - 1),
-                     lambda i: F.concat(F.element_at("w", i), F.lit(" "),
-                                        F.element_at("w", i + 1)))
+                     lambda i: F.concat(F.element_at(words, i),
+                                        F.lit(" "),
+                                        F.element_at(words, i + 1)))
     # top-bigram count = longest equal run in the SORTED bigram array:
     # O(n log n) per row (was O(n^2): per-distinct-bigram F.filter —
     # a 100k-word doc is ~10^10 comparisons inside one row, a per-row
@@ -1277,10 +1277,18 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_bg_frac = F.when(nw >= 2,
                          F.round(top / (nw - 1).cast("double"), 6)) \
         .otherwise(F.lit(0.0))
-    out = d.select(
-        "doc_id", nw.alias("n_words"),
-        dup_frac.alias("dup_word_frac"),
-        top_bg_frac.alias("top_bigram_frac"))
+    return [nw.alias("n_words"),
+            dup_frac.alias("dup_word_frac"),
+            top_bg_frac.alias("top_bigram_frac")]
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (training-data quality gate):
+    duplicate-word fraction and top-bigram fraction per doc, plus the
+    keep/drop decision. All row-local JVM expressions — no explode, no
+    shuffle before the final sort; at 100 TB this is a map-only stage."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select("doc_id", *repetition_metric_cols())
     kept = (F.col("dup_word_frac") <= 0.3) \
         & (F.col("top_bigram_frac") <= 0.18)
     return out.withColumn("kept", kept).orderBy("doc_id")

@@ -18,7 +18,9 @@ operator (job.dedup_decisions) over (url, text); --mode sigaudit
 (job.validate_signatures_over) over (url, html) — trust anchors and
 CRL/OCSP revocation material come from --trust-pems/--crl-pems/
 --ocsp-ders (driver-read, closure-shipped) or each executor's
-$PDFIO_SPARK_* env. All modes share the
+$PDFIO_SPARK_* env; --mode filter (r6) runs the Gopher/C4-style
+quality gate (job.quality_decisions) over (url, text) — keep
+decisions with per-rule reason tags, map-only. All modes share the
 resume/metrics/run_id-reconcile contract (dedup resume re-derives the
 corpus-global decisions and appends only unwritten rows — see
 run_job).
@@ -93,6 +95,9 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "wat":
         from .job import annotate_wat, wat_metrics
         extract_fn, metrics_fn = annotate_wat, wat_metrics
+    elif mode == "filter":
+        from .job import filter_metrics, quality_decisions
+        extract_fn, metrics_fn = quality_decisions, filter_metrics
     elif mode == "sigaudit":
         from .job import sigaudit_metrics, validate_signatures_over
         sm = sig_material or {}
@@ -112,7 +117,7 @@ def run_job(spark, input_path: str, output_path: str,
         metrics_fn = sigaudit_metrics
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
-                         "wat | dedup | sigaudit)")
+                         "wat | dedup | sigaudit | filter)")
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
@@ -121,6 +126,7 @@ def run_job(spark, input_path: str, output_path: str,
     src = spark.read.parquet(input_path)
     # column pruning reaches the scan: each mode reads only its columns
     cols = {"wet": ["url", "text"], "dedup": ["url", "text"],
+            "filter": ["url", "text"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
                                                       ["url", "html"])
     corpus = src.select(*cols)
@@ -231,7 +237,7 @@ def main(argv=None) -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--mode",
                     choices=("pdf", "html", "wet", "wat", "dedup",
-                             "sigaudit"),
+                             "sigaudit", "filter"),
                     default="pdf")
     # sigaudit material: os.pathsep-separated file paths, read on the
     # driver and shipped into task closures (works on a real cluster

@@ -19,7 +19,8 @@ from .job import _EXTRACT_DDL, _extract_batches
 
 __all__ = ["stream_extract", "stream_metrics", "stream_dedup",
            "stream_neardup", "neardup_keep_decisions",
-           "stream_ingest_wet", "stream_ingest_wat", "stream_sigaudit"]
+           "stream_ingest_wet", "stream_ingest_wat", "stream_sigaudit",
+           "stream_quality_filter"]
 
 
 def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
@@ -268,6 +269,30 @@ def stream_ingest_wat(spark: SparkSession, input_dir: str,
            .option("maxFilesPerTrigger", 8)
            .parquet(input_dir))
     writer = (annotate_wat(src).writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_quality_filter(spark: SparkSession, input_dir: str,
+                          checkpoint_dir: str, output_dir: str,
+                          available_now: bool = True, **thresholds):
+    """Streaming twin of run.py --mode filter: file-source stream of
+    (url, text) docs -> per-doc keep decisions with reason tags
+    (job.quality_decisions — stateless JVM expressions, no fan-out
+    needed: this runs at scan speed) -> parquet sink, exactly-once
+    via the checkpoint. `thresholds` pass through (min_words=...,
+    langs=..., etc.)."""
+    from .job import quality_decisions
+    src = (spark.readStream
+           .schema("url string, text string")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    writer = (quality_decisions(src, **thresholds).writeStream
               .format("parquet")
               .option("path", output_dir)
               .option("checkpointLocation", checkpoint_dir)

@@ -836,6 +836,81 @@ def test_stream_sigaudit(spark, tmp_path):
     assert spark.read.parquet(outp).count() == 6  # nothing reprocessed
 
 
+def _quality_corpus():
+    """Deterministic texts, each tripping a known rule set."""
+    distinct = " ".join(f"w{i}" for i in range(56))
+    return [
+        ("q://kept", f"the and of is {distinct}"),          # clean
+        # 11 words: under the floor, but enough that 1/(nw-1) top-
+        # bigram frac stays below the repetition threshold
+        ("q://short", "the " + " ".join(f"t{i}" for i in range(10))),
+        ("q://rep", "the " + "spam ham " * 40),             # repetition
+        # German lang-id words + English STOPWORDS that are not in
+        # the en lang-id set (a/to/in/it), isolating the lang reason
+        ("q://de", "der und die ist a to in it " + distinct),
+    ]
+
+
+def test_quality_decisions_and_run_job_filter_mode(spark, tmp_path):
+    """The Gopher/C4-style quality gate (r6): keep decisions with
+    per-rule reason tags, composed from the oracled metric kernels,
+    under the full resume/metrics/run_id contract."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import quality_decisions
+    from pdfio_spark.pipeline.run import run_job
+    corpus = spark.createDataFrame(_quality_corpus(),
+                                   "url string, text string")
+    out = {r["url"]: r for r in quality_decisions(corpus).collect()}
+    assert out["q://kept"]["status"] == "kept"
+    assert out["q://kept"]["reasons"] == []
+    assert out["q://short"]["reasons"] == ["too_few_words"]
+    assert set(out["q://rep"]["reasons"]) == {"dup_words", "repetition"}
+    assert out["q://de"]["reasons"] == ["lang"]
+    assert out["q://de"]["pred_lang"] == "de"
+    # thresholds are tunable: admit German, drop the word floor
+    out2 = {r["url"]: r for r in quality_decisions(
+        corpus, langs=("en", "de"), min_words=1).collect()}
+    assert out2["q://de"]["status"] == "kept"
+    assert out2["q://short"]["status"] == "kept"
+
+    # production contract
+    inp = str(tmp_path / "qf_in")
+    outp = str(tmp_path / "qf_out")
+    met = str(tmp_path / "qf_met")
+    corpus.write.parquet(inp)
+    r1 = run_job(spark, inp, outp, met, mode="filter", run_id="f1")
+    assert r1["by_status"] == {"kept": 1, "dropped": 3}
+    spark.createDataFrame([("q://new", "the and of is " + " ".join(
+        f"x{i}" for i in range(56)))], "url string, text string") \
+        .write.mode("append").parquet(inp)
+    r2 = run_job(spark, inp, outp, met, mode="filter", resume=True,
+                 run_id="f2")
+    assert r2["written"] == 1 and r2["by_status"] == {"kept": 1}
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 5
+    assert m.agg(F.sum("n_kept")).collect()[0][0] == 2
+    assert m.agg(F.sum("n_repetition")).collect()[0][0] == 1
+    assert m.agg(F.sum("n_lang")).collect()[0][0] == 1
+
+
+def test_stream_quality_filter(spark, tmp_path):
+    """Streaming twin of --mode filter: exactly-once decisions."""
+    from pdfio_spark.pipeline.streaming import stream_quality_filter
+    inp = str(tmp_path / "sqf_in")
+    chk = str(tmp_path / "sqf_chk")
+    outp = str(tmp_path / "sqf_out")
+    spark.createDataFrame(_quality_corpus(),
+                          "url string, text string").write.parquet(inp)
+    q = stream_quality_filter(spark, inp, chk, outp)
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    assert out.count() == 4
+    assert out.filter("status = 'kept'").count() == 1
+    q2 = stream_quality_filter(spark, inp, chk, outp)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(outp).count() == 4  # nothing reprocessed
+
+
 def test_run_job_dedup_mode_crash_resume(spark, tmp_path):
     """Production dedup path (r6): run_job --mode dedup writes one
     keep decision per url under the resume/metrics/run_id contract.
