@@ -61,7 +61,8 @@ def make_cc_table(docs, classes=None):
 def run_job(spark, input_path: str, output_path: str,
             metrics_path: str | None = None, resume: bool = False,
             mode: str = "pdf", run_id: str | None = None,
-            sig_material: dict | None = None) -> dict:
+            sig_material: dict | None = None,
+            filter_opts: dict | None = None) -> dict:
     """mode='pdf' (default): full PDF parse stack. mode='html': the
     web-page half — DOM block-scoring boilerplate strip over the same
     (url, html binary) table shape, same resume/metrics contract.
@@ -96,8 +97,23 @@ def run_job(spark, input_path: str, output_path: str,
         from .job import annotate_wat, wat_metrics
         extract_fn, metrics_fn = annotate_wat, wat_metrics
     elif mode == "filter":
+        import inspect
         from .job import filter_metrics, quality_decisions
-        extract_fn, metrics_fn = quality_decisions, filter_metrics
+        fo = filter_opts or {}
+        # fail fast on a typo'd threshold name: 'min_word' would
+        # otherwise silently run the Gopher defaults (the sig_material
+        # key lesson). Defaults are tuned for real web text — a real
+        # corpus run is EXPECTED to tune these (100%-drop on synthetic
+        # short-text corpora is faithful, not a bug)
+        valid = set(inspect.signature(quality_decisions).parameters)
+        bad = set(fo) - (valid - {"corpus"})
+        if bad:
+            raise ValueError(f"unknown filter_opts keys {sorted(bad)} "
+                             f"(valid: {sorted(valid - {'corpus'})})")
+
+        def extract_fn(c, _fo=fo):
+            return quality_decisions(c, **_fo)
+        metrics_fn = filter_metrics
     elif mode == "sigaudit":
         from .job import sigaudit_metrics, validate_signatures_over
         sm = sig_material or {}
@@ -121,6 +137,9 @@ def run_job(spark, input_path: str, output_path: str,
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
+    if filter_opts is not None and mode != "filter":
+        raise ValueError("filter_opts is only valid with "
+                         "mode='filter'")
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
@@ -246,7 +265,15 @@ def main(argv=None) -> None:
     ap.add_argument("--trust-pems", default=None)
     ap.add_argument("--crl-pems", default=None)
     ap.add_argument("--ocsp-ders", default=None)
+    # --mode filter thresholds as a JSON object, e.g.
+    # --filter-opts '{"min_words": 10, "langs": ["en", "de"]}'
+    ap.add_argument("--filter-opts", default=None)
     args = ap.parse_args(argv)
+
+    filter_opts = None
+    if args.filter_opts is not None:
+        import json
+        filter_opts = json.loads(args.filter_opts)
 
     sig_material = None
     if args.mode == "sigaudit":
@@ -272,7 +299,7 @@ def main(argv=None) -> None:
     spark.sparkContext.setLogLevel("WARN")
     out = run_job(spark, args.input, args.output, args.metrics,
                   args.resume, mode=args.mode,
-                  sig_material=sig_material)
+                  sig_material=sig_material, filter_opts=filter_opts)
     print(out)
     spark.stop()
 

@@ -891,6 +891,17 @@ def test_quality_decisions_and_run_job_filter_mode(spark, tmp_path):
     assert m.agg(F.sum("n_kept")).collect()[0][0] == 2
     assert m.agg(F.sum("n_repetition")).collect()[0][0] == 1
     assert m.agg(F.sum("n_lang")).collect()[0][0] == 1
+    # filter_opts thresholds flow through run_job; typo'd keys and
+    # wrong-mode opts fail driver-side
+    outp2 = str(tmp_path / "qf_out2")
+    r3 = run_job(spark, inp, outp2, None, mode="filter", run_id="f3",
+                 filter_opts={"langs": ["en", "de"], "min_words": 1})
+    assert r3["by_status"] == {"kept": 4, "dropped": 1}
+    with pytest.raises(ValueError):
+        run_job(spark, inp, outp2, None, mode="filter",
+                filter_opts={"min_word": 1})
+    with pytest.raises(ValueError):
+        run_job(spark, inp, outp2, None, mode="pdf", filter_opts={})
 
 
 def test_stream_quality_filter(spark, tmp_path):

@@ -62,7 +62,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def _soak_run_job(spark, rows_df, job_mode: str, mode: str, smj: bool,
-                  soak_dir: str) -> None:
+                  soak_dir: str, **run_kw) -> None:
     """Shared harness for run_job-surfaced soak modes (wat, rundedup):
     materialize the input like a crawl table, time EVERYTHING run_job
     does (transform + both parquet appends), report one JSON line,
@@ -77,7 +77,7 @@ def _soak_run_job(spark, rows_df, job_mode: str, mode: str, smj: bool,
     rows_df.write.parquet(inp)
     n = spark.read.parquet(inp).count()
     t0 = _t.perf_counter()
-    r = run_job(spark, inp, outp, met, mode=job_mode)
+    r = run_job(spark, inp, outp, met, mode=job_mode, **run_kw)
     dt = _t.perf_counter() - t0
     print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
                       "written": r["written"],
@@ -432,6 +432,31 @@ def main() -> None:
                         .alias("url"), "text")
                 .limit(n_docs).repartition(cpus * 2))
         _soak_run_job(spark, docs, "dedup", mode, smj, soak_dir)
+        return
+
+    if mode == "runfilter":
+        # the quality gate through run_job --mode filter: sf0.1 texts
+        # replicated with a distinct-url suffix, the decision pass +
+        # both parquet appends timed. Map-only JVM expressions — like
+        # wat, this measures the production contract's overhead
+        # ceiling for an expression-plane stage (the repetition
+        # aggregate is the only per-row heavy hitter).
+        tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        k = max(1, n_docs // max(tbl.count(), 1))
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        docs = (tbl.select("doc_id", "text").crossJoin(reps)
+                .select(F.concat(F.lit("doc://"),
+                                 F.col("doc_id") * k + F.col("rep"))
+                        .alias("url"), "text")
+                .limit(n_docs).repartition(cpus * 2))
+        # thresholds fitted to the synthetic corpus (16-65-word texts
+        # with small vocabularies — Gopher web defaults drop 100% of
+        # them, faithfully but uselessly for a soak): the mix below
+        # keeps ~half, so both decision paths and every reason
+        # counter are exercised at 1M
+        _soak_run_job(spark, docs, "filter", mode, smj, soak_dir,
+                      filter_opts={"min_words": 30,
+                                   "max_dup_word_frac": 0.55})
         return
 
     from bench import replicate_corpus
