@@ -922,6 +922,51 @@ def test_stream_quality_filter(spark, tmp_path):
     assert spark.read.parquet(outp).count() == 4  # nothing reprocessed
 
 
+def test_training_pipeline_filter_then_dedup(spark, tmp_path):
+    """The composed training-data prep a real pipeline runs: quality
+    gate FIRST (cheap map-only pass shrinks the corpus), dedup on the
+    survivors, final corpus = kept ∩ quality-passed. Both stages
+    through run_job, chained on parquet — the multi-stage launch
+    shape at 100 TB (each stage resumable independently)."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.run import run_job
+    # distinct docs use disjoint vocabularies: one shared token in 60
+    # must NOT trip the near-dup stage (it correctly lumps texts that
+    # differ in a single word — an earlier fixture learned that)
+    def text(i):
+        return ("the and of is "
+                + " ".join(f"w{i}x{j}" for j in range(56)))
+    rows = ([(f"p://{i}", text(i)) for i in range(6)]
+            # 3 exact copies of doc 0's text under new urls
+            + [(f"p://dup{i}", text(0)) for i in range(3)]
+            + [("p://junk", "spam ham " * 40)])
+    inp = str(tmp_path / "tp_in")
+    fout = str(tmp_path / "tp_filtered")
+    dout = str(tmp_path / "tp_decisions")
+    spark.createDataFrame(rows, "url string, text string") \
+        .write.parquet(inp)
+    # stage 1: quality gate
+    r1 = run_job(spark, inp, fout, None, mode="filter", run_id="tp1")
+    assert r1["by_status"] == {"kept": 9, "dropped": 1}
+    # stage 2: dedup over the kept docs — needs (url, text); the
+    # decision output carries metrics, not text, so join back
+    kept = (spark.read.parquet(fout).filter("status = 'kept'")
+            .select("url"))
+    src = spark.read.parquet(inp)
+    kin = str(tmp_path / "tp_kept")
+    src.join(kept, "url").write.parquet(kin)
+    r2 = run_job(spark, kin, dout, None, mode="dedup", run_id="tp2")
+    assert r2["written"] == 9
+    dec = spark.read.parquet(dout)
+    # doc 0's text has 4 urls total -> 1 kept, 3 exact dups
+    assert dec.filter("status = 'exact_dup'").count() == 3
+    final = src.join(dec.filter("status = 'kept'").select("url"),
+                     "url")
+    assert final.count() == 6  # 6 distinct quality-passing texts
+    # junk never reached dedup
+    assert dec.filter("url = 'p://junk'").count() == 0
+
+
 def test_run_job_dedup_mode_crash_resume(spark, tmp_path):
     """Production dedup path (r6): run_job --mode dedup writes one
     keep decision per url under the resume/metrics/run_id contract.
