@@ -762,9 +762,11 @@ def quality_decisions(corpus: DataFrame,
     status: 'kept' | 'dropped' (run_job by_status contract); reasons
     is [] when kept, every tripped rule's tag otherwise
     (QUALITY_REASONS)."""
-    from .queries import repetition_metric_cols, text_metrics_cols
-    m = corpus.select("url", *text_metrics_cols(),
-                      *repetition_metric_cols())
+    from .queries import (repetition_metric_cols, repetition_words_col,
+                          text_metrics_cols)
+    m = (corpus.select("url", "text", repetition_words_col())
+         .select("url", *text_metrics_cols(),
+                 *repetition_metric_cols()))
     reasons = F.array_compact(F.array(
         F.when(F.col("n_words") < min_words, F.lit("too_few_words")),
         F.when(F.col("n_words") > max_words, F.lit("too_many_words")),

@@ -1244,13 +1244,24 @@ FROM w ORDER BY doc_id
 """
 
 
-def repetition_metric_cols() -> list:
-    """Gopher-style repetition metrics over a `text` column — ONE
-    definition shared by q_repetition_filter (oracled) and the
-    production quality gate (job.quality_decisions), the
-    text_metrics_cols rule. All row-local JVM expressions."""
-    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))),
-                    r"\s+")
+def repetition_words_col():
+    """The lowered word array, bound ONCE as its own projection
+    column — the bigram transform below indexes it per element, and
+    with the split inlined every element_at re-splits the whole text:
+    O(words^2) splits, measured 11x on q_repetition_filter when an
+    r6 refactor briefly inlined it. Callers select this first, then
+    repetition_metric_cols over it."""
+    return F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))),
+                   r"\s+").alias("_rep_w")
+
+
+def repetition_metric_cols(words_col: str = "_rep_w") -> list:
+    """Gopher-style repetition metrics over the bound word array
+    (repetition_words_col) — ONE definition shared by
+    q_repetition_filter (oracled) and the production quality gate
+    (job.quality_decisions), the text_metrics_cols rule. All
+    row-local JVM expressions."""
+    words = F.col(words_col)
     nw = F.size(words)
     dup_frac = F.round(
         (nw - F.size(F.array_distinct(words)))
@@ -1288,7 +1299,8 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop decision. All row-local JVM expressions — no explode, no
     shuffle before the final sort; at 100 TB this is a map-only stage."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = docs.select("doc_id", *repetition_metric_cols())
+    out = (docs.select("doc_id", repetition_words_col())
+           .select("doc_id", *repetition_metric_cols()))
     kept = (F.col("dup_word_frac") <= 0.3) \
         & (F.col("top_bigram_frac") <= 0.18)
     return out.withColumn("kept", kept).orderBy("doc_id")
