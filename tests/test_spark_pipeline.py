@@ -1399,6 +1399,42 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
                for v in by_q.values())
 
 
+def test_ann_pq_recall_rerank_and_determinism(spark):
+    """PQ ANN (r6, completes the LSH/IVF/PQ triad): 4x16-dim
+    subspaces, 16 integer floor-mean-trained codes each (2 bytes per
+    vector), ADC shortlist + exact re-rank. Deterministic data:
+    recall@5 vs brute force is exactly 0.76 at sf0.01 with the
+    default 1.6% exact-searched shortlist; ADC alone (rerank=1)
+    collapses to 0.12 — the re-rank is load-bearing, pinned by the
+    control. Training/encode/ADC are all integer-or-literal
+    arithmetic, so two runs are row-identical."""
+    from pdfio_spark.pipeline import queries as Q
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    bf = {(r.q_id, r.vec_id)
+          for r in Q.QUERIES["q_ann_bruteforce"](spark, sf).collect()}
+    rows = Q.ann_pq_topk_over(emb).collect()
+    pq = {(r.q_id, r.vec_id) for r in rows}
+    recall = len(pq & bf) / len(bf)
+    assert recall >= 0.7, f"recall@5 {recall:.2f} below pin"
+    # ADC-only control: the shortlist re-rank is what buys the recall
+    adc_only = {(r.q_id, r.vec_id)
+                for r in Q.ann_pq_topk_over(emb, rerank=1).collect()}
+    assert len(adc_only & bf) / len(bf) < recall
+    # determinism: bit-stable training + encode
+    again = Q.ann_pq_topk_over(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # ranks are 1..topk per query, exact-cosine ordered
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append((r.rk, r.cos_sim))
+    for v in by_q.values():
+        v.sort()
+        assert [x[0] for x in v] == list(range(1, len(v) + 1))
+        sims = [x[1] for x in v]
+        assert sims == sorted(sims, reverse=True)
+
+
 def test_jaccard_candidate_cap_bounds_clique(spark):
     """VERDICT r3 caveat #1: a near-dup clique (k mutual candidates)
     must NOT replicate each doc's shingle array k times through the

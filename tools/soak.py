@@ -365,6 +365,54 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode == "pq":
+        # PQ at 100k vectors with sampled codebook training (r6, the
+        # triad's third member): codebooks train on a 10% slice, the
+        # whole corpus encodes to 4 small codes (2 bytes/vector — at
+        # 10^12 vectors that is a 2 TB codes table vs 512 TB of
+        # floats), the ADC pass scans codes, and only the shortlist
+        # (rerank*topk per query) pays exact cosines.
+        from pdfio_spark.pipeline.queries import ann_pq_topk_over
+        n_vec = n_docs if len(sys.argv) > 2 else 100_000
+        emb = _uniform_corpus(spark, n_vec, cpus)
+        plant = float(os.environ.get("SOAK_PLANT", "0"))
+        n_twin = int(n_vec * plant)
+        probe_filter = None
+        if n_twin:
+            emb = _plant_twins(emb, n_vec, n_twin, cpus)
+            # every 10th twin (~1k probes, the standing ivf-line
+            # count): PQ's ADC is a full code scan PER QUERY, so the
+            # pair count is probes x corpus — 10k probes would be
+            # 1.1B window rows for no extra statistical power
+            probe_filter = (F.col("vec_id") >= n_vec) \
+                & ((F.col("vec_id") - n_vec) % 10 == 0)
+        t0 = time.perf_counter()
+        out = ann_pq_topk_over(emb, train_frac=0.1,
+                               probe_filter=probe_filter)
+        if n_twin:
+            out = out.localCheckpoint()
+        agg = out.agg(F.count("*"),
+                      F.countDistinct("q_id")).collect()[0]
+        dt = time.perf_counter() - t0
+        res = {"mode": mode, "smj": smj, "n_vectors": n_vec,
+               "subspaces": 4, "codes": 16, "rerank": 16,
+               "train_frac": 0.1,
+               "topk_rows": int(agg[0]),
+               "queries": int(agg[1]),
+               "sec": round(dt, 1),
+               "vectors_per_sec": round(n_vec / dt, 1)}
+        if n_twin:
+            found = (out.filter(F.col("vec_id")
+                                == F.col("q_id") - n_vec)
+                     .select("q_id").distinct().count())
+            res["planted_twins"] = n_twin
+            res["probed_twins"] = int(agg[1])
+            res["planted_recall_at_5"] = round(
+                found / max(int(agg[1]), 1), 3)
+        print(json.dumps(res))
+        spark.stop()
+        return
+
     if mode == "dedup":
         from pdfio_spark.pipeline.queries import dedup_keep_list
         tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
