@@ -764,21 +764,30 @@ def quality_decisions(corpus: DataFrame,
     (QUALITY_REASONS)."""
     from .queries import (repetition_metric_cols, repetition_words_col,
                           text_metrics_cols)
+    if isinstance(langs, str):
+        # a bare "en" would otherwise unpack into isin('e', 'n') and
+        # silently drop EVERY doc with reason 'lang' (r6 review)
+        langs = (langs,)
     m = (corpus.select("url", "text", repetition_words_col())
          .select("url", *text_metrics_cols(),
                  *repetition_metric_cols()))
+    # one condition per QUALITY_REASONS tag, looked up BY the constant
+    # (a drifted tag raises KeyError here instead of leaving its
+    # filter_metrics counter permanently 0 — r6 review)
+    conds = {
+        "too_few_words": F.col("n_words") < min_words,
+        "too_many_words": F.col("n_words") > max_words,
+        "punct_ratio": F.col("punct_ratio") > max_punct_ratio,
+        "low_stopword_ratio": F.col("stop_ratio") < min_stop_ratio,
+        "lang": ~F.col("pred_lang").isin(*langs),
+        "dup_words": F.col("dup_word_frac") > max_dup_word_frac,
+        "repetition": F.col("top_bigram_frac") > max_top_bigram_frac,
+    }
+    if set(conds) != set(QUALITY_REASONS):
+        raise AssertionError("quality rule set drifted from "
+                             "QUALITY_REASONS")
     reasons = F.array_compact(F.array(
-        F.when(F.col("n_words") < min_words, F.lit("too_few_words")),
-        F.when(F.col("n_words") > max_words, F.lit("too_many_words")),
-        F.when(F.col("punct_ratio") > max_punct_ratio,
-               F.lit("punct_ratio")),
-        F.when(F.col("stop_ratio") < min_stop_ratio,
-               F.lit("low_stopword_ratio")),
-        F.when(~F.col("pred_lang").isin(*langs), F.lit("lang")),
-        F.when(F.col("dup_word_frac") > max_dup_word_frac,
-               F.lit("dup_words")),
-        F.when(F.col("top_bigram_frac") > max_top_bigram_frac,
-               F.lit("repetition"))))
+        *[F.when(conds[t], F.lit(t)) for t in QUALITY_REASONS]))
     return (m.withColumn("reasons", reasons)
             .withColumn("status", F.when(F.size("reasons") == 0,
                                          "kept").otherwise("dropped")))

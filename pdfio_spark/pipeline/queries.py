@@ -1668,9 +1668,16 @@ def pq_train(base: DataFrame, subspaces: int = PQ_SUBSPACES,
     legitimate collect (it becomes literal arrays in the encode/score
     projections, exactly like the LSH hyperplane literals).
     `train` samples the Lloyd input at scale (the ivf_train lever)."""
+    if 64 % subspaces:
+        raise ValueError(f"subspaces={subspaces} must divide 64 "
+                         "(trailing dims would be silently dropped)")
     t = train if train is not None else base
     sub = 64 // subspaces
     init = (t.orderBy("vec_id").limit(codes).collect())
+    if len(init) < codes:
+        raise ValueError(f"training set has {len(init)} vectors, "
+                         f"fewer than codes={codes} — the codebook "
+                         "would silently shrink")
     book = [[list(r["qe"][m * sub:(m + 1) * sub]) for r in init]
             for m in range(subspaces)]
     for _ in range(iters):
@@ -1738,6 +1745,9 @@ def ann_pq_topk_over(emb: DataFrame, subspaces: int = PQ_SUBSPACES,
     (3.2%) — the ADC pass touches every code row with M cheap
     lookups, the exact pass only the shortlist; IVF spends 25% exact
     for 0.72 on the same data, which is the PQ trade in one line."""
+    if 64 % subspaces:
+        raise ValueError(f"subspaces={subspaces} must divide 64 "
+                         "(trailing dims would be silently dropped)")
     sub = 64 // subspaces
     qe = F.transform(F.col("embedding"),
                      lambda x: F.round(x.cast("double") * IVF_QUANT)
@@ -1784,21 +1794,27 @@ def ann_pq_topk_over(emb: DataFrame, subspaces: int = PQ_SUBSPACES,
     probes = (base.filter(pf)
               .select(F.col("vec_id").alias("q_id"),
                       F.col("embedding").alias("q_emb"),
-                      lut.alias("lut")))
+                      lut.alias("lut"))
+              .localCheckpoint())  # tiny; scored join + rerank reuse it
     adc = F.aggregate(
         F.zip_with(F.col("lut"), F.col("pq"),
                    lambda l, c: F.element_at(l, c)),
         F.lit(0.0), lambda acc, v: acc + v)
-    short = (coded.crossJoin(F.broadcast(probes))
+    # scored rows carry only (q_id, vec_id, adc) through the window
+    # shuffle — the 64-double q_emb rides the tiny probe table and is
+    # re-joined AFTER the shortlist cut (r6 review: carrying it on
+    # every candidate row was ~20x the shuffle bytes)
+    short = (coded.crossJoin(F.broadcast(probes.select("q_id", "lut")))
              .filter(F.col("vec_id") != F.col("q_id"))
-             .select("q_id", "q_emb", "vec_id", adc.alias("adc")))
+             .select("q_id", "vec_id", adc.alias("adc")))
     ws = Window.partitionBy("q_id").orderBy(F.desc("adc"),
                                             F.asc("vec_id"))
     short = (short.withColumn("sr", F.row_number().over(ws))
              .filter(F.col("sr") <= rerank * topk)
-             .select("q_id", "q_emb", "vec_id"))
+             .select("q_id", "vec_id"))
     # exact re-rank of the shortlist only
     exact = (short.join(base.select("vec_id", "embedding"), "vec_id")
+             .join(F.broadcast(probes.select("q_id", "q_emb")), "q_id")
              .select("q_id", "vec_id",
                      _cos_expr(F.col("embedding"), F.col("q_emb"))
                      .alias("cos_sim")))

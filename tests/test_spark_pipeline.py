@@ -872,6 +872,13 @@ def test_quality_decisions_and_run_job_filter_mode(spark, tmp_path):
         corpus, langs=("en", "de"), min_words=1).collect()}
     assert out2["q://de"]["status"] == "kept"
     assert out2["q://short"]["status"] == "kept"
+    # a bare-string langs means ONE language, not its characters
+    # (isin('e','n') matched nothing and dropped every doc — r6
+    # review)
+    out3 = {r["url"]: r for r in quality_decisions(
+        corpus, langs="de", min_words=1).collect()}
+    assert out3["q://de"]["status"] == "kept"
+    assert "lang" in out3["q://kept"]["reasons"]
 
     # production contract
     inp = str(tmp_path / "qf_in")
@@ -1433,6 +1440,15 @@ def test_ann_pq_recall_rerank_and_determinism(spark):
         assert [x[0] for x in v] == list(range(1, len(v) + 1))
         sims = [x[1] for x in v]
         assert sims == sorted(sims, reverse=True)
+    # fail-fast validation (r6 review): non-divisor subspaces and a
+    # training set smaller than the codebook must raise, not silently
+    # drop dims / shrink codes
+    with pytest.raises(ValueError):
+        Q.ann_pq_topk_over(emb, subspaces=5)
+    with pytest.raises(ValueError):
+        Q.pq_train(emb.limit(4).selectExpr(
+            "vec_id", "transform(embedding, "
+            "x -> cast(round(x * 1000000) as long)) as qe"))
 
 
 def test_jaccard_candidate_cap_bounds_clique(spark):

@@ -4,8 +4,9 @@ a script): materialize an N-doc corpus to parquet, then time the
 extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
-Usage: python3 tools/soak.py [pdf|html|amend|dedup|rundedup|wat|ann|ivf|
-       stream|neardup] [n_docs]   (default pdf 1e6)
+Usage: python3 tools/soak.py [pdf|html|amend|sigaudit|dedup|rundedup|
+       runfilter|wat|ann|ivf|pq|stream|neardup] [n_docs]
+       (default pdf 1e6)
 
 stream mode: n_docs PDFs (default 100k) through the exactly-once
 streaming ingest (stream_extract: readStream -> extraction UDF ->
@@ -87,6 +88,22 @@ def _soak_run_job(spark, rows_df, job_mode: str, mode: str, smj: bool,
     for p in (inp, outp, met):
         shutil.rmtree(p, ignore_errors=True)
     spark.stop()
+
+
+def _replicated_url_corpus(spark, sf_dir: str, n_docs: int, cpus: int):
+    """(url, text) corpus of ~n_docs rows: the sf table's texts
+    replicated under distinct doc:// urls — shared by the rundedup
+    and runfilter soaks (one builder, not two copies — r6 review).
+    Floor-division of the replication factor means the materialized
+    count is count*k <= n_docs, not exactly n_docs."""
+    tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = max(1, n_docs // max(tbl.count(), 1))
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    return (tbl.select("doc_id", "text").crossJoin(reps)
+            .select(F.concat(F.lit("doc://"),
+                             F.col("doc_id") * k + F.col("rep"))
+                    .alias("url"), "text")
+            .limit(n_docs).repartition(cpus * 2))
 
 
 def _uniform_corpus(spark, n_vec: int, cpus: int):
@@ -471,14 +488,7 @@ def main() -> None:
         # half = everything run_job does (decide + anti-join + two
         # appends), reading a pre-materialized input like a real crawl
         # table.
-        tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        k = max(1, n_docs // max(tbl.count(), 1))
-        reps = spark.range(k).select(F.col("id").alias("rep"))
-        docs = (tbl.select("doc_id", "text").crossJoin(reps)
-                .select(F.concat(F.lit("doc://"),
-                                 F.col("doc_id") * k + F.col("rep"))
-                        .alias("url"), "text")
-                .limit(n_docs).repartition(cpus * 2))
+        docs = _replicated_url_corpus(spark, sf_dir, n_docs, cpus)
         _soak_run_job(spark, docs, "dedup", mode, smj, soak_dir)
         return
 
@@ -489,14 +499,7 @@ def main() -> None:
         # wat, this measures the production contract's overhead
         # ceiling for an expression-plane stage (the repetition
         # aggregate is the only per-row heavy hitter).
-        tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        k = max(1, n_docs // max(tbl.count(), 1))
-        reps = spark.range(k).select(F.col("id").alias("rep"))
-        docs = (tbl.select("doc_id", "text").crossJoin(reps)
-                .select(F.concat(F.lit("doc://"),
-                                 F.col("doc_id") * k + F.col("rep"))
-                        .alias("url"), "text")
-                .limit(n_docs).repartition(cpus * 2))
+        docs = _replicated_url_corpus(spark, sf_dir, n_docs, cpus)
         # thresholds fitted to the synthetic corpus (16-65-word texts
         # with small vocabularies — Gopher web defaults drop 100% of
         # them, faithfully but uselessly for a soak): the mix below
