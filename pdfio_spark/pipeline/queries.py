@@ -1720,6 +1720,52 @@ def pq_train(base: DataFrame, subspaces: int = PQ_SUBSPACES,
     return book
 
 
+def _pq_book_lit(book):
+    """Codebook nested list -> literal array<array<array<long>>>."""
+    return F.array(*[
+        F.array(*[F.array(*[F.lit(int(v)) for v in c])
+                  for c in bm]) for bm in book])
+
+
+def _pq_code_col(book_lit, sub: int, src="qe"):
+    """array<int> of 1-based per-subspace code ids: L2 argmin over
+    the codebook literals — array_position of the min distance =
+    FIRST occurrence = lowest code id, matching training's
+    tie-break."""
+    dists = F.transform(
+        book_lit,
+        lambda cb, m: F.transform(
+            cb, lambda c: F.aggregate(
+                F.zip_with(F.slice(src, m * sub + 1, sub), c,
+                           lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)))
+    return F.transform(
+        dists, lambda d: F.array_position(d, F.array_min(d))
+        .cast("int"))
+
+
+def _pq_lut_col(book_lit, sub: int, src="embedding"):
+    """Per-query ADC lookup table: dot(query subvector, dequantized
+    code center) for every (m, c) — M*K doubles, broadcast-sized."""
+    return F.transform(
+        book_lit,
+        lambda cb, m: F.transform(
+            cb, lambda c: F.aggregate(
+                F.zip_with(F.slice(src, m * sub + 1, sub), c,
+                           lambda q, cc: q.cast("double")
+                           * (cc.cast("double") / IVF_QUANT)),
+                F.lit(0.0), lambda acc, v: acc + v)))
+
+
+def _train_slice(df: DataFrame, frac: "float | None") -> "DataFrame | None":
+    """Deterministic xxhash64(vec_id) training sample (the 10^12
+    lever shared by IVF/PQ/IVF-PQ), or None for train-on-everything."""
+    if frac is None:
+        return None
+    return df.filter(F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
+                     < int(frac * 1_000_000))
+
+
 def ann_pq_topk_over(emb: DataFrame, subspaces: int = PQ_SUBSPACES,
                      codes: int = PQ_CODES, iters: int = PQ_ITERS,
                      train_frac: float | None = None,
@@ -1754,47 +1800,18 @@ def ann_pq_topk_over(emb: DataFrame, subspaces: int = PQ_SUBSPACES,
                      .cast("long"))
     base = (emb.select("vec_id", "embedding", qe.alias("qe"))
             .localCheckpoint())
-    train = None
-    if train_frac is not None:
-        train = base.filter(
-            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
-            < int(train_frac * 1_000_000))
     book = pq_train(base, subspaces=subspaces, codes=codes,
-                    iters=iters, train=train)
-    book_lit = F.array(*[
-        F.array(*[F.array(*[F.lit(int(v)) for v in c])
-                  for c in book[m]]) for m in range(subspaces)])
-    # encode: per subspace, L2 argmin over the codebook literals —
-    # array_position of the min distance = FIRST occurrence = lowest
-    # code id, matching training's tie-break
-    dists = F.transform(
-        book_lit,
-        lambda cb, m: F.transform(
-            cb, lambda c: F.aggregate(
-                F.zip_with(F.slice("qe", m * sub + 1, sub), c,
-                           lambda x, cc: (x - cc) * (x - cc)),
-                F.lit(0).cast("long"), lambda acc, v: acc + v)))
-    code_arr = F.transform(
-        dists, lambda d: F.array_position(d, F.array_min(d))
-        .cast("int"))  # 1-based
-    coded = (base.select("vec_id", code_arr.alias("pq"))
+                    iters=iters, train=_train_slice(base, train_frac))
+    book_lit = _pq_book_lit(book)
+    coded = (base.select("vec_id",
+                         _pq_code_col(book_lit, sub).alias("pq"))
              .localCheckpoint())
     pf = (probe_filter if probe_filter is not None
           else (F.col("vec_id") % 100 == 0))
-    # probe-side LUT: dot(query subvector, dequantized code center)
-    # for every (m, c) — M*K doubles per probe, broadcast
-    lut = F.transform(
-        book_lit,
-        lambda cb, m: F.transform(
-            cb, lambda c: F.aggregate(
-                F.zip_with(F.slice("embedding", m * sub + 1, sub), c,
-                           lambda q, cc: q.cast("double")
-                           * (cc.cast("double") / IVF_QUANT)),
-                F.lit(0.0), lambda acc, v: acc + v)))
     probes = (base.filter(pf)
               .select(F.col("vec_id").alias("q_id"),
                       F.col("embedding").alias("q_emb"),
-                      lut.alias("lut"))
+                      _pq_lut_col(book_lit, sub).alias("lut"))
               .localCheckpoint())  # tiny; scored join + rerank reuse it
     adc = F.aggregate(
         F.zip_with(F.col("lut"), F.col("pq"),
@@ -1815,6 +1832,121 @@ def ann_pq_topk_over(emb: DataFrame, subspaces: int = PQ_SUBSPACES,
     # exact re-rank of the shortlist only
     exact = (short.join(base.select("vec_id", "embedding"), "vec_id")
              .join(F.broadcast(probes.select("q_id", "q_emb")), "q_id")
+             .select("q_id", "vec_id",
+                     _cos_expr(F.col("embedding"), F.col("q_emb"))
+                     .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("vec_id"))
+    return (exact.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= topk)
+            .orderBy("q_id", "rk"))
+
+
+def ann_ivfpq_topk_over(emb: DataFrame, cells: int = 16,
+                        cell_iters: int = 2,
+                        subspaces: int = PQ_SUBSPACES,
+                        codes: int = PQ_CODES, iters: int = PQ_ITERS,
+                        nprobe: int = 4,
+                        train_frac: float | None = None,
+                        topk: int = 5, rerank: int = 16,
+                        probe_filter=None) -> DataFrame:
+    """IVF-PQ (Jegou et al.'s IVFADC — the composition production
+    ANN systems actually run at 10^12 vectors, e.g. FAISS
+    IndexIVFPQ): an IVF coarse quantizer prunes candidates to the
+    query's `nprobe` nearest of `cells` cells, and within the probed
+    cells candidates are scored by PQ ADC over 2-byte codes of the
+    CELL RESIDUAL (qe - cell center — residuals are smaller than raw
+    vectors, so the same code budget quantizes finer; they stay
+    exact integers because both terms are). approx dot(q, x) =
+    dot(q, center_cell) + sum_m lut[m][code_m], one shared residual
+    codebook across cells (classic IVFADC). Exact cosine re-ranks
+    only the shortlist.
+
+    vs the flat operators: PQ alone ADC-scans EVERY code row per
+    query; IVF alone pays exact cosines for everything in the probed
+    cells. IVF-PQ scans only the probed cells and only with
+    lookups — candidate volume * nprobe/cells AND bytes/candidate
+    both bounded, which is the 10^12 shape. Cell centers and
+    residual codebooks both train through pq_train's deterministic
+    integer floor-mean k-means (cells = one 'subspace' spanning all
+    64 dims), so the whole index is bit-stable."""
+    if 64 % subspaces:
+        raise ValueError(f"subspaces={subspaces} must divide 64 "
+                         "(trailing dims would be silently dropped)")
+    sub = 64 // subspaces
+    qe = F.transform(F.col("embedding"),
+                     lambda x: F.round(x.cast("double") * IVF_QUANT)
+                     .cast("long"))
+    base = (emb.select("vec_id", "embedding", qe.alias("qe"))
+            .localCheckpoint())
+    # coarse cells: a single 'subspace' spanning all 64 dims gives
+    # exactly a 64-dim L2 floor-mean codebook of `cells` centers
+    cbook = pq_train(base, subspaces=1, codes=cells, iters=cell_iters,
+                     train=_train_slice(base, train_frac))
+    cbook_lit = _pq_book_lit(cbook)
+    center_lit = F.element_at(cbook_lit, 1)  # array<array<long>>
+    cell_col = F.element_at(_pq_code_col(cbook_lit, 64), 1)
+    assigned = (base
+                .withColumn("cell", cell_col)
+                .withColumn("qr", F.zip_with(
+                    "qe", F.element_at(center_lit, F.col("cell")),
+                    lambda x, c: x - c))
+                .localCheckpoint())
+    rbook = pq_train(assigned.select("vec_id",
+                                     F.col("qr").alias("qe")),
+                     subspaces=subspaces, codes=codes, iters=iters,
+                     train=_train_slice(
+                         assigned.select("vec_id",
+                                         F.col("qr").alias("qe")),
+                         train_frac))
+    rbook_lit = _pq_book_lit(rbook)
+    coded = (assigned.select(
+        "vec_id", "cell",
+        _pq_code_col(rbook_lit, sub, "qr").alias("pq"))
+        .localCheckpoint())
+    pf = (probe_filter if probe_filter is not None
+          else (F.col("vec_id") % 100 == 0))
+    # probe side: dot(q, every cell center) ranks the cells; the
+    # residual LUT is computed ONCE per query (shared codebook)
+    cdots = F.transform(
+        center_lit, lambda c: F.aggregate(
+            F.zip_with("embedding", c,
+                       lambda q, cc: q.cast("double")
+                       * (cc.cast("double") / IVF_QUANT)),
+            F.lit(0.0), lambda acc, v: acc + v))
+    probes0 = (base.filter(pf)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_emb"),
+                       cdots.alias("cdots"),
+                       _pq_lut_col(rbook_lit, sub).alias("lut")))
+    pe = probes0.select("q_id", "q_emb", "lut",
+                        F.posexplode("cdots").alias("c0", "cdot"))
+    wc = Window.partitionBy("q_id").orderBy(F.desc("cdot"),
+                                            F.asc("c0"))
+    probes = (pe.withColumn("r", F.row_number().over(wc))
+              .filter(F.col("r") <= nprobe)
+              .select("q_id", "q_emb", "lut", "cdot",
+                      (F.col("c0") + 1).alias("q_cell"))
+              .localCheckpoint())  # tiny: queries x nprobe rows
+    adc = F.col("cdot") + F.aggregate(
+        F.zip_with(F.col("lut"), F.col("pq"),
+                   lambda l, c: F.element_at(l, c)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    # the equi-join on cell is the IVF pruning: candidates shrink by
+    # ~nprobe/cells, and each carries only (cell, 4 codes)
+    short = (coded.join(
+        F.broadcast(probes.select("q_id", "q_cell", "cdot", "lut")),
+        coded["cell"] == F.col("q_cell"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc")))
+    ws = Window.partitionBy("q_id").orderBy(F.desc("adc"),
+                                            F.asc("vec_id"))
+    short = (short.withColumn("sr", F.row_number().over(ws))
+             .filter(F.col("sr") <= rerank * topk)
+             .select("q_id", "vec_id"))
+    exact = (short.join(base.select("vec_id", "embedding"), "vec_id")
+             .join(F.broadcast(probes.select("q_id", "q_emb")
+                               .dropDuplicates(["q_id"])), "q_id")
              .select("q_id", "vec_id",
                      _cos_expr(F.col("embedding"), F.col("q_emb"))
                      .alias("cos_sim")))

@@ -1451,6 +1451,34 @@ def test_ann_pq_recall_rerank_and_determinism(spark):
             "x -> cast(round(x * 1000000) as long)) as qe"))
 
 
+def test_ann_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ (r6, the composition production systems run at 10^12 —
+    FAISS IndexIVFPQ shape): IVF cells prune candidates to
+    nprobe/cells, PQ codes of the CELL RESIDUAL score them by ADC,
+    exact cosine re-ranks the shortlist. Deterministic data: recall@5
+    vs brute force is exactly 0.68 at sf0.01 with nprobe=4/cells=16 —
+    25% of codes ADC-scanned and 1.6% exactly searched (flat PQ: 0.76
+    scanning 100% of codes; flat IVF: 0.72 searching 25% exactly —
+    the composition trades a little recall for both axes at once)."""
+    from pdfio_spark.pipeline import queries as Q
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    bf = {(r.q_id, r.vec_id)
+          for r in Q.QUERIES["q_ann_bruteforce"](spark, sf).collect()}
+    rows = Q.ann_ivfpq_topk_over(emb).collect()
+    got = {(r.q_id, r.vec_id) for r in rows}
+    recall = len(got & bf) / len(bf)
+    assert recall >= 0.6, f"recall@5 {recall:.2f} below pin"
+    # probing every cell ADC-scans everything: recall must not drop
+    # below the pruned default (sanity of the nprobe axis)
+    all_cells = {(r.q_id, r.vec_id) for r in
+                 Q.ann_ivfpq_topk_over(emb, nprobe=16).collect()}
+    assert len(all_cells & bf) / len(bf) >= recall
+    # bit-determinism: both trainings + residual encode are integer
+    again = Q.ann_ivfpq_topk_over(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_jaccard_candidate_cap_bounds_clique(spark):
     """VERDICT r3 caveat #1: a near-dup clique (k mutual candidates)
     must NOT replicate each doc's shingle array k times through the

@@ -5,7 +5,7 @@ extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
 Usage: python3 tools/soak.py [pdf|html|amend|sigaudit|dedup|rundedup|
-       runfilter|wat|ann|ivf|pq|stream|neardup] [n_docs]
+       runfilter|wat|ann|ivf|pq|ivfpq|stream|neardup] [n_docs]
        (default pdf 1e6)
 
 stream mode: n_docs PDFs (default 100k) through the exactly-once
@@ -414,6 +414,49 @@ def main() -> None:
         res = {"mode": mode, "smj": smj, "n_vectors": n_vec,
                "subspaces": 4, "codes": 16, "rerank": 16,
                "train_frac": 0.1,
+               "topk_rows": int(agg[0]),
+               "queries": int(agg[1]),
+               "sec": round(dt, 1),
+               "vectors_per_sec": round(n_vec / dt, 1)}
+        if n_twin:
+            found = (out.filter(F.col("vec_id")
+                                == F.col("q_id") - n_vec)
+                     .select("q_id").distinct().count())
+            res["planted_twins"] = n_twin
+            res["probed_twins"] = int(agg[1])
+            res["planted_recall_at_5"] = round(
+                found / max(int(agg[1]), 1), 3)
+        print(json.dumps(res))
+        spark.stop()
+        return
+
+    if mode == "ivfpq":
+        # IVF-PQ at 100k (r6, the 10^12 composition): 64 cells prune
+        # candidates to nprobe/cells = 12.5%, residual PQ codes score
+        # them with lookups, exact cosine touches only the shortlist.
+        # Same sampled training and planted-twin protocol as ivf/pq.
+        from pdfio_spark.pipeline.queries import ann_ivfpq_topk_over
+        n_vec = n_docs if len(sys.argv) > 2 else 100_000
+        emb = _uniform_corpus(spark, n_vec, cpus)
+        plant = float(os.environ.get("SOAK_PLANT", "0"))
+        n_twin = int(n_vec * plant)
+        probe_filter = None
+        if n_twin:
+            emb = _plant_twins(emb, n_vec, n_twin, cpus)
+            probe_filter = (F.col("vec_id") >= n_vec) \
+                & ((F.col("vec_id") - n_vec) % 10 == 0)
+        t0 = time.perf_counter()
+        out = ann_ivfpq_topk_over(emb, cells=64, nprobe=8,
+                                  train_frac=0.1,
+                                  probe_filter=probe_filter)
+        if n_twin:
+            out = out.localCheckpoint()
+        agg = out.agg(F.count("*"),
+                      F.countDistinct("q_id")).collect()[0]
+        dt = time.perf_counter() - t0
+        res = {"mode": mode, "smj": smj, "n_vectors": n_vec,
+               "cells": 64, "nprobe": 8, "subspaces": 4, "codes": 16,
+               "rerank": 16, "train_frac": 0.1,
                "topk_rows": int(agg[0]),
                "queries": int(agg[1]),
                "sec": round(dt, 1),
