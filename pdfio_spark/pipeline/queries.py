@@ -1757,6 +1757,25 @@ def _pq_lut_col(book_lit, sub: int, src="embedding"):
                 F.lit(0.0), lambda acc, v: acc + v)))
 
 
+def _exact_rerank(short: DataFrame, base: DataFrame,
+                  probes: DataFrame, topk: int) -> DataFrame:
+    """Shared PQ/IVF-PQ tail: fetch embeddings for the (q_id, vec_id)
+    shortlist only, broadcast-join the probe embeddings back, exact
+    cosine, top-`topk` per query (desc cos, asc vec_id — the family
+    tie-break). `probes` must carry (q_id, q_emb), one row per q_id."""
+    exact = (short.join(base.select("vec_id", "embedding"), "vec_id")
+             .join(F.broadcast(probes.select("q_id", "q_emb")
+                               .dropDuplicates(["q_id"])), "q_id")
+             .select("q_id", "vec_id",
+                     _cos_expr(F.col("embedding"), F.col("q_emb"))
+                     .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("vec_id"))
+    return (exact.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= topk)
+            .orderBy("q_id", "rk"))
+
+
 def _train_slice(df: DataFrame, frac: "float | None") -> "DataFrame | None":
     """Deterministic xxhash64(vec_id) training sample (the 10^12
     lever shared by IVF/PQ/IVF-PQ), or None for train-on-everything."""
@@ -1829,17 +1848,7 @@ def ann_pq_topk_over(emb: DataFrame, subspaces: int = PQ_SUBSPACES,
     short = (short.withColumn("sr", F.row_number().over(ws))
              .filter(F.col("sr") <= rerank * topk)
              .select("q_id", "vec_id"))
-    # exact re-rank of the shortlist only
-    exact = (short.join(base.select("vec_id", "embedding"), "vec_id")
-             .join(F.broadcast(probes.select("q_id", "q_emb")), "q_id")
-             .select("q_id", "vec_id",
-                     _cos_expr(F.col("embedding"), F.col("q_emb"))
-                     .alias("cos_sim")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
-                                           F.asc("vec_id"))
-    return (exact.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= topk)
-            .orderBy("q_id", "rk"))
+    return _exact_rerank(short, base, probes, topk)
 
 
 def ann_ivfpq_topk_over(emb: DataFrame, cells: int = 16,
@@ -1886,11 +1895,16 @@ def ann_ivfpq_topk_over(emb: DataFrame, cells: int = 16,
     cbook_lit = _pq_book_lit(cbook)
     center_lit = F.element_at(cbook_lit, 1)  # array<array<long>>
     cell_col = F.element_at(_pq_code_col(cbook_lit, 64), 1)
+    # only (vec_id, cell, qr) are consumed downstream — embedding/qe
+    # ride `base`'s checkpoint; materializing them again here would
+    # ~2.5x the corpus-scale snapshot (the annotate_wat footprint
+    # lesson, r6 review)
     assigned = (base
                 .withColumn("cell", cell_col)
                 .withColumn("qr", F.zip_with(
                     "qe", F.element_at(center_lit, F.col("cell")),
                     lambda x, c: x - c))
+                .select("vec_id", "cell", "qr")
                 .localCheckpoint())
     rbook = pq_train(assigned.select("vec_id",
                                      F.col("qr").alias("qe")),
@@ -1944,17 +1958,7 @@ def ann_ivfpq_topk_over(emb: DataFrame, cells: int = 16,
     short = (short.withColumn("sr", F.row_number().over(ws))
              .filter(F.col("sr") <= rerank * topk)
              .select("q_id", "vec_id"))
-    exact = (short.join(base.select("vec_id", "embedding"), "vec_id")
-             .join(F.broadcast(probes.select("q_id", "q_emb")
-                               .dropDuplicates(["q_id"])), "q_id")
-             .select("q_id", "vec_id",
-                     _cos_expr(F.col("embedding"), F.col("q_emb"))
-                     .alias("cos_sim")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
-                                           F.asc("vec_id"))
-    return (exact.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= topk)
-            .orderBy("q_id", "rk"))
+    return _exact_rerank(short, base, probes, topk)
 
 
 def minhash_band_melt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -422,10 +422,17 @@ def main() -> None:
             found = (out.filter(F.col("vec_id")
                                 == F.col("q_id") - n_vec)
                      .select("q_id").distinct().count())
+            # denominator = probes ISSUED ((n_twin+9)//10 by the %10
+            # filter), NOT countDistinct(q_id) of the output — a probe
+            # whose pruned cells are empty returns zero rows and would
+            # silently drop OUT of an output-derived denominator,
+            # inflating recall exactly when pruning misses (r6 review)
+            issued = (n_twin + 9) // 10
             res["planted_twins"] = n_twin
-            res["probed_twins"] = int(agg[1])
+            res["probes_issued"] = issued
+            res["answered_queries"] = int(agg[1])
             res["planted_recall_at_5"] = round(
-                found / max(int(agg[1]), 1), 3)
+                found / max(issued, 1), 3)
         print(json.dumps(res))
         spark.stop()
         return
@@ -465,10 +472,15 @@ def main() -> None:
             found = (out.filter(F.col("vec_id")
                                 == F.col("q_id") - n_vec)
                      .select("q_id").distinct().count())
+            # issued-probe denominator, same rationale as pq above —
+            # doubly load-bearing here: IVF pruning CAN return zero
+            # rows for a probe whose cells are empty after self-filter
+            issued = (n_twin + 9) // 10
             res["planted_twins"] = n_twin
-            res["probed_twins"] = int(agg[1])
+            res["probes_issued"] = issued
+            res["answered_queries"] = int(agg[1])
             res["planted_recall_at_5"] = round(
-                found / max(int(agg[1]), 1), 3)
+                found / max(issued, 1), 3)
         print(json.dumps(res))
         spark.stop()
         return
