@@ -259,13 +259,18 @@ def append_update(data: bytes, updates: dict,
     prev = int(doc.startxref)
     hoff = doc.hoffset
     # /Size may be an indirect ref in the wild (same tolerance the
-    # reader extends to trailer /ID) — deref, and treat junk as 0
+    # reader extends to trailer /ID) — deref; junk falls back to the
+    # PARSED xref's own ceiling, never 0: the xrefstm style allocates
+    # a NEW object number at `size`, and a floor below the live max
+    # would write the xref stream as an existing object number,
+    # silently shadowing it (r6 review x2)
+    xref_ceiling = max((r.num for r in doc.xref), default=0) + 1
     size_obj = doc.get(trailer, Name("Size")) if trailer else 0
     try:
         old_size = int(size_obj or 0)
     except (TypeError, ValueError):
         old_size = 0
-    size = max(old_size, max(r.num for r in norm) + 1)
+    size = max(old_size, xref_ceiling, max(r.num for r in norm) + 1)
 
     out = bytearray(data)
     if not out.endswith((b"\n", b"\r")):
@@ -294,9 +299,8 @@ def append_update(data: bytes, updates: dict,
         out += b"trailer\n" + serialize_object(tr)
         out += f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
         return bytes(out)
-    if style != "xrefstm":
-        raise ValueError(f"unknown update style {style!r}")
-
+    # style was validated on entry and classic returned above —
+    # only xrefstm reaches here
     xref_num = size
     size = xref_num + 1
     entries = {n: (1, off, gen) for n, (off, gen) in offsets.items()}

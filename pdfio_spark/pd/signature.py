@@ -294,6 +294,21 @@ def set_trust_roots(trust) -> None:
     _ENV_TRUST_CACHE = None
 
 
+def read_pathsep_blobs(spec: str) -> list[bytes]:
+    """os.pathsep-separated file paths -> their raw bytes (empty
+    segments skipped). The ONE parsing contract shared by the three
+    $PDFIO_SPARK_* env loaders below and run.py's --trust-pems/
+    --crl-pems/--ocsp-ders flags (r6 review: three hand-maintained
+    copies of the same loop had started to accumulate)."""
+    import os
+    blobs = []
+    for path in spec.split(os.pathsep):
+        if path:
+            with open(path, "rb") as f:
+                blobs.append(f.read())
+    return blobs
+
+
 def get_default_trust() -> "TrustStore | None":
     """The configured trust store, or None for local-validation-only.
     The env path is parsed once per process and cached (executors
@@ -307,11 +322,7 @@ def get_default_trust() -> "TrustStore | None":
         return None
     if _ENV_TRUST_CACHE is not None and _ENV_TRUST_CACHE[0] == spec:
         return _ENV_TRUST_CACHE[1]
-    pems = []
-    for path in spec.split(os.pathsep):
-        if path:
-            with open(path, "rb") as f:
-                pems.append(f.read())
+    pems = read_pathsep_blobs(spec)
     store = TrustStore.from_pems(pems) if pems else None
     _ENV_TRUST_CACHE = (spec, store)
     return store
@@ -369,12 +380,7 @@ def get_default_crls() -> list:
         return []
     if _ENV_CRL_CACHE is not None and _ENV_CRL_CACHE[0] == spec:
         return _ENV_CRL_CACHE[1]
-    blobs = []
-    for path in spec.split(os.pathsep):
-        if path:
-            with open(path, "rb") as f:
-                blobs.append(f.read())
-    crls = _load_crls(blobs)
+    crls = _load_crls(read_pathsep_blobs(spec))
     _ENV_CRL_CACHE = (spec, crls)
     return crls
 
@@ -433,12 +439,7 @@ def get_default_ocsps() -> list:
         return []
     if _ENV_OCSP_CACHE is not None and _ENV_OCSP_CACHE[0] == spec:
         return _ENV_OCSP_CACHE[1]
-    blobs = []
-    for path in spec.split(os.pathsep):
-        if path:
-            with open(path, "rb") as f:
-                blobs.append(f.read())
-    rs = _load_ocsps(blobs)
+    rs = _load_ocsps(read_pathsep_blobs(spec))
     _ENV_OCSP_CACHE = (spec, rs)
     return rs
 

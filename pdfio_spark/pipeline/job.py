@@ -455,9 +455,13 @@ def dedup_decisions(corpus: DataFrame) -> DataFrame:
     # a url crawled twice is ONE decision subject: without this, the
     # final fan-out join emits two identical rows for it, and a
     # crash-resume (anti-join on url) then drops BOTH re-derived
-    # copies — resumed output diverges from an uninterrupted run
-    # (r6 review)
-    corpus = corpus.dropDuplicates(["url"])
+    # copies — resumed output diverges from an uninterrupted run.
+    # min(text), NOT dropDuplicates: a recrawl with a CHANGED body
+    # must resolve to the same representative on every derivation, or
+    # the resume's re-derived decision set differs from the crashed
+    # run's (dropDuplicates keeps a partition-order-dependent row)
+    # (r6 review x2)
+    corpus = corpus.groupBy("url").agg(F.min("text").alias("text"))
     ids = corpus.select(F.xxhash64("url").alias("doc_id"), "url", "text")
     docs = ids.groupBy("doc_id").agg(F.min("text").alias("text"))
     dec = dedup_keep_list(docs)

@@ -1450,7 +1450,12 @@ def ivf_train(base: DataFrame, k: int = IVF_K,
     t = train if train is not None else base
     cents = (t.orderBy("vec_id").limit(k)
              .select(F.col("vec_id").alias("c_id"),
-                     F.col("qe").alias("c_emb")))
+                     F.col("qe").alias("c_emb"))
+             .localCheckpoint())  # tiny; also feeds the count guard
+    if cents.count() < k:
+        raise ValueError(f"training set has fewer than k={k} vectors "
+                         "— the cell count would silently shrink "
+                         "(pq_train raises on the same condition)")
     dim = 64
     cos = _cos_expr
     for _ in range(iters):
@@ -1506,8 +1511,17 @@ def ann_ivf_over(emb: DataFrame, k: int = IVF_K,
     cos = _cos_expr
 
     def rank_cells(c):
+        # qe is dead past c_sim — don't project it through the rank
+        # window. Do NOT go further and strip `embedding` for an
+        # id-only window + re-join: Spark 4's WindowGroupLimit pushes
+        # the per-vec_id top-1/top-nprobe BELOW the exchange map-side
+        # (the K-way fan-out never shuffles), while re-joining the
+        # embeddings forced two corpus-wide broadcasts — measured
+        # 21 s -> 134 s on the 100k soak's search action (r6 review
+        # x2: the review's K-copies-ride-the-exchange premise
+        # predates WindowGroupLimit).
         scored = (base.crossJoin(F.broadcast(c))
-                  .select("vec_id", "embedding", "qe", "c_id",
+                  .select("vec_id", "embedding", "c_id",
                           cos(F.col("qe"), F.col("c_emb"))
                           .alias("c_sim")))
         wc = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"),

@@ -275,24 +275,23 @@ def main(argv=None) -> None:
         import json
         filter_opts = json.loads(args.filter_opts)
 
-    sig_material = None
-    if args.mode == "sigaudit":
-        import os
+    # build sig_material from the flags in EVERY mode: run_job's
+    # mode guard then rejects e.g. `--mode pdf --crl-pems x.pem`
+    # loudly instead of the flags being silently dropped — the exact
+    # silent-no-revocation failure the sig_material key check exists
+    # to prevent (r6 review x2)
+    from ..pd.signature import read_pathsep_blobs
 
-        def _read_all(spec):
-            if not spec:
-                return None
-            blobs = []
-            for p in spec.split(os.pathsep):
-                if p:
-                    with open(p, "rb") as f:
-                        blobs.append(f.read())
-            return blobs
-        sig_material = {
-            k: v for k, v in
-            (("trust_pems", _read_all(args.trust_pems)),
-             ("crl_blobs", _read_all(args.crl_pems)),
-             ("ocsp_ders", _read_all(args.ocsp_ders))) if v is not None}
+    def _read_all(spec):
+        return read_pathsep_blobs(spec) if spec else None
+
+    sig_material = {
+        k: v for k, v in
+        (("trust_pems", _read_all(args.trust_pems)),
+         ("crl_blobs", _read_all(args.crl_pems)),
+         ("ocsp_ders", _read_all(args.ocsp_ders))) if v is not None}
+    if not sig_material:
+        sig_material = None
 
     from .session import get_spark
     spark = get_spark(cpus=args.cpus, app="pdfio_spark_job")

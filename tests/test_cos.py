@@ -869,6 +869,42 @@ class TestAppendUpdate:
         with pytest.raises(ValueError, match="no updates"):
             append_update(build_fixture("flate_simple", ["x"]), {})
 
+    def test_junk_size_xrefstm_no_shadow(self):
+        """r6 review x2: a junk trailer /Size fell back to 0, letting
+        the xrefstm style allocate the appended cross-reference STREAM
+        at max(update nums)+1 — a LIVE object number; the new
+        section's entry then shadows that object (newest wins) and
+        the document silently corrupts. The floor must come from the
+        parsed xref's own ceiling."""
+        import re
+        from pdfio_spark.cos.doc import CosDoc
+        from pdfio_spark.cos.objects import Name, Ref, Stream
+        from pdfio_spark.cos.writer import append_update
+        from pdfio_spark.fixtures import build_fixture
+        from pdfio_spark.pd.extract import extract_doc
+        src = build_fixture("flate_simple", ["junk size text"])
+        doc, kid_ref, page = self._page_and_contents(src)
+        live = sorted(r.num for r in doc.xref)
+        # corrupt the trailer /Size IN PLACE (same byte length, so
+        # every stored offset stays valid): digits -> a junk Name
+        m = list(re.finditer(rb"/Size (\d+)", src))[-1]
+        junk = b"/Size /" + b"x" * (len(m.group(1)) - 1)
+        src2 = src[:m.start()] + junk + src[m.end():]
+        assert len(src2) == len(src)
+        # under the old floor the xref stream landed at kid_ref.num+1
+        victim = kid_ref.num + 1
+        assert victim in live  # the bug had a live target to shadow
+        orig = CosDoc(src2).get_object(Ref(victim, 0))
+        out = append_update(src2, {kid_ref: dict(page)},
+                            style="xrefstm")
+        got = CosDoc(out).get_object(Ref(victim, 0))
+        assert not (isinstance(got, Stream)
+                    and got.dict.get(Name("Type")) == Name("XRef"))
+        assert type(got) is type(orig)
+        r = extract_doc(out)
+        assert r["status"] == "ok", r["err"]
+        assert "junk size text" in r["text"]
+
     def test_duplicate_object_numbers_refused(self):
         """r6 review: {(5,0): A, (5,1): B} would silently shadow A's
         xref entry (offsets key by num) — refuse loudly."""

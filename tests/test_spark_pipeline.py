@@ -1039,6 +1039,58 @@ def test_run_job_dedup_mode_crash_resume(spark, tmp_path):
     assert m.agg(F.sum("n_kept")).collect()[0][0] == 3
 
 
+def test_dedup_decisions_recrawl_changed_body_deterministic(spark):
+    """r6 review x2: a url recrawled with a CHANGED body must resolve
+    to the same representative text on EVERY derivation — resume
+    re-derives the corpus-global decision set, and dropDuplicates
+    kept a partition-order-dependent row, so a crashed run and its
+    resume could disagree on doc://a's text_hash. min(text) is the
+    deterministic reduction."""
+    from pdfio_spark.pipeline.job import dedup_decisions
+    t1 = "alpha version of the page body with enough words to matter"
+    t2 = "zeta rewrite of the page body entirely different this time"
+    other = "unrelated stable document body text for the control row"
+    rows = [("doc://a", t1), ("doc://a", t2), ("doc://b", other)]
+
+    def key(out):
+        return sorted((x.url, x.text_hash, x.keep_url, x.is_kept,
+                       x.status) for x in out.collect())
+
+    df = spark.createDataFrame(rows, "url string, text string")
+    rev = spark.createDataFrame(list(reversed(rows)),
+                                "url string, text string").repartition(7)
+    a, b = key(dedup_decisions(df)), key(dedup_decisions(rev))
+    assert a == b
+    # and the representative is specifically min(text) = t1: the
+    # decision set matches a corpus that only ever carried t1
+    solo = spark.createDataFrame([("doc://a", t1), ("doc://b", other)],
+                                 "url string, text string")
+    assert a == key(dedup_decisions(solo))
+
+
+def test_ivf_train_under_k_raises(spark):
+    """r6 review: a training set smaller than k silently shrank the
+    cell count (pq_train already raised on the same condition)."""
+    from pdfio_spark.pipeline.queries import ann_ivf_over
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="fewer than k"):
+        ann_ivf_over(emb.limit(5), k=16)
+
+
+def test_cli_sig_flags_rejected_outside_sigaudit(spark, tmp_path):
+    """r6 review x2: `--mode pdf --crl-pems x.pem` used to drop the
+    revocation material silently (sig_material was only built for
+    --mode sigaudit); the CLI must hit run_job's mode guard."""
+    from pdfio_spark.pipeline.run import main
+    pem = tmp_path / "crl.pem"
+    pem.write_bytes(b"not really a crl")
+    with pytest.raises(ValueError, match="sig_material is only valid"):
+        main(["--input", str(tmp_path / "in"),
+              "--output", str(tmp_path / "out"),
+              "--mode", "pdf", "--crl-pems", str(pem)])
+
+
 def test_extract_pdfs_null_html_quarantined(spark):
     """r5 review: a NULL html row failed BOTH split-path filters and
     vanished; it must reach the UDF and come back as an error row."""
