@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "q_events_sessionize", "q_dedup_pipeline", "q_text_analytics",
     "q_repetition_filter", "q_ann_bruteforce", "q_dedup_minhash",
     "q_ngram_jaccard", "q_asof_join", "q_time_rollup", "q_range_join",
-    "q_ann_lsh_topk", "q_ann_ivf", "q_html_main",
+    "q_ann_lsh_topk", "q_ann_ivf", "q_html_main", "q_line_dedup",
 ]
 
 

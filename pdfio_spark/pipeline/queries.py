@@ -2236,6 +2236,137 @@ FROM reach GROUP BY src ORDER BY doc_id
 ORACLE_DEDUP_COMPONENTS = _components_oracle()
 
 
+#: words per synthetic line in q_line_dedup's multi-line construction
+LINE_WORDS = 8
+_LD_HEADER = "subscribe to our newsletter for updates"
+_LD_FOOTER = "copyright footer class "
+
+
+def line_dedup_over(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """C4-style corpus-level LINE dedup (Raffel et al. 2020 §2.2: any
+    line occurring more than once in the corpus keeps only one copy)
+    — the training-data stage that strips cross-page boilerplate
+    (nav bars, cookie banners, footers) that doc-level dedup can't
+    touch. No reference counterpart; this is the inter-document
+    plane.
+
+    Semantics: a line whose occurrence count across the corpus is
+    >= min_count keeps only its FIRST occurrence, ordered by
+    (doc_id, pos); blank/whitespace-only lines always pass (they are
+    document structure, and deduping '' corpus-wide would strip every
+    paragraph break after the first). Returns one row per doc:
+    (doc_id, n_lines, n_kept, text_out) with text_out the kept lines
+    re-joined in position order.
+
+    Scale shape: the global first-occurrence/count is a groupBy on
+    the line text — PARTIAL-aggregable, so a boilerplate line on
+    10^9 pages collapses map-side instead of melting one reducer (no
+    window over the line key; the analogous rank-window design would
+    hash-partition every copy of the hot line to one task). The join
+    back is an equi-join of the corpus lines against one row per
+    DISTINCT line; AQE's skew split bounds the hot-line partitions.
+    First-occurrence key is doc_id*1e6+pos (one bigint min instead
+    of a struct min — portable to the SQL oracle); documents are
+    capped at 1e6 lines (raise) and the encoding holds to ~9.2e12
+    docs."""
+    lines = (docs
+             .select("doc_id", F.split(F.coalesce(F.col("text"),
+                                                  F.lit("")), "\n")
+                     .alias("la"))
+             .select("doc_id",
+                     F.posexplode(F.col("la")).alias("pos", "line")))
+    okey = F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+    stats = (lines.filter(F.trim(F.col("line")) != "")
+             .groupBy("line")
+             .agg(F.count("*").alias("n"), F.min(okey).alias("fkey")))
+    kept = (lines.join(stats, "line", "left")
+            .withColumn("kept",
+                        F.col("n").isNull()
+                        | (F.col("n") < min_count)
+                        | (okey == F.col("fkey"))))
+    return (kept.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("kept"),
+                                    F.struct("pos", "line")))),
+                         lambda s: s["line"]),
+                     "\n").alias("text_out")))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup_over over a deterministic multi-line rendering of
+    `documents`: every doc gets the SAME header boilerplate line, a
+    blank structural line, its text chunked into LINE_WORDS-word
+    lines, and a footer shared by its doc_id%7 class — so the dedup
+    decides in BOTH directions (header kept once corpus-wide, footer
+    once per class, blank + body lines all kept). The chunk formula
+    is mirrored verbatim in ORACLE_LINE_DEDUP (the fixtures.py /
+    _LINES_CTE discipline)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # bind ws as its OWN projection before the chunking HOF slices it
+    # per element — inlining the split re-evaluates it per chunk (the
+    # q_repetition_filter O(n^2) lesson)
+    d = docs.select("doc_id",
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                    .alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / F.lit(float(LINE_WORDS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("ws"), i * LINE_WORDS + 1, LINE_WORDS), " "))
+    mtext = F.concat_ws(
+        "\n", F.lit(_LD_HEADER), F.lit(""), F.array_join(chunks, "\n"),
+        F.concat(F.lit(_LD_FOOTER), (F.col("doc_id") % 7).cast("string")))
+    return (line_dedup_over(d.select("doc_id", mtext.alias("text")))
+            .orderBy("doc_id"))
+
+
+ORACLE_LINE_DEDUP = rf"""
+WITH wsrc AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+  FROM documents
+), mls AS (
+  SELECT doc_id,
+         '{_LD_HEADER}' || chr(10) || chr(10) ||
+         array_to_string(list_transform(
+             range(cast(ceil(len(ws) / {LINE_WORDS}.0) AS bigint)),
+             i -> array_to_string(
+                 list_slice(ws, i*{LINE_WORDS} + 1,
+                            i*{LINE_WORDS} + {LINE_WORDS}), ' ')),
+             chr(10)) ||
+         chr(10) || '{_LD_FOOTER}' || cast(doc_id % 7 AS varchar)
+             AS mtext
+  FROM wsrc
+), sp AS (
+  SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM mls
+), lines0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(ls)),
+                i -> {{'pos': i, 'line': ls[i + 1]}})) AS u
+  FROM sp
+), lines AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM lines0
+), stats AS (
+  SELECT line, count(*) AS n, min(doc_id * 1000000 + pos) AS fkey
+  FROM lines WHERE trim(line) <> '' GROUP BY line
+), k AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (s.n IS NULL OR s.n < 2
+          OR l.doc_id * 1000000 + l.pos = s.fkey) AS kept
+  FROM lines l LEFT JOIN stats s USING (line)
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+                           ORDER BY pos), '') AS text_out
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) per doc: token hash bit-vote, JVM expressions
     only. Rows-only check (bit arithmetic differs across engines)."""
@@ -3315,6 +3446,7 @@ QUERIES = {
     "q_dedup_minhash_md5": q_dedup_minhash_md5,
     "q_dedup_components": q_dedup_components,
     "q_dedup_simhash_md5": q_dedup_simhash_md5,
+    "q_line_dedup": q_line_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_lsh_buckets": q_lsh_buckets,
     "q_ann_lsh_topk": q_ann_lsh_topk,
@@ -3326,10 +3458,13 @@ QUERIES = {
     # web-page plane (north-rule HTML boilerplate strip)
     "q_html_main": q_html_main,
     # rows-only tail (hash-seed- or kern-dependent; each has an oracled
-    # twin above: _md5 variants, q_extract_spans_courier)
+    # twin above: _md5 variants, q_extract_spans_courier).
+    # q_dedup_simhash retired from the registry in r6 to free the slot
+    # for the fully-oracled q_line_dedup (the 50-entry cap); the
+    # function remains the fast 32-bit production variant, covered by
+    # q_dedup_simhash_md5 (oracled) + a pytest.
     "q_extract_spans": q_extract_spans,
     "q_dedup_minhash": q_dedup_minhash,
-    "q_dedup_simhash": q_dedup_simhash,
 }
 
 ORACLES = {
@@ -3372,6 +3507,7 @@ ORACLES = {
     "q_dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
     "q_dedup_components": ORACLE_DEDUP_COMPONENTS,
     "q_dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
+    "q_line_dedup": ORACLE_LINE_DEDUP,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_lsh_buckets": ORACLE_LSH_BUCKETS,
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,

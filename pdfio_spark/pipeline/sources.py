@@ -223,29 +223,38 @@ def read_wet(spark: SparkSession, path: str,
 
 # ---------------------------------------------------------------- WAT
 
-def _flatten_wat(obj, prefix: str = "") -> Iterator[tuple[str, str]]:
+def _flatten_wat(obj, prefix: str | None = None,
+                 ) -> Iterator[tuple[str, str]]:
     """WAT JSON -> (dotted-path, value-string) pairs: scalars verbatim,
     lists summarized by `<path>.length` (Common-Crawl link lists run
     to hundreds of entries per page — a metadata MAP wants the page's
     facts, not a second copy of its outline; callers needing the raw
-    links can json-parse the body themselves from read_warc)."""
+    links can json-parse the body themselves from read_warc).
+
+    Paths are collision-free for ANY input (hypothesis-pinned):
+    backslash then dot are escaped inside each segment, so a path
+    separator is exactly an even-backslash-preceded '.'; the root is
+    a None sentinel, NOT '' — an empty-string field name is a real
+    segment ({'': {'0': x}} -> '.0', distinct from top-level '0')."""
     if isinstance(obj, dict):
         for k, v in obj.items():
             # literal dots inside a JSON field name are escaped so
             # {"a": {"b": 1}} and {"a.b": 2} flatten to DISTINCT map
-            # keys instead of silently overwriting (r6 review)
-            seg = str(k).replace(".", "\\.")
-            key = f"{prefix}.{seg}" if prefix else seg
+            # keys instead of silently overwriting (r6 review);
+            # backslash escaped FIRST or {'a\\': {'b':1}} forges the
+            # escape and collides with {'a\\.b': 1}
+            seg = str(k).replace("\\", "\\\\").replace(".", "\\.")
+            key = seg if prefix is None else f"{prefix}.{seg}"
             yield from _flatten_wat(v, key)
     elif isinstance(obj, list):
-        yield (f"{prefix}.length" if prefix else "length",
+        yield ("length" if prefix is None else f"{prefix}.length",
                str(len(obj)))
     elif isinstance(obj, bool):
-        yield prefix, "true" if obj else "false"
+        yield "" if prefix is None else prefix, "true" if obj else "false"
     elif obj is None:
-        yield prefix, ""
+        yield "" if prefix is None else prefix, ""
     else:
-        yield prefix, str(obj)
+        yield "" if prefix is None else prefix, str(obj)
 
 
 def read_wat(spark: SparkSession, path: str,

@@ -1039,6 +1039,71 @@ def test_run_job_dedup_mode_crash_resume(spark, tmp_path):
     assert m.agg(F.sum("n_kept")).collect()[0][0] == 3
 
 
+def test_line_dedup_over_semantics(spark):
+    """r6: C4-style corpus-level line dedup — a duplicated line keeps
+    only its first occurrence by (doc_id, pos), including WITHIN one
+    doc; blank lines always pass; unique lines untouched."""
+    from pdfio_spark.pipeline.queries import line_dedup_over
+    rows = [
+        (0, "nav bar\nunique alpha\n\nnav bar\nfooter"),
+        (1, "nav bar\nunique beta\n\nfooter"),
+        (2, "only original content here"),
+    ]
+    out = {r.doc_id: r for r in
+           line_dedup_over(spark.createDataFrame(
+               rows, "doc_id long, text string")).collect()}
+    # doc 0: first 'nav bar' + first 'footer' kept, its OWN second
+    # 'nav bar' (pos 3) dropped; blank kept
+    assert (out[0].n_lines, out[0].n_kept) == (5, 4)
+    assert out[0].text_out == "nav bar\nunique alpha\n\nfooter"
+    # doc 1: both shared lines lose to doc 0; blank + unique kept
+    assert (out[1].n_lines, out[1].n_kept) == (4, 2)
+    assert out[1].text_out == "unique beta\n"
+    # doc 2: untouched
+    assert out[2].text_out == "only original content here"
+    # min_count=3: the 'footer' pair (2 occurrences) now survives
+    loose = {r.doc_id: r for r in
+             line_dedup_over(spark.createDataFrame(
+                 rows, "doc_id long, text string"),
+                 min_count=3).collect()}
+    assert loose[1].text_out == "unique beta\n\nfooter"
+
+
+def test_dedup_simhash_production_variant(spark):
+    """q_dedup_simhash left the registry in r6 (slot freed for the
+    oracled q_line_dedup) but remains the fast 32-bit production
+    variant — pin its shape and its agreement with the oracled md5
+    twin on WHICH docs collide (identical texts -> identical
+    fingerprints in both)."""
+    from pdfio_spark.pipeline.queries import q_dedup_simhash
+    sf = "/root/testdata/sf0.001"
+    fast = q_dedup_simhash(spark, sf).collect()
+    assert all(0 <= r.simhash32 < 2 ** 32 for r in fast)
+    assert len(fast) == len({r.doc_id for r in fast}) > 0
+    # deterministic across conversions (no seed/HOF-index hazard:
+    # the bit votes come from a plain xxhash64 column, not a lambda)
+    again = q_dedup_simhash(spark, sf).collect()
+    assert {(r.doc_id, r.simhash32) for r in again} == \
+        {(r.doc_id, r.simhash32) for r in fast}
+    # docs sharing a fingerprint must actually share their token
+    # MULTISET's bit votes — verify one collision group end-to-end
+    # against a driver-side recompute of the voting rule
+    import pyspark.sql.functions as F
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    words = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))),
+                    r"\s+")
+    tok = (docs.select("doc_id", F.explode(words).alias("w"))
+           .withColumn("h", F.xxhash64("w")).collect())
+    votes = {}
+    for r in tok:
+        b = votes.setdefault(r.doc_id, [0] * 32)
+        for i in range(32):
+            b[i] += 1 if (r.h >> i) & 1 else -1
+    expect = {d: sum(1 << i for i in range(32) if v[i] > 0)
+              for d, v in votes.items()}
+    assert {r.doc_id: r.simhash32 for r in fast} == expect
+
+
 def test_dedup_decisions_recrawl_changed_body_deterministic(spark):
     """r6 review x2: a url recrawled with a CHANGED body must resolve
     to the same representative text on EVERY derivation — resume
