@@ -2367,6 +2367,183 @@ FROM k GROUP BY doc_id ORDER BY doc_id
 """
 
 
+#: tokens per duplicated-span gram in exact-substring dedup
+GRAM_K = 10
+
+
+def substr_dedup_over(docs: DataFrame, k: int = GRAM_K,
+                      min_count: int = 2) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" §3.1 ExactSubstr): any k-token
+    span occurring >= min_count times corpus-wide keeps only its FIRST
+    occurrence by (doc_id, pos); every other copy's tokens are removed
+    from their documents. The granularity between doc-level dedup
+    (misses partial copies) and line dedup (misses reflowed text that
+    crosses line breaks). No reference counterpart; inter-document
+    plane.
+
+    Returns one row per doc: (doc_id, n_tokens, n_dup_starts, n_kept,
+    text_out) — text_out is the surviving tokens re-joined by ' '.
+    Docs shorter than k tokens contribute no grams and pass untouched.
+
+    Scale shape: Lee et al. use a monolithic suffix array; the
+    distributed equivalent here is a k-gram melt keyed by md5(gram) —
+    the shuffle carries a 32-byte hash per token position, never the
+    k-fold text expansion, and the duplicate count/first-occurrence
+    is ONE partial-aggregable groupBy (a boilerplate passage on 10^9
+    pages collapses map-side; same no-window rationale as
+    line_dedup_over). Downstream is row-local: the duplicated starts
+    are merged into disjoint [lo,hi] intervals BEFORE the per-token
+    coverage test, so a fully-duplicated document (the common case —
+    heavy boilerplate is what this operator exists for) folds its
+    n-k+1 starts into one interval and pays O(n), not O(n^2).
+    First-occurrence key doc_id*1e6+pos, the line_dedup_over
+    convention (bigint min, SQL-portable)."""
+    d = (docs.select("doc_id",
+                     F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                     .alias("ws"))
+         .withColumn("n", F.size("ws")))
+    # F.sequence(0, n-k) DESCENDS for n<k (Spark generates negative
+    # steps) — guard short docs to an empty gram list explicitly
+    gh = F.when(
+        F.col("n") >= k,
+        F.transform(F.sequence(F.lit(0), F.col("n") - k),
+                    lambda i: F.md5(F.array_join(
+                        F.slice(F.col("ws"), i + 1, k), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.posexplode(gh).alias("pos", "g"))
+    okey = F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+    stats = (grams.groupBy("g")
+             .agg(F.count("*").alias("cnt"), F.min(okey).alias("fkey"))
+             .filter(F.col("cnt") >= min_count))
+    starts = (grams.join(stats, "g")
+              .filter(okey != F.col("fkey"))
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list("pos")).alias("ss")))
+    iv = F.struct(F.col("s").alias("lo"),
+                  (F.col("s") + k - 1).alias("hi"))
+    base = (d.join(starts, "doc_id", "left")
+            .withColumn("ss", F.coalesce("ss", F.array().cast("array<int>")))
+            # fold the sorted starts into disjoint coverage intervals:
+            # start s covers [s, s+k-1]; merge when s <= last.hi + 1
+            .withColumn("iv", F.aggregate(
+                "ss", F.array().cast("array<struct<lo:int,hi:int>>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (s <= F.element_at(acc, -1)["hi"] + 1),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.struct(
+                            F.element_at(acc, -1)["lo"].alias("lo"),
+                            F.greatest(F.element_at(acc, -1)["hi"],
+                                       s + k - 1).alias("hi"))))
+                ).otherwise(F.concat(acc, F.array(F.struct(
+                    s.alias("lo"), (s + k - 1).alias("hi"))))))))
+    kept = F.filter(
+        F.sequence(F.lit(0), F.col("n") - 1),
+        lambda j: ~F.exists("iv", lambda v: (v["lo"] <= j)
+                            & (j <= v["hi"])))
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size("ss").cast("long").alias("n_dup_starts"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept, lambda j: F.element_at("ws", j + 1)),
+            " ").alias("text_out"))
+
+
+#: 12-token corpus-wide boilerplate passage for q_substr_dedup
+_SD_HEADER = ("terms of service apply to all content "
+              "on this site please")
+#: 10-token per-class footer; the class token appended makes 11
+_SD_FOOTER = ("all rights reserved contact the webmaster "
+              "for takedown requests class")
+
+
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substr_dedup_over (k=GRAM_K tokens) over a deterministic
+    rendering of `documents` that plants duplicated spans in every
+    direction the operator must decide (sf0.01 has ZERO duplicate
+    texts — raw application would be vacuous at the correctness
+    scale): every doc gets the SAME 12-token header passage (kept
+    once corpus-wide), docs with doc_id%5==0 repeat their own body
+    (within-doc dup: first copy survives), and an 11-token footer
+    shared by the doc_id%7 class (kept once per class). Grams that
+    straddle a boilerplate/body boundary differ per doc and survive —
+    the operator's natural edge behavior. The rendering formula is
+    mirrored verbatim in ORACLE_SUBSTR_DEDUP (the fixtures.py /
+    _LINES_CTE discipline)."""
+    # single parquet file => 1 scan partition => the md5 gram melt
+    # (the expensive map-side work, BEFORE any exchange) runs serial;
+    # fan out first (measured 3.6 -> 2.1 s at sf0.1). At cluster
+    # scale the scan has many splits and the job layer owns this.
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
+    body = F.coalesce(F.col("text"), F.lit(""))
+    mtext = F.concat(
+        F.lit(_SD_HEADER + " "), body,
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" "), body))
+        .otherwise(F.lit("")),
+        F.lit(" " + _SD_FOOTER + " "),
+        (F.col("doc_id") % 7).cast("string"))
+    return (substr_dedup_over(
+        docs.select("doc_id", mtext.alias("text")))
+        .orderBy("doc_id"))
+
+
+ORACLE_SUBSTR_DEDUP = rf"""
+WITH src AS (
+  SELECT doc_id,
+         '{_SD_HEADER} ' || coalesce(text, '') ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' ' || coalesce(text, '') ELSE '' END ||
+         ' {_SD_FOOTER} ' || cast(doc_id % 7 AS varchar) AS text
+  FROM documents
+), d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+  FROM src
+), g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(ws) - {GRAM_K} + 1),
+                i -> {{'pos': i,
+                       'g': md5(array_to_string(
+                                list_slice(ws, i + 1, i + {GRAM_K}),
+                                ' '))}})) AS u
+  FROM d WHERE len(ws) >= {GRAM_K}
+), grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM g0
+), stats AS (
+  SELECT g, count(*) AS cnt, min(doc_id * 1000000 + pos) AS fkey
+  FROM grams GROUP BY g
+), dup AS (
+  SELECT gr.doc_id, gr.pos
+  FROM grams gr JOIN stats s USING (g)
+  WHERE s.cnt >= 2 AND gr.doc_id * 1000000 + gr.pos <> s.fkey
+), ss AS (
+  SELECT doc_id, list_sort(list(pos)) AS ss FROM dup GROUP BY doc_id
+), j AS (
+  SELECT d.doc_id, d.ws,
+         coalesce(s.ss, CAST([] AS BIGINT[])) AS ss
+  FROM d LEFT JOIN ss s USING (doc_id)
+), kk AS (
+  SELECT doc_id, ws, ss,
+         list_filter(range(len(ws)),
+                     jx -> len(list_filter(ss,
+                           sx -> sx <= jx AND jx < sx + {GRAM_K})) = 0)
+             AS kept
+  FROM j
+)
+SELECT doc_id,
+       cast(len(ws) AS bigint) AS n_tokens,
+       cast(len(ss) AS bigint) AS n_dup_starts,
+       cast(len(kept) AS bigint) AS n_kept,
+       coalesce(array_to_string(list_transform(kept, jx -> ws[jx + 1]),
+                                ' '), '') AS text_out
+FROM kk ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) per doc: token hash bit-vote, JVM expressions
     only. Rows-only check (bit arithmetic differs across engines)."""
@@ -3447,6 +3624,7 @@ QUERIES = {
     "q_dedup_components": q_dedup_components,
     "q_dedup_simhash_md5": q_dedup_simhash_md5,
     "q_line_dedup": q_line_dedup,
+    "q_substr_dedup": q_substr_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_lsh_buckets": q_lsh_buckets,
     "q_ann_lsh_topk": q_ann_lsh_topk,
@@ -3459,12 +3637,12 @@ QUERIES = {
     "q_html_main": q_html_main,
     # rows-only tail (hash-seed- or kern-dependent; each has an oracled
     # twin above: _md5 variants, q_extract_spans_courier).
-    # q_dedup_simhash retired from the registry in r6 to free the slot
-    # for the fully-oracled q_line_dedup (the 50-entry cap); the
-    # function remains the fast 32-bit production variant, covered by
-    # q_dedup_simhash_md5 (oracled) + a pytest.
+    # q_dedup_simhash and q_dedup_minhash retired from the registry in
+    # r6 to free slots for the fully-oracled q_line_dedup and
+    # q_substr_dedup (the 50-entry cap); both functions remain the
+    # fast xxhash production variants, covered by their _md5 oracled
+    # twins + pytests.
     "q_extract_spans": q_extract_spans,
-    "q_dedup_minhash": q_dedup_minhash,
 }
 
 ORACLES = {
@@ -3508,6 +3686,7 @@ ORACLES = {
     "q_dedup_components": ORACLE_DEDUP_COMPONENTS,
     "q_dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
     "q_line_dedup": ORACLE_LINE_DEDUP,
+    "q_substr_dedup": ORACLE_SUBSTR_DEDUP,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_lsh_buckets": ORACLE_LSH_BUCKETS,
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,

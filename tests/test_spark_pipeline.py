@@ -1069,6 +1069,57 @@ def test_line_dedup_over_semantics(spark):
     assert loose[1].text_out == "unique beta\n\nfooter"
 
 
+def test_substr_dedup_over_semantics(spark):
+    """r6: exact-substring dedup (Lee et al. 2022 ExactSubstr) — a
+    duplicated k-gram span keeps only its corpus-first occurrence by
+    (doc_id, pos); coverage merges overlapping grams; short docs and
+    unique text pass untouched. Hand-computed at k=4."""
+    from pdfio_spark.pipeline.queries import substr_dedup_over
+    rows = [
+        (0, "a1 a2 a3 a4 u1 u2"),            # first copy: untouched
+        (1, "a1 a2 a3 a4 u1 u2"),            # identical: strips empty
+        (2, "x1 x2 a1 a2 a3 a4 y1"),         # partial cross-doc span
+        (3, "s1 s2 s3"),                     # shorter than k: no grams
+        (4, "r1 r2 r3 r4 m r1 r2 r3 r4"),    # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substr_dedup_over(df, k=4).collect()}
+    assert (out[0].n_dup_starts, out[0].n_kept) == (0, 6)
+    assert out[0].text_out == "a1 a2 a3 a4 u1 u2"
+    # doc 1: starts {0,1,2} merge into ONE [0,5] interval -> all gone
+    assert (out[1].n_dup_starts, out[1].n_kept) == (3, 0)
+    assert out[1].text_out == ""
+    # doc 2: only its pos-2 gram matches doc 0's pos-0 gram
+    assert (out[2].n_dup_starts, out[2].n_kept) == (1, 3)
+    assert out[2].text_out == "x1 x2 y1"
+    assert out[3].text_out == "s1 s2 s3"
+    # doc 4: second copy of the repeated passage stripped, first kept
+    assert (out[4].n_dup_starts, out[4].n_kept) == (1, 5)
+    assert out[4].text_out == "r1 r2 r3 r4 m"
+    # min_count=3: only the 3-occurrence gram 'a1 a2 a3 a4' is dup
+    # (doc0 pos0 / doc1 pos0 / doc2 pos2); doc1's 2-occurrence tail
+    # grams now survive
+    loose = {r.doc_id: r for r in
+             substr_dedup_over(df, k=4, min_count=3).collect()}
+    assert loose[1].text_out == "u1 u2"
+    assert loose[2].text_out == "x1 x2 y1"
+    assert loose[4].text_out == "r1 r2 r3 r4 m r1 r2 r3 r4"
+
+
+def test_dedup_minhash_production_variant(spark):
+    """q_dedup_minhash left the registry in r6 (slot freed for the
+    oracled q_substr_dedup) but remains the fast xxhash production
+    variant — pin shape, pair symmetry, and determinism across two
+    separate query conversions (the r3 HOF-lambda flake class)."""
+    from pdfio_spark.pipeline.queries import q_dedup_minhash
+    sf = "/root/testdata/sf0.001"
+    pairs = {(r.doc_a, r.doc_b) for r in q_dedup_minhash(spark, sf).collect()}
+    assert all(a < b for a, b in pairs)
+    again = {(r.doc_a, r.doc_b)
+             for r in q_dedup_minhash(spark, sf).collect()}
+    assert pairs == again
+
+
 def test_dedup_simhash_production_variant(spark):
     """q_dedup_simhash left the registry in r6 (slot freed for the
     oracled q_line_dedup) but remains the fast 32-bit production
