@@ -2296,16 +2296,13 @@ def line_dedup_over(docs: DataFrame, min_count: int = 2) -> DataFrame:
                      "\n").alias("text_out")))
 
 
-def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """line_dedup_over over a deterministic multi-line rendering of
-    `documents`: every doc gets the SAME header boilerplate line, a
-    blank structural line, its text chunked into LINE_WORDS-word
-    lines, and a footer shared by its doc_id%7 class — so the dedup
-    decides in BOTH directions (header kept once corpus-wide, footer
-    once per class, blank + body lines all kept). The chunk formula
-    is mirrored verbatim in ORACLE_LINE_DEDUP (the fixtures.py /
-    _LINES_CTE discipline)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def line_dedup_fixture(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line rendering of a (doc_id, text) table:
+    the SAME header boilerplate line for every doc, a blank structural
+    line, the text chunked into LINE_WORDS-word lines, and a footer
+    shared by the doc_id%7 class. ONE formula shared by q_line_dedup
+    and tools/soak.py linededup (batch/soak agree by construction);
+    mirrored verbatim in ORACLE_LINE_DEDUP."""
     # bind ws as its OWN projection before the chunking HOF slices it
     # per element — inlining the split re-evaluates it per chunk (the
     # q_repetition_filter O(n^2) lesson)
@@ -2320,7 +2317,16 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtext = F.concat_ws(
         "\n", F.lit(_LD_HEADER), F.lit(""), F.array_join(chunks, "\n"),
         F.concat(F.lit(_LD_FOOTER), (F.col("doc_id") % 7).cast("string")))
-    return (line_dedup_over(d.select("doc_id", mtext.alias("text")))
+    return d.select("doc_id", mtext.alias("text"))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup_over over line_dedup_fixture's deterministic
+    multi-line rendering of `documents` — the dedup decides in BOTH
+    directions (header kept once corpus-wide, footer once per class,
+    blank + body lines all kept)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (line_dedup_over(line_dedup_fixture(docs))
             .orderBy("doc_id"))
 
 
@@ -2392,13 +2398,19 @@ def substr_dedup_over(docs: DataFrame, k: int = GRAM_K,
     k-fold text expansion, and the duplicate count/first-occurrence
     is ONE partial-aggregable groupBy (a boilerplate passage on 10^9
     pages collapses map-side; same no-window rationale as
-    line_dedup_over). Downstream is row-local: the duplicated starts
-    are merged into disjoint [lo,hi] intervals BEFORE the per-token
-    coverage test, so a fully-duplicated document (the common case —
-    heavy boilerplate is what this operator exists for) folds its
-    n-k+1 starts into one interval and pays O(n), not O(n^2).
-    First-occurrence key doc_id*1e6+pos, the line_dedup_over
-    convention (bigint min, SQL-portable)."""
+    line_dedup_over). The duplicated starts merge into disjoint
+    [lo,hi] coverage intervals via gaps-and-islands (a per-doc-bounded
+    window + codegen'd aggregates) and the kept token indices come
+    closed-form from the interval GAPS — O(n + starts) per doc.
+    MEASURED TRAP behind that choice: the obvious alternative — an
+    in-project aggregate() fold building the intervals, then a
+    per-token filter(exists(iv)) — lets CollapseProject inline the
+    fold ALIAS into the token lambda, re-running the interpreted fold
+    once PER TOKEN (100k soak docs: 358 s vs 11 s for this shape).
+    Island/interval columns arrive through a shuffle as real
+    attributes, which cannot be inlined. First-occurrence key
+    doc_id*1e6+pos, the line_dedup_over convention (bigint min,
+    SQL-portable)."""
     d = (docs.select("doc_id",
                      F.split(F.coalesce(F.col("text"), F.lit("")), " ")
                      .alias("ws"))
@@ -2416,37 +2428,48 @@ def substr_dedup_over(docs: DataFrame, k: int = GRAM_K,
     stats = (grams.groupBy("g")
              .agg(F.count("*").alias("cnt"), F.min(okey).alias("fkey"))
              .filter(F.col("cnt") >= min_count))
-    starts = (grams.join(stats, "g")
-              .filter(okey != F.col("fkey"))
-              .groupBy("doc_id")
-              .agg(F.sort_array(F.collect_list("pos")).alias("ss")))
-    iv = F.struct(F.col("s").alias("lo"),
-                  (F.col("s") + k - 1).alias("hi"))
-    base = (d.join(starts, "doc_id", "left")
-            .withColumn("ss", F.coalesce("ss", F.array().cast("array<int>")))
-            # fold the sorted starts into disjoint coverage intervals:
-            # start s covers [s, s+k-1]; merge when s <= last.hi + 1
-            .withColumn("iv", F.aggregate(
-                "ss", F.array().cast("array<struct<lo:int,hi:int>>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (s <= F.element_at(acc, -1)["hi"] + 1),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.struct(
-                            F.element_at(acc, -1)["lo"].alias("lo"),
-                            F.greatest(F.element_at(acc, -1)["hi"],
-                                       s + k - 1).alias("hi"))))
-                ).otherwise(F.concat(acc, F.array(F.struct(
-                    s.alias("lo"), (s + k - 1).alias("hi"))))))))
-    kept = F.filter(
-        F.sequence(F.lit(0), F.col("n") - 1),
-        lambda j: ~F.exists("iv", lambda v: (v["lo"] <= j)
-                            & (j <= v["hi"])))
+    dup = (grams.join(stats, "g")
+           .filter(okey != F.col("fkey"))
+           .select("doc_id", "pos"))
+    # gaps-and-islands: start s covers [s, s+k-1]; consecutive sorted
+    # starts merge while pos <= prev + k. The window is per-doc
+    # (bounded by the doc's own length), never corpus-global.
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (dup.withColumn(
+        "brk", F.when(F.col("pos") > F.lag("pos").over(w) + k, 1)
+        .otherwise(0))
+        .withColumn("island", F.sum("brk").over(w)))
+    ivs = (isl.groupBy("doc_id", "island")
+           .agg(F.min("pos").alias("lo"),
+                (F.max("pos") + (k - 1)).alias("hi"),
+                F.count("*").alias("ns")))
+    per_doc = (ivs.groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list(F.struct("lo", "hi")))
+                    .alias("iv"),
+                    F.sum("ns").alias("nds")))
+    base = (d.join(per_doc, "doc_id", "left")
+            .withColumn("iv", F.coalesce(
+                "iv", F.array().cast("array<struct<lo:int,hi:int>>")))
+            .withColumn("nds", F.coalesce("nds", F.lit(0))))
+    # kept = the gap ranges between the m disjoint intervals (plus
+    # head/tail); m+1 gaps, each a closed-form sequence — no
+    # per-token predicate at all
+    m = F.size("iv")
+    gaps = F.transform(
+        F.sequence(F.lit(0), m),
+        lambda i: F.struct(
+            F.when(i == 0, F.lit(0))
+            .otherwise(F.element_at("iv", i)["hi"] + 1).alias("a"),
+            F.when(i == m, F.col("n") - 1)
+            .otherwise(F.element_at("iv", i + 1)["lo"] - 1).alias("b")))
+    kept = F.flatten(F.transform(
+        gaps, lambda s: F.when(s["a"] <= s["b"],
+                               F.sequence(s["a"], s["b"]))
+        .otherwise(F.array().cast("array<int>"))))
     return base.select(
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
-        F.size("ss").cast("long").alias("n_dup_starts"),
+        F.col("nds").cast("long").alias("n_dup_starts"),
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(
             F.transform(kept, lambda j: F.element_at("ws", j + 1)),
@@ -2461,25 +2484,15 @@ _SD_FOOTER = ("all rights reserved contact the webmaster "
               "for takedown requests class")
 
 
-def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """substr_dedup_over (k=GRAM_K tokens) over a deterministic
-    rendering of `documents` that plants duplicated spans in every
-    direction the operator must decide (sf0.01 has ZERO duplicate
-    texts — raw application would be vacuous at the correctness
-    scale): every doc gets the SAME 12-token header passage (kept
-    once corpus-wide), docs with doc_id%5==0 repeat their own body
-    (within-doc dup: first copy survives), and an 11-token footer
-    shared by the doc_id%7 class (kept once per class). Grams that
-    straddle a boilerplate/body boundary differ per doc and survive —
-    the operator's natural edge behavior. The rendering formula is
-    mirrored verbatim in ORACLE_SUBSTR_DEDUP (the fixtures.py /
-    _LINES_CTE discipline)."""
-    # single parquet file => 1 scan partition => the md5 gram melt
-    # (the expensive map-side work, BEFORE any exchange) runs serial;
-    # fan out first (measured 3.6 -> 2.1 s at sf0.1). At cluster
-    # scale the scan has many splits and the job layer owns this.
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .repartition(spark.sparkContext.defaultParallelism))
+def substr_dedup_fixture(docs: DataFrame) -> DataFrame:
+    """Deterministic span-planting rendering of a (doc_id, text)
+    table: the SAME 12-token header passage for every doc, docs with
+    doc_id%5==0 repeat their own body (within-doc dup), and an
+    11-token footer shared by the doc_id%7 class. Grams that straddle
+    a boilerplate/body boundary differ per doc and survive — the
+    operator's natural edge behavior. ONE formula shared by
+    q_substr_dedup and tools/soak.py substrdedup; mirrored verbatim
+    in ORACLE_SUBSTR_DEDUP."""
     body = F.coalesce(F.col("text"), F.lit(""))
     mtext = F.concat(
         F.lit(_SD_HEADER + " "), body,
@@ -2487,9 +2500,24 @@ def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.lit(" " + _SD_FOOTER + " "),
         (F.col("doc_id") % 7).cast("string"))
-    return (substr_dedup_over(
-        docs.select("doc_id", mtext.alias("text")))
-        .orderBy("doc_id"))
+    return docs.select("doc_id", mtext.alias("text"))
+
+
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substr_dedup_over (k=GRAM_K tokens) over substr_dedup_fixture's
+    rendering of `documents` — plants duplicated spans in every
+    direction the operator must decide (sf0.01 has ZERO duplicate
+    texts — raw application would be vacuous at the correctness
+    scale): header kept once corpus-wide, within-doc body repeats
+    keep their first copy, footers kept once per doc_id%7 class."""
+    # single parquet file => 1 scan partition => the md5 gram melt
+    # (the expensive map-side work, BEFORE any exchange) runs serial;
+    # fan out first (measured 3.6 -> 2.1 s at sf0.1). At cluster
+    # scale the scan has many splits and the job layer owns this.
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return (substr_dedup_over(substr_dedup_fixture(docs))
+            .orderBy("doc_id"))
 
 
 ORACLE_SUBSTR_DEDUP = rf"""

@@ -5,8 +5,13 @@ extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
 Usage: python3 tools/soak.py [pdf|html|amend|sigaudit|dedup|rundedup|
-       runfilter|wat|ann|ivf|pq|ivfpq|stream|neardup] [n_docs]
-       (default pdf 1e6)
+       runfilter|wat|ann|ivf|pq|ivfpq|stream|neardup|linededup|
+       substrdedup] [n_docs] (default pdf 1e6)
+
+linededup / substrdedup modes (r6): 1M docs with 200-way duplication
+through the two sub-document dedup granularities (C4 line dedup,
+Lee et al. exact-substring) — the hot-key partial-agg and
+interval-merge stress.
 
 stream mode: n_docs PDFs (default 100k) through the exactly-once
 streaming ingest (stream_extract: readStream -> extraction UDF ->
@@ -502,6 +507,48 @@ def main() -> None:
         dt = time.perf_counter() - t0
         print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
                           "rows": n_rows, "kept": n_kept,
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(n / dt, 1)}))
+        spark.stop()
+        return
+
+    if mode in ("linededup", "substrdedup"):
+        # the two sub-document dedup granularities (r6) at 1M docs
+        # with 200-way duplication: after the fixture rendering every
+        # replica's body lines/grams duplicate 200x, the header
+        # line/passage occurs n_docs times, footers n_docs/7 — the
+        # hot-key partial-aggregation claim (a boilerplate line on
+        # every page collapses map-side, no reducer melt) and the
+        # interval-merge fast path (replicas strip fully) both under
+        # stress. SOAK_SMJ=1 for the at-scale join shape.
+        from pdfio_spark.pipeline.queries import (
+            line_dedup_fixture, line_dedup_over,
+            substr_dedup_fixture, substr_dedup_over)
+        tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        k = max(1, n_docs // max(tbl.count(), 1))
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        docs = (tbl.select("doc_id", "text").crossJoin(reps)
+                .select((F.col("doc_id") * k + F.col("rep"))
+                        .alias("doc_id"), "text")
+                .limit(n_docs).repartition(cpus * 2).localCheckpoint())
+        n = docs.count()
+        # a fully-deduped replica keeps 0 tokens (substr) but exactly
+        # 1 line (line dedup: blank structural lines always pass)
+        fixture, over, floor = (
+            (line_dedup_fixture, line_dedup_over, 1)
+            if mode == "linededup" else
+            (substr_dedup_fixture, substr_dedup_over, 0))
+        t0 = time.perf_counter()
+        out = over(fixture(docs))
+        agg = out.agg(F.count("*").alias("rows"),
+                      F.sum((F.col("n_kept") <= floor).cast("long"))
+                      .alias("stripped"),
+                      F.sum("n_kept").alias("kept_units")).collect()[0]
+        dt = time.perf_counter() - t0
+        print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
+                          "rows": agg["rows"],
+                          "fully_stripped": int(agg["stripped"]),
+                          "kept_units": int(agg["kept_units"]),
                           "sec": round(dt, 1),
                           "docs_per_sec": round(n / dt, 1)}))
         spark.stop()
