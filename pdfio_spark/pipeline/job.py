@@ -814,6 +814,74 @@ def filter_metrics(extracted: DataFrame) -> DataFrame:
             .groupBy("partition_id").agg(*aggs))
 
 
+#: PII categories scrubbed by pii_scrub_over, in APPLICATION ORDER —
+#: email first (its local part may contain digit runs), SSN before
+#: phone (a 3-2-4 digit group is a legal phone tail), IPv4 before
+#: phone (dotted quads overlap separator-form numbers)
+PII_CATEGORIES = ("email", "ssn", "ipv4", "phone")
+
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ssn": r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)",
+    "ipv4": r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])",
+    # separator or parens form required: a bare 10-digit integer is
+    # more often an id/timestamp than a phone number — scrubbing is
+    # deliberately conservative on that ambiguity (documented choice)
+    "phone": (r"(?<![\d(])(?:\+\d{1,2}[ .\-]?)?"
+              r"(?:\(\d{3}\)[ .\-]?|\d{3}[ .\-])"
+              r"\d{3}[ .\-]\d{4}(?!\d)"),
+}
+
+
+def pii_scrub_over(corpus: DataFrame) -> DataFrame:
+    """PII redaction pass of a training-data pipeline: (url, text) ->
+    text with emails / SSN-style ids / IPv4 addresses / phone numbers
+    replaced by <EMAIL>/<SSN>/<IPV4>/<PHONE> placeholders, plus one
+    occurrence counter per category. Entirely row-local JVM regexes
+    (regexp_extract_all for the count, regexp_replace for the
+    rewrite) — at 100 TB a map-only stage at scan speed, no UDF, no
+    shuffle. Categories apply in PII_CATEGORIES order; each counter
+    is taken on the text state its replace sees, so overlapping
+    matches are counted exactly once by the category that consumed
+    them. No reference counterpart; inter-document plane.
+
+    status: 'scrubbed' (>=1 replacement) | 'clean' — the run_job
+    by_status contract."""
+    out = corpus.select(
+        "url", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    for cat in PII_CATEGORIES:
+        pat = _PII_PATTERNS[cat]
+        out = (out
+               .withColumn(f"n_{cat}",
+                           F.size(F.regexp_extract_all(
+                               "text", F.lit(pat), F.lit(0))))
+               .withColumn("text", F.regexp_replace(
+                   "text", pat, f"<{cat.upper()}>")))
+    n_pii = None
+    for cat in PII_CATEGORIES:
+        c = F.col(f"n_{cat}")
+        n_pii = c if n_pii is None else n_pii + c
+    return (out.withColumn("n_pii", n_pii)
+            .withColumn("status", F.when(F.col("n_pii") > 0, "scrubbed")
+                        .otherwise("clean")))
+
+
+def pii_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for the PII-scrub path: docs processed,
+    docs touched, and one counter per category — sums read only
+    output-borne columns, so the crash reconcile pass stays exact
+    (the wat_metrics rule)."""
+    aggs = [F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "scrubbed", 1).otherwise(0))
+             .alias("n_scrubbed"),
+            F.sum("n_pii").alias("n_pii")]
+    for cat in PII_CATEGORIES:
+        aggs.append(F.sum(f"n_{cat}").alias(f"n_{cat}"))
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id").agg(*aggs))
+
+
 def sigaudit_metrics(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage for the signature-audit path: output
     rows, SIGNATURE rows (status='ok' — a 3-signature doc contributes

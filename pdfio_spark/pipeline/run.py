@@ -114,6 +114,9 @@ def run_job(spark, input_path: str, output_path: str,
         def extract_fn(c, _fo=fo):
             return quality_decisions(c, **_fo)
         metrics_fn = filter_metrics
+    elif mode == "pii":
+        from .job import pii_metrics, pii_scrub_over
+        extract_fn, metrics_fn = pii_scrub_over, pii_metrics
     elif mode == "sigaudit":
         from .job import sigaudit_metrics, validate_signatures_over
         sm = sig_material or {}
@@ -133,7 +136,7 @@ def run_job(spark, input_path: str, output_path: str,
         metrics_fn = sigaudit_metrics
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
-                         "wat | dedup | sigaudit | filter)")
+                         "wat | dedup | sigaudit | filter | pii)")
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
@@ -145,7 +148,7 @@ def run_job(spark, input_path: str, output_path: str,
     src = spark.read.parquet(input_path)
     # column pruning reaches the scan: each mode reads only its columns
     cols = {"wet": ["url", "text"], "dedup": ["url", "text"],
-            "filter": ["url", "text"],
+            "filter": ["url", "text"], "pii": ["url", "text"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
                                                       ["url", "html"])
     corpus = src.select(*cols)
@@ -256,7 +259,7 @@ def main(argv=None) -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--mode",
                     choices=("pdf", "html", "wet", "wat", "dedup",
-                             "sigaudit", "filter"),
+                             "sigaudit", "filter", "pii"),
                     default="pdf")
     # sigaudit material: os.pathsep-separated file paths, read on the
     # driver and shipped into task closures (works on a real cluster

@@ -302,6 +302,29 @@ def stream_quality_filter(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_pii_scrub(spark: SparkSession, input_dir: str,
+                     checkpoint_dir: str, output_dir: str,
+                     available_now: bool = True):
+    """Streaming twin of run.py --mode pii: file-source stream of
+    (url, text) docs -> PII-redacted text + per-category counters
+    (job.pii_scrub_over — stateless JVM regexes, runs at scan speed,
+    no fan-out needed) -> parquet sink, exactly-once via the
+    checkpoint."""
+    from .job import pii_scrub_over
+    src = (spark.readStream
+           .schema("url string, text string")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    writer = (pii_scrub_over(src).writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_sigaudit(spark: SparkSession, input_dir: str,
                     checkpoint_dir: str, output_dir: str,
                     trust_pems=None, crl_blobs=None, ocsp_ders=None,

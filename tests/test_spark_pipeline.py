@@ -911,6 +911,79 @@ def test_quality_decisions_and_run_job_filter_mode(spark, tmp_path):
         run_job(spark, inp, outp2, None, mode="pdf", filter_opts={})
 
 
+def test_pii_scrub_over_and_run_job_pii_mode(spark, tmp_path):
+    """r6: PII redaction stage — emails / SSN-style ids / IPv4 /
+    phone numbers replaced by placeholders with per-category counts,
+    under the full resume/metrics/run_id contract. Conservative by
+    design: a BARE 10-digit integer is NOT treated as a phone (ids/
+    timestamps), separator or parens form is required."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import pii_scrub_over
+    from pdfio_spark.pipeline.run import run_job
+    rows = [
+        ("p://mail", "write to jane.doe+spam@sub.example.co.uk today"),
+        ("p://ssn", "ssn 123-45-6789 on file"),
+        ("p://ip", "served from 192.168.0.1 and 10.0.0.254"),
+        ("p://phone", "call (555) 123-4567 or +1 555.123.4567"),
+        ("p://clean", "order 1234567890 shipped on 12-34-5678"),
+        ("p://null", None),
+    ]
+    corpus = spark.createDataFrame(rows, "url string, text string")
+    out = {r["url"]: r for r in pii_scrub_over(corpus).collect()}
+    assert out["p://mail"]["text"] == "write to <EMAIL> today"
+    assert (out["p://mail"]["n_email"], out["p://mail"]["status"]) \
+        == (1, "scrubbed")
+    assert out["p://ssn"]["text"] == "ssn <SSN> on file"
+    assert out["p://ip"]["text"] == "served from <IPV4> and <IPV4>"
+    assert out["p://ip"]["n_ipv4"] == 2
+    assert out["p://phone"]["text"] == "call <PHONE> or <PHONE>"
+    assert out["p://phone"]["n_phone"] == 2
+    # bare digit runs and a 2-2-4 date-like group stay untouched
+    assert out["p://clean"]["text"] == rows[4][1]
+    assert (out["p://clean"]["n_pii"], out["p://clean"]["status"]) \
+        == (0, "clean")
+    assert out["p://null"]["text"] == ""
+
+    # production contract: run_id + metrics + exactly-once resume
+    inp = str(tmp_path / "pii_in")
+    outp = str(tmp_path / "pii_out")
+    met = str(tmp_path / "pii_met")
+    corpus.write.parquet(inp)
+    r1 = run_job(spark, inp, outp, met, mode="pii", run_id="p1")
+    assert r1["by_status"] == {"scrubbed": 4, "clean": 2}
+    spark.createDataFrame([("p://late", "ping admin@example.org")],
+                          "url string, text string") \
+        .write.mode("append").parquet(inp)
+    r2 = run_job(spark, inp, outp, met, mode="pii", resume=True,
+                 run_id="p2")
+    assert r2["written"] == 1 and r2["by_status"] == {"scrubbed": 1}
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 7
+    assert m.agg(F.sum("n_scrubbed")).collect()[0][0] == 5
+    assert m.agg(F.sum("n_email")).collect()[0][0] == 2
+    assert m.agg(F.sum("n_pii")).collect()[0][0] == 7
+
+
+def test_stream_pii_scrub(spark, tmp_path):
+    """Streaming twin of --mode pii: exactly-once redaction."""
+    from pdfio_spark.pipeline.streaming import stream_pii_scrub
+    inp = str(tmp_path / "spii_in")
+    chk = str(tmp_path / "spii_chk")
+    outp = str(tmp_path / "spii_out")
+    spark.createDataFrame(
+        [("s://a", "mail me a@b.co"), ("s://b", "no pii here")],
+        "url string, text string").write.parquet(inp)
+    q = stream_pii_scrub(spark, inp, chk, outp)
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    assert out.count() == 2
+    assert (out.filter("url = 's://a'").collect()[0]["text"]
+            == "mail me <EMAIL>")
+    q2 = stream_pii_scrub(spark, inp, chk, outp)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(outp).count() == 2  # nothing reprocessed
+
+
 def test_stream_quality_filter(spark, tmp_path):
     """Streaming twin of --mode filter: exactly-once decisions."""
     from pdfio_spark.pipeline.streaming import stream_quality_filter

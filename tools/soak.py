@@ -5,8 +5,8 @@ extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
 Usage: python3 tools/soak.py [pdf|html|amend|sigaudit|dedup|rundedup|
-       runfilter|wat|ann|ivf|pq|ivfpq|stream|neardup|linededup|
-       substrdedup] [n_docs] (default pdf 1e6)
+       runfilter|runpii|wat|ann|ivf|pq|ivfpq|stream|neardup|
+       linededup|substrdedup] [n_docs] (default pdf 1e6)
 
 linededup / substrdedup modes (r6): 1M docs with 200-way duplication
 through the two sub-document dedup granularities (C4 line dedup,
@@ -619,6 +619,23 @@ def main() -> None:
                             extra_cols=("lang",)).limit(n_docs)
     corpus_path = os.path.join(soak_dir, f"{mode}_corpus")
     shutil.rmtree(corpus_path, ignore_errors=True)
+
+    if mode == "runpii":
+        # the PII redaction stage through run_job --mode pii: sf0.1
+        # texts with PLANTED pii (email/ssn/ip/phone cycling by row,
+        # 1 in 4 rows clean) — 8 JVM regex passes per row (4 counts +
+        # 4 replaces), the production contract's throughput for a
+        # regex-bound map-only stage.
+        docs = _replicated_url_corpus(spark, sf_dir, n_docs, cpus)
+        pii = F.element_at(
+            F.array(F.lit(" mail bob@example.com"),
+                    F.lit(" ssn 123-45-6789"),
+                    F.lit(" from 10.1.2.3"),
+                    F.lit(" call (555) 123-4567"), F.lit("")),
+            (F.xxhash64("url") % 5 + 5).cast("int") % 5 + 1)
+        docs = docs.select("url", F.concat("text", pii).alias("text"))
+        _soak_run_job(spark, docs, "pii", mode, smj, soak_dir)
+        return
 
     if mode == "pdf":
         from pdfio_spark.pipeline.job import extract_pdfs, gen_pdf_corpus
