@@ -2238,6 +2238,25 @@ ORACLE_DEDUP_COMPONENTS = _components_oracle()
 
 #: words per synthetic line in q_line_dedup's multi-line construction
 LINE_WORDS = 8
+#: max positions per doc in the sub-document dedup okey encoding
+#: (doc_id * POS_CAP + pos); holds to ~9.2e12 docs
+POS_CAP = 1_000_000
+#: whitespace set for the blank-line exemption — F.trim strips ONLY
+#: spaces, so CR-only lines from CRLF corpora would enter stats and
+#: get deduped corpus-wide (r6 review); mirrored in the oracle's
+#: trim(line, <chars>)
+_WS_CHARS = " \t\r\f\x0b\n"
+
+
+def _bounded_pos(what: str):
+    """Position column guarded against the okey encoding cap: a doc
+    with >= POS_CAP lines/grams would silently collide its keys into
+    a NEIGHBORING doc_id's key space (under-dedup with no error) —
+    raise instead, as the operator docstrings promise."""
+    return F.when(F.col("pos") < POS_CAP, F.col("pos")).otherwise(
+        F.raise_error(F.lit(
+            f"{what}: doc exceeds {POS_CAP} positions — the "
+            "doc_id*POS_CAP+pos first-occurrence key would collide")))
 _LD_HEADER = "subscribe to our newsletter for updates"
 _LD_FOOTER = "copyright footer class "
 
@@ -2275,14 +2294,20 @@ def line_dedup_over(docs: DataFrame, min_count: int = 2) -> DataFrame:
                      .alias("la"))
              .select("doc_id",
                      F.posexplode(F.col("la")).alias("pos", "line")))
-    okey = F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
-    stats = (lines.filter(F.trim(F.col("line")) != "")
+    okey = (F.col("doc_id") * F.lit(POS_CAP)
+            + _bounded_pos("line_dedup_over"))
+    # pre-filter to actually-duplicated lines: on a real corpus most
+    # lines are unique and only dup lines affect the outcome — the
+    # join side shrinks by the unique-line fraction (r6 review;
+    # unique lines fall through the NULL branch, output-identical)
+    stats = (lines.filter(F.btrim(F.col("line"), F.lit(_WS_CHARS))
+                          != "")
              .groupBy("line")
-             .agg(F.count("*").alias("n"), F.min(okey).alias("fkey")))
+             .agg(F.count("*").alias("n"), F.min(okey).alias("fkey"))
+             .filter(F.col("n") >= min_count))
     kept = (lines.join(stats, "line", "left")
             .withColumn("kept",
                         F.col("n").isNull()
-                        | (F.col("n") < min_count)
                         | (okey == F.col("fkey"))))
     return (kept.groupBy("doc_id")
             .agg(F.count("*").alias("n_lines"),
@@ -2357,10 +2382,13 @@ WITH wsrc AS (
   SELECT doc_id, u.pos AS pos, u.line AS line FROM lines0
 ), stats AS (
   SELECT line, count(*) AS n, min(doc_id * 1000000 + pos) AS fkey
-  FROM lines WHERE trim(line) <> '' GROUP BY line
+  FROM lines
+  WHERE trim(line, ' ' || chr(9) || chr(13) || chr(12) || chr(11)
+                    || chr(10)) <> ''
+  GROUP BY line HAVING count(*) >= 2
 ), k AS (
   SELECT l.doc_id, l.pos, l.line,
-         (s.n IS NULL OR s.n < 2
+         (s.n IS NULL
           OR l.doc_id * 1000000 + l.pos = s.fkey) AS kept
   FROM lines l LEFT JOIN stats s USING (line)
 )
@@ -2424,7 +2452,8 @@ def substr_dedup_over(docs: DataFrame, k: int = GRAM_K,
                         F.slice(F.col("ws"), i + 1, k), " ")))
     ).otherwise(F.array().cast("array<string>"))
     grams = d.select("doc_id", F.posexplode(gh).alias("pos", "g"))
-    okey = F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+    okey = (F.col("doc_id") * F.lit(POS_CAP)
+            + _bounded_pos("substr_dedup_over"))
     stats = (grams.groupBy("g")
              .agg(F.count("*").alias("cnt"), F.min(okey).alias("fkey"))
              .filter(F.col("cnt") >= min_count))
@@ -3595,9 +3624,11 @@ ORACLE_HTML_MAIN = _html_main_oracle()
 # Registry ordering is a contract: the driver correctness-checks the
 # first 50 entries in insertion order, so the whole registry is kept at
 # <= 50 oracled queries (r3 consolidation; was 66 in r2, which silently
-# un-verified the dedup/ANN/media tail). The three rows-only queries sit
-# LAST — they carry the weakest signal, so they are the cheapest to lose
-# if the registry ever grows past the window again.
+# un-verified the dedup/ANN/media tail). Rows-only queries sit LAST —
+# they carry the weakest signal, so they are the cheapest to lose if
+# the registry ever grows past the window again (r6: only
+# q_extract_spans remains rows-only; the seed-dependent dedup variants
+# were retired for the oracled line/substr dedup queries).
 QUERIES = {
     # extraction plane (full parse stack in the UDF)
     "q_extract_core": _extract_query(
@@ -3725,6 +3756,4 @@ ORACLES = {
     "q_html_main": ORACLE_HTML_MAIN,
     # q_extract_spans: span widths depend on AFM kerning sums ->
     # rows-only (oracled twin: q_extract_spans_courier)
-    # q_dedup_minhash / q_dedup_simhash: hash-seed-dependent ->
-    # rows-only (oracled twins: the _md5 variants)
 }

@@ -1140,6 +1140,17 @@ def test_line_dedup_over_semantics(spark):
                  rows, "doc_id long, text string"),
                  min_count=3).collect()}
     assert loose[1].text_out == "unique beta\n\nfooter"
+    # CRLF corpora: a '\r'-only "blank" line must hit the whitespace
+    # exemption (r6 review: F.trim strips only spaces, so '\r' lines
+    # entered stats and every paragraph break after the corpus-first
+    # one was stripped — the exact failure the rule exists to stop)
+    crlf = [(0, "one\r\n\r\ntwo"), (1, "three\r\n\r\nfour")]
+    outc = {r.doc_id: r for r in
+            line_dedup_over(spark.createDataFrame(
+                crlf, "doc_id long, text string")).collect()}
+    # split on \n leaves 3 lines each ('x\r', '\r', 'y'); the shared
+    # '\r' blank is exempt, so BOTH docs keep all 3
+    assert (outc[0].n_kept, outc[1].n_kept) == (3, 3)
 
 
 def test_substr_dedup_over_semantics(spark):
@@ -1187,6 +1198,7 @@ def test_dedup_minhash_production_variant(spark):
     from pdfio_spark.pipeline.queries import q_dedup_minhash
     sf = "/root/testdata/sf0.001"
     pairs = {(r.doc_a, r.doc_b) for r in q_dedup_minhash(spark, sf).collect()}
+    assert pairs  # vacuous-pin guard: the fixture must collide
     assert all(a < b for a, b in pairs)
     again = {(r.doc_a, r.doc_b)
              for r in q_dedup_minhash(spark, sf).collect()}

@@ -95,20 +95,28 @@ def _soak_run_job(spark, rows_df, job_mode: str, mode: str, smj: bool,
     spark.stop()
 
 
-def _replicated_url_corpus(spark, sf_dir: str, n_docs: int, cpus: int):
-    """(url, text) corpus of ~n_docs rows: the sf table's texts
-    replicated under distinct doc:// urls — shared by the rundedup
-    and runfilter soaks (one builder, not two copies — r6 review).
-    Floor-division of the replication factor means the materialized
-    count is count*k <= n_docs, not exactly n_docs."""
+def _replicated_corpus(spark, sf_dir: str, n_docs: int, cpus: int,
+                       key: str = "url", checkpoint: bool = False):
+    """~n_docs-row corpus: the sf table's texts replicated under
+    distinct keys — ONE builder for every text-replication soak
+    (rundedup/runfilter/runpii key by doc:// url; dedup/linededup/
+    substrdedup key by bigint doc_id — r6 review: a third inline copy
+    had crept in). Floor-division of the replication factor means the
+    materialized count is count*k <= n_docs, not exactly n_docs."""
     tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
     k = max(1, n_docs // max(tbl.count(), 1))
     reps = spark.range(k).select(F.col("id").alias("rep"))
-    return (tbl.select("doc_id", "text").crossJoin(reps)
-            .select(F.concat(F.lit("doc://"),
-                             F.col("doc_id") * k + F.col("rep"))
-                    .alias("url"), "text")
-            .limit(n_docs).repartition(cpus * 2))
+    kid = F.col("doc_id") * k + F.col("rep")
+    kcol = (F.concat(F.lit("doc://"), kid).alias("url")
+            if key == "url" else kid.alias("doc_id"))
+    out = (tbl.select("doc_id", "text").crossJoin(reps)
+           .select(kcol, "text")
+           .limit(n_docs).repartition(cpus * 2))
+    return out.localCheckpoint() if checkpoint else out
+
+
+def _replicated_url_corpus(spark, sf_dir: str, n_docs: int, cpus: int):
+    return _replicated_corpus(spark, sf_dir, n_docs, cpus, key="url")
 
 
 def _uniform_corpus(spark, n_vec: int, cpus: int):
@@ -492,13 +500,8 @@ def main() -> None:
 
     if mode == "dedup":
         from pdfio_spark.pipeline.queries import dedup_keep_list
-        tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        k = max(1, n_docs // max(tbl.count(), 1))
-        reps = spark.range(k).select(F.col("id").alias("rep"))
-        docs = (tbl.select("doc_id", "text").crossJoin(reps)
-                .select((F.col("doc_id") * k + F.col("rep"))
-                        .alias("doc_id"), "text")
-                .limit(n_docs).repartition(cpus * 2).localCheckpoint())
+        docs = _replicated_corpus(spark, sf_dir, n_docs, cpus,
+                                  key="doc_id", checkpoint=True)
         n = docs.count()
         t0 = time.perf_counter()
         out = dedup_keep_list(docs)
@@ -524,13 +527,8 @@ def main() -> None:
         from pdfio_spark.pipeline.queries import (
             line_dedup_fixture, line_dedup_over,
             substr_dedup_fixture, substr_dedup_over)
-        tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        k = max(1, n_docs // max(tbl.count(), 1))
-        reps = spark.range(k).select(F.col("id").alias("rep"))
-        docs = (tbl.select("doc_id", "text").crossJoin(reps)
-                .select((F.col("doc_id") * k + F.col("rep"))
-                        .alias("doc_id"), "text")
-                .limit(n_docs).repartition(cpus * 2).localCheckpoint())
+        docs = _replicated_corpus(spark, sf_dir, n_docs, cpus,
+                                  key="doc_id", checkpoint=True)
         n = docs.count()
         # a fully-deduped replica keeps 0 tokens (substr) but exactly
         # 1 line (line dedup: blank structural lines always pass)
@@ -622,10 +620,11 @@ def main() -> None:
 
     if mode == "runpii":
         # the PII redaction stage through run_job --mode pii: sf0.1
-        # texts with PLANTED pii (email/ssn/ip/phone cycling by row,
-        # 1 in 4 rows clean) — 8 JVM regex passes per row (4 counts +
-        # 4 replaces), the production contract's throughput for a
-        # regex-bound map-only stage.
+        # texts with PLANTED pii (email/ssn/ip/phone/clean picked
+        # uniformly by url hash, so ~1 in 5 rows stays clean) — 8 JVM
+        # regex passes per row (4 counts + 4 replaces), the
+        # production contract's throughput for a regex-bound
+        # map-only stage.
         docs = _replicated_url_corpus(spark, sf_dir, n_docs, cpus)
         pii = F.element_at(
             F.array(F.lit(" mail bob@example.com"),
