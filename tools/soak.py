@@ -6,7 +6,7 @@ excluded, exactly like a production run over an existing crawl table.
 
 Usage: python3 tools/soak.py [pdf|html|amend|sigaudit|dedup|rundedup|
        runfilter|runpii|wat|ann|ivf|pq|ivfpq|stream|neardup|
-       linededup|substrdedup] [n_docs] (default pdf 1e6)
+       linededup|substrdedup|trainingprep] [n_docs] (default pdf 1e6)
 
 linededup / substrdedup modes (r6): 1M docs with 200-way duplication
 through the two sub-document dedup granularities (C4 line dedup,
@@ -617,6 +617,65 @@ def main() -> None:
                             extra_cols=("lang",)).limit(n_docs)
     corpus_path = os.path.join(soak_dir, f"{mode}_corpus")
     shutil.rmtree(corpus_path, ignore_errors=True)
+
+    if mode == "trainingprep":
+        # the COMPOSED prep chain a training-data team actually runs,
+        # end-to-end at 1M docs / 200-way duplication, cheap-to-
+        # expensive stage order (the filter-then-dedup lesson):
+        #   1. PII scrub        (map-only regexes)
+        #   2. quality gate     (map-only metric exprs, tuned to the
+        #                        synthetic corpus like runfilter)
+        #   3. substring dedup  (k-gram melt + islands; duplicated
+        #                        spans stripped, doc bodies survive)
+        #   4. doc-level dedup  (exact-first keep list over the
+        #                        span-stripped text)
+        # Each map stage shrinks or shields what the shuffle stages
+        # see; one wall-clock for the whole chain is the number that
+        # matters at 100 TB.
+        from pdfio_spark.pipeline.job import (pii_scrub_over,
+                                              quality_decisions)
+        from pdfio_spark.pipeline.queries import (dedup_keep_list,
+                                                  substr_dedup_over)
+        docs = _replicated_corpus(spark, sf_dir, n_docs, cpus,
+                                  checkpoint=True)
+        n = docs.count()
+        t0 = time.perf_counter()
+        # checkpoint between stages, as run_job's parquet hops do in
+        # production: scrubbed.text is otherwise a 4-regex ALIAS that
+        # CollapseProject inlines into the quality gate's per-bigram
+        # lambda — the fold-inlining corollary one level up (measured
+        # ~50 s of the 100k chain)
+        scrubbed = (pii_scrub_over(docs).select("url", "text")
+                    .localCheckpoint())
+        # numeric id recovered from the doc:// url — xxhash64 ids
+        # would overflow the okey doc_id*POS_CAP encoding (it holds
+        # to ~9.2e12 DOCS, not the full 2^63 hash space; production
+        # corpora assign dense ids for exactly this reason)
+        gated = (quality_decisions(scrubbed, min_words=30,
+                                   max_dup_word_frac=0.55)
+                 .filter(F.col("status") == "kept")
+                 .join(scrubbed, "url")
+                 .select(F.substring("url", 7, 20).cast("long")
+                         .alias("doc_id"), "text")
+                 # substr dedup consumes its input on BOTH sides of
+                 # the gram self-join — cut the pii+gate lineage once
+                 .localCheckpoint())
+        n_gated = gated.count()
+        span = (substr_dedup_over(gated)
+                .select("doc_id", F.col("text_out").alias("text"))
+                .localCheckpoint())
+        n_span_docs = span.filter(F.length("text") > 0).count()
+        keep = dedup_keep_list(span)
+        n_kept = keep.filter("is_kept").count()
+        dt = time.perf_counter() - t0
+        print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
+                          "after_quality": n_gated,
+                          "nonempty_after_span_dedup": n_span_docs,
+                          "final_kept": n_kept,
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(n / dt, 1)}))
+        spark.stop()
+        return
 
     if mode == "runpii":
         # the PII redaction stage through run_job --mode pii: sf0.1
