@@ -2309,7 +2309,16 @@ def line_dedup_over(docs: DataFrame, min_count: int = 2) -> DataFrame:
             .withColumn("kept",
                         F.col("n").isNull()
                         | (okey == F.col("fkey"))))
-    return (kept.groupBy("doc_id")
+    return line_dedup_reassemble(kept)
+
+
+def line_dedup_reassemble(decided: DataFrame) -> DataFrame:
+    """(doc_id, pos, line, kept) rows -> one (doc_id, n_lines,
+    n_kept, text_out) row per doc, kept lines re-joined in position
+    order. ONE kernel shared by batch line_dedup_over and the
+    streaming twin's post-pass (streaming.stream_line_dedup), so
+    both reassemble identically by construction."""
+    return (decided.groupBy("doc_id")
             .agg(F.count("*").alias("n_lines"),
                  F.sum(F.col("kept").cast("long")).alias("n_kept"),
                  F.array_join(

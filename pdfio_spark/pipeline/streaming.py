@@ -302,6 +302,90 @@ def stream_quality_filter(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_line_dedup(spark: SparkSession, input_dir: str,
+                      checkpoint_dir: str, output_dir: str,
+                      state_ttl_hours: int | None = None):
+    """Streaming twin of line_dedup_over (C4 corpus-level line
+    dedup): docs arrive as (doc_id, text); every NON-BLANK line is
+    checked against a corpus-global seen-set — one GroupState per
+    md5(line) — and only its first arrival keeps kept=true. Blank
+    lines bypass the stateful operator entirely (always kept, and a
+    seen-set entry per structural blank would be pure state bloat).
+    Within one micro-batch the winner is the min (doc_id, pos) key —
+    deterministic and identical to the batch operator when the whole
+    corpus lands in one batch; across batches it is arrival order,
+    the same semantics stream_dedup documents for urls.
+
+    Emits one row PER LINE (doc_id, pos, line, kept); reassemble docs
+    with queries.line_dedup_reassemble over the sink — the same
+    kernel the batch operator ends with. State growth is O(distinct
+    non-blank lines); state_ttl_hours bounds it for unbounded crawls
+    (an expired line re-admits one copy, the stream_dedup tradeoff).
+    NOTE (CLAUDE.md invariant): availableNow + ProcessingTimeTimeout
+    never self-terminates — tests with a TTL must stop() the query."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    from .queries import _WS_CHARS, POS_CAP
+
+    src = (spark.readStream
+           .schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    lines = src.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")),
+                             "\n")).alias("pos", "line"))
+    is_blank = F.btrim(F.col("line"), F.lit(_WS_CHARS)) == ""
+    blank = (lines.filter(is_blank)
+             .withColumn("kept", F.lit(True)))
+    keyed = (lines.filter(~is_blank)
+             .withColumn("k", F.md5("line")))
+    ttl_ms = None if state_ttl_hours is None else \
+        max(1, int(state_ttl_hours * 3600 * 1000))
+
+    def decide_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            return iter(())
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf["kept"] = False
+        if state.exists:
+            # seen in an earlier batch: every arrival drops; re-arm
+            # the TTL (GroupState drops timeouts not set again)
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        else:
+            okey = pdf["doc_id"] * POS_CAP + pdf["pos"]
+            pdf.loc[okey.idxmin(), "kept"] = True
+            state.update((1,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        return iter([pdf[["doc_id", "pos", "line", "kept"]]])
+
+    decided = keyed.groupBy("k").applyInPandasWithState(
+        decide_fn,
+        outputStructType="doc_id long, pos int, line string, "
+                         "kept boolean",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if ttl_ms is not None
+                     else GroupStateTimeout.NoTimeout))
+    out = blank.select("doc_id", "pos", "line", "kept") \
+        .unionByName(decided)
+    return (out.writeStream
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_pii_scrub(spark: SparkSession, input_dir: str,
                      checkpoint_dir: str, output_dir: str,
                      available_now: bool = True):

@@ -1205,6 +1205,46 @@ def test_dedup_minhash_production_variant(spark):
     assert pairs == again
 
 
+def test_stream_line_dedup(spark, tmp_path):
+    """r6: streaming twin of line_dedup_over — one GroupState per
+    line hash, blanks bypass state; a whole-corpus single batch must
+    reassemble EXACTLY the batch operator's output, and a later run
+    over the same checkpoint must dedup new docs against the
+    persisted seen-set exactly once."""
+    from pdfio_spark.pipeline.queries import (line_dedup_over,
+                                              line_dedup_reassemble)
+    from pdfio_spark.pipeline.streaming import stream_line_dedup
+    rows = [
+        (0, "nav bar\nunique alpha\n\nnav bar\nfooter"),
+        (1, "nav bar\nunique beta\n\nfooter"),
+        (2, "only original content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "sld_in")
+    chk = str(tmp_path / "sld_chk")
+    outp = str(tmp_path / "sld_out")
+    df.coalesce(1).write.parquet(inp)  # one file -> one micro-batch
+    q = stream_line_dedup(spark, inp, chk, outp)
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in
+           line_dedup_reassemble(spark.read.parquet(outp)).collect()}
+    want = {r.doc_id: r for r in line_dedup_over(df).collect()}
+    # single batch + min-okey winner == the batch operator exactly
+    for d in want:
+        assert (got[d].n_lines, got[d].n_kept, got[d].text_out) == \
+            (want[d].n_lines, want[d].n_kept, want[d].text_out)
+    # cross-run state: a later file repeating a seen line loses it
+    spark.createDataFrame([(3, "unique alpha\nfresh line")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    q2 = stream_line_dedup(spark, inp, chk, outp)
+    q2.awaitTermination(60)
+    out2 = spark.read.parquet(outp)
+    assert out2.count() == 12  # 10 first-run lines + 2 new, no replays
+    d3 = line_dedup_reassemble(out2).filter("doc_id = 3").collect()[0]
+    assert (d3.n_lines, d3.n_kept, d3.text_out) == (2, 1, "fresh line")
+
+
 def test_dedup_simhash_production_variant(spark):
     """q_dedup_simhash left the registry in r6 (slot freed for the
     oracled q_line_dedup) but remains the fast 32-bit production
