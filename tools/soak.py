@@ -6,7 +6,7 @@ excluded, exactly like a production run over an existing crawl table.
 
 Usage: python3 tools/soak.py [pdf|html|amend|sigaudit|dedup|rundedup|
        runfilter|runpii|wat|ann|ivf|pq|ivfpq|stream|neardup|
-       linededup|substrdedup|trainingprep] [n_docs] (default pdf 1e6)
+       linededup|substrdedup|trainingprep|streamline] [n_docs] (default pdf 1e6)
 
 linededup / substrdedup modes (r6): 1M docs with 200-way duplication
 through the two sub-document dedup granularities (C4 line dedup,
@@ -235,6 +235,52 @@ def main() -> None:
         n_dropped = dec.filter("NOT keep").count()
         print(json.dumps({"mode": mode, "n_docs": n,
                           "decisions": n_dec, "flagged": n_dropped,
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(n / dt, 1)}))
+        for d in (inp, chk, outp):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
+    if mode == "streamline":
+        # stateful-streaming scale probe for the line seen-set:
+        # n_docs (default 100k) 200-way-duplicated docs through the
+        # multi-line fixture rendering and stream_line_dedup — every
+        # body line's GroupState contested by ~200 replicas, the
+        # header line by the whole corpus; exactly-once line
+        # decisions reassembled and cross-checked against the batch
+        # operator's aggregate counts on the same input.
+        from pdfio_spark.pipeline.queries import (line_dedup_fixture,
+                                                  line_dedup_over,
+                                                  line_dedup_reassemble)
+        from pdfio_spark.pipeline.streaming import stream_line_dedup
+        n_docs = n_docs if len(sys.argv) > 2 else 100_000
+        docs = line_dedup_fixture(_replicated_corpus(
+            spark, sf_dir, n_docs, cpus, key="doc_id"))
+        inp = os.path.join(soak_dir, "sl_in")
+        chk = os.path.join(soak_dir, "sl_chk")
+        outp = os.path.join(soak_dir, "sl_out")
+        for d in (inp, chk, outp):
+            shutil.rmtree(d, ignore_errors=True)
+        docs.repartition(64).write.parquet(inp)
+        n = spark.read.parquet(inp).count()
+        t0 = time.perf_counter()
+        q = stream_line_dedup(spark, inp, chk, outp)
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        agg = (line_dedup_reassemble(spark.read.parquet(outp))
+               .agg(F.count("*").alias("docs"),
+                    F.sum("n_lines").alias("lines"),
+                    F.sum("n_kept").alias("kept")).collect()[0])
+        # batch-operator truth on the same materialized input: the
+        # corpus-global KEPT COUNT is order-independent even though
+        # which copy wins is arrival-order in the stream
+        bk = (line_dedup_over(spark.read.parquet(inp))
+              .agg(F.sum("n_kept")).collect()[0][0])
+        print(json.dumps({"mode": mode, "n_docs": n,
+                          "lines": int(agg["lines"]),
+                          "kept_lines": int(agg["kept"]),
+                          "batch_kept_lines": int(bk),
                           "sec": round(dt, 1),
                           "docs_per_sec": round(n / dt, 1)}))
         for d in (inp, chk, outp):
