@@ -495,6 +495,82 @@ def dedup_metrics(extracted: DataFrame) -> DataFrame:
                        .otherwise(0)).alias("n_near_dup")))
 
 
+def _subdoc_decisions(corpus: DataFrame, over_fn, out_cols: list,
+                      total_col: str) -> DataFrame:
+    """Shared production wrapper for the corpus-global sub-document
+    dedup operators (line / exact-substring): (url, text) -> one
+    decision row per url with the operator's per-doc columns plus a
+    status. Same conventions as dedup_decisions: a recrawled url is
+    ONE decision subject resolved by min(text) (deterministic across
+    resume re-derivations), doc ids are xxhash64(url) — the struct-min
+    first-occurrence key accepts the full 64-bit space — and a 64-bit
+    collision merges two urls into one decision subject (min(text)
+    picks the text deterministically; both urls get the same row,
+    never a lost row). Decisions are corpus-GLOBAL: run_job routes
+    these modes through the dedup resume branch (re-derive over the
+    full input, append only unwritten urls)."""
+    corpus = corpus.groupBy("url").agg(F.min("text").alias("text"))
+    ids = corpus.select(F.xxhash64("url").alias("doc_id"), "url",
+                        "text")
+    docs = ids.groupBy("doc_id").agg(F.min("text").alias("text"))
+    dec = over_fn(docs)
+    return (ids.select("doc_id", "url").join(dec, "doc_id")
+            .select("url", *out_cols,
+                    F.when(F.col("n_kept") < F.col(total_col),
+                           "deduped").otherwise("intact")
+                    .alias("status")))
+
+
+def linededup_decisions(corpus: DataFrame) -> DataFrame:
+    """run.py --mode linededup surface: C4 corpus-level line dedup
+    (queries.line_dedup_over) under the production contract. status:
+    'deduped' (lost at least one line) | 'intact'."""
+    from .queries import line_dedup_over
+    return _subdoc_decisions(corpus, line_dedup_over,
+                             ["n_lines", "n_kept", "text_out"],
+                             "n_lines")
+
+
+def substrdedup_decisions(corpus: DataFrame) -> DataFrame:
+    """run.py --mode substrdedup surface: exact-substring dedup
+    (queries.substr_dedup_over) under the production contract.
+    status: 'deduped' (lost at least one token) | 'intact'."""
+    from .queries import substr_dedup_over
+    return _subdoc_decisions(
+        corpus, substr_dedup_over,
+        ["n_tokens", "n_dup_starts", "n_kept", "text_out"],
+        "n_tokens")
+
+
+def linededup_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for --mode linededup: docs decided and
+    touched, line totals in/out — output-borne columns only, so the
+    crash reconcile pass stays exact (the wat_metrics rule)."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("status") == "deduped", 1)
+                       .otherwise(0)).alias("n_deduped"),
+                 F.sum("n_lines").alias("n_lines"),
+                 F.sum("n_kept").alias("n_kept")))
+
+
+def substrdedup_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for --mode substrdedup: docs decided and
+    touched, token totals in/out plus duplicated-span starts —
+    output-borne columns only (the wat_metrics rule)."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("status") == "deduped", 1)
+                       .otherwise(0)).alias("n_deduped"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_dup_starts").alias("n_dup_starts"),
+                 F.sum("n_kept").alias("n_kept")))
+
+
 def rewrite_pdfs(corpus: DataFrame, encrypt: str | None = None,
                  user_pw: bytes = b"", owner_pw: bytes | None = None,
                  pack: str = "classic") -> DataFrame:

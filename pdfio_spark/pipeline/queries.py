@@ -2238,25 +2238,25 @@ ORACLE_DEDUP_COMPONENTS = _components_oracle()
 
 #: words per synthetic line in q_line_dedup's multi-line construction
 LINE_WORDS = 8
-#: max positions per doc in the sub-document dedup okey encoding
-#: (doc_id * POS_CAP + pos); holds to ~9.2e12 docs
-POS_CAP = 1_000_000
 #: whitespace set for the blank-line exemption — F.trim strips ONLY
 #: spaces, so CR-only lines from CRLF corpora would enter stats and
 #: get deduped corpus-wide (r6 review); mirrored in the oracle's
 #: trim(line, <chars>)
 _WS_CHARS = " \t\r\f\x0b\n"
 
-
-def _bounded_pos(what: str):
-    """Position column guarded against the okey encoding cap: a doc
-    with >= POS_CAP lines/grams would silently collide its keys into
-    a NEIGHBORING doc_id's key space (under-dedup with no error) —
-    raise instead, as the operator docstrings promise."""
-    return F.when(F.col("pos") < POS_CAP, F.col("pos")).otherwise(
-        F.raise_error(F.lit(
-            f"{what}: doc exceeds {POS_CAP} positions — the "
-            "doc_id*POS_CAP+pos first-occurrence key would collide")))
+def _okey():
+    """First-occurrence key for the sub-document dedup operators: a
+    lexicographic struct min implements "first by (doc_id, pos)"
+    DIRECTLY, with no id-magnitude or doc-length bound — the earlier
+    doc_id*1e6+pos bigint encoding silently collided past 1e6
+    positions and OVERFLOWED for xxhash64(url) ids, which the
+    production decision wrappers use. The SQL oracles keep the bigint
+    encoding (struct min is not portable DuckDB SQL); both derive the
+    same winner within the oracle data's bounds (ids >= 0, pos < 1e6).
+    A function, not a module constant: building a Column requires an
+    active SparkContext in classic mode."""
+    return F.struct(F.col("doc_id").alias("d"),
+                    F.col("pos").alias("p"))
 _LD_HEADER = "subscribe to our newsletter for updates"
 _LD_FOOTER = "copyright footer class "
 
@@ -2284,18 +2284,17 @@ def line_dedup_over(docs: DataFrame, min_count: int = 2) -> DataFrame:
     hash-partition every copy of the hot line to one task). The join
     back is an equi-join of the corpus lines against one row per
     DISTINCT line; AQE's skew split bounds the hot-line partitions.
-    First-occurrence key is doc_id*1e6+pos (one bigint min instead
-    of a struct min — portable to the SQL oracle); documents are
-    capped at 1e6 lines (raise) and the encoding holds to ~9.2e12
-    docs."""
+    First-occurrence key is the _okey() struct min on (doc_id, pos) —
+    no id-magnitude or doc-length bound (xxhash64 ids welcome); the
+    SQL oracle derives the same winner via its bigint encoding, valid
+    at oracle data bounds."""
     lines = (docs
              .select("doc_id", F.split(F.coalesce(F.col("text"),
                                                   F.lit("")), "\n")
                      .alias("la"))
              .select("doc_id",
                      F.posexplode(F.col("la")).alias("pos", "line")))
-    okey = (F.col("doc_id") * F.lit(POS_CAP)
-            + _bounded_pos("line_dedup_over"))
+    okey = _okey()
     # pre-filter to actually-duplicated lines: on a real corpus most
     # lines are unique and only dup lines affect the outcome — the
     # join side shrinks by the unique-line fraction (r6 review;
@@ -2445,9 +2444,9 @@ def substr_dedup_over(docs: DataFrame, k: int = GRAM_K,
     fold ALIAS into the token lambda, re-running the interpreted fold
     once PER TOKEN (100k soak docs: 358 s vs 11 s for this shape).
     Island/interval columns arrive through a shuffle as real
-    attributes, which cannot be inlined. First-occurrence key
-    doc_id*1e6+pos, the line_dedup_over convention (bigint min,
-    SQL-portable)."""
+    attributes, which cannot be inlined. First-occurrence key is the
+    _okey() struct min on (doc_id, pos), the line_dedup_over
+    convention."""
     d = (docs.select("doc_id",
                      F.split(F.coalesce(F.col("text"), F.lit("")), " ")
                      .alias("ws"))
@@ -2461,8 +2460,7 @@ def substr_dedup_over(docs: DataFrame, k: int = GRAM_K,
                         F.slice(F.col("ws"), i + 1, k), " ")))
     ).otherwise(F.array().cast("array<string>"))
     grams = d.select("doc_id", F.posexplode(gh).alias("pos", "g"))
-    okey = (F.col("doc_id") * F.lit(POS_CAP)
-            + _bounded_pos("substr_dedup_over"))
+    okey = _okey()
     stats = (grams.groupBy("g")
              .agg(F.count("*").alias("cnt"), F.min(okey).alias("fkey"))
              .filter(F.col("cnt") >= min_count))

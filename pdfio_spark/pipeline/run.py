@@ -117,6 +117,13 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "pii":
         from .job import pii_metrics, pii_scrub_over
         extract_fn, metrics_fn = pii_scrub_over, pii_metrics
+    elif mode == "linededup":
+        from .job import linededup_decisions, linededup_metrics
+        extract_fn, metrics_fn = linededup_decisions, linededup_metrics
+    elif mode == "substrdedup":
+        from .job import substrdedup_decisions, substrdedup_metrics
+        extract_fn, metrics_fn = (substrdedup_decisions,
+                                  substrdedup_metrics)
     elif mode == "sigaudit":
         from .job import sigaudit_metrics, validate_signatures_over
         sm = sig_material or {}
@@ -136,7 +143,8 @@ def run_job(spark, input_path: str, output_path: str,
         metrics_fn = sigaudit_metrics
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
-                         "wat | dedup | sigaudit | filter | pii)")
+                         "wat | dedup | sigaudit | filter | pii | "
+                         "linededup | substrdedup)")
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
@@ -149,8 +157,13 @@ def run_job(spark, input_path: str, output_path: str,
     # column pruning reaches the scan: each mode reads only its columns
     cols = {"wet": ["url", "text"], "dedup": ["url", "text"],
             "filter": ["url", "text"], "pii": ["url", "text"],
+            "linededup": ["url", "text"],
+            "substrdedup": ["url", "text"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
                                                       ["url", "html"])
+    # decisions in these modes depend on EVERY other doc: resume must
+    # re-derive over the full input, then append only unwritten rows
+    corpus_global = mode in ("dedup", "linededup", "substrdedup")
     corpus = src.select(*cols)
 
     prev = None
@@ -170,7 +183,7 @@ def run_job(spark, input_path: str, output_path: str,
     # e.g. orphan rows written by a different --mode — and silently
     # skipped it); resume/reconcile failures now surface
     if prev is not None:
-        if mode != "dedup":
+        if not corpus_global:
             # join strategy left to Spark (job.resume_filter): `done`
             # is the UNBOUNDED set of all previously-written urls — a
             # forced broadcast OOMs exactly on the crash-recovery path
@@ -182,7 +195,7 @@ def run_job(spark, input_path: str, output_path: str,
 
     t0 = time.perf_counter()
     extracted = extract_fn(corpus)
-    if mode == "dedup" and prev is not None:
+    if corpus_global and prev is not None:
         # dedup decisions are corpus-GLOBAL: a doc's keep_id depends
         # on every other doc, so resume must NOT shrink the input
         # (deciding the missing docs against a partial corpus would
@@ -259,7 +272,8 @@ def main(argv=None) -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--mode",
                     choices=("pdf", "html", "wet", "wat", "dedup",
-                             "sigaudit", "filter", "pii"),
+                             "sigaudit", "filter", "pii",
+                             "linededup", "substrdedup"),
                     default="pdf")
     # sigaudit material: os.pathsep-separated file paths, read on the
     # driver and shipped into task closures (works on a real cluster

@@ -20,7 +20,8 @@ from .job import _EXTRACT_DDL, _extract_batches
 __all__ = ["stream_extract", "stream_metrics", "stream_dedup",
            "stream_neardup", "neardup_keep_decisions",
            "stream_ingest_wet", "stream_ingest_wat", "stream_sigaudit",
-           "stream_quality_filter"]
+           "stream_quality_filter", "stream_pii_scrub",
+           "stream_line_dedup"]
 
 
 def stream_dedup(spark: SparkSession, input_dir: str, checkpoint_dir: str,
@@ -326,7 +327,7 @@ def stream_line_dedup(spark: SparkSession, input_dir: str,
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
-    from .queries import _WS_CHARS, POS_CAP
+    from .queries import _WS_CHARS
 
     src = (spark.readStream
            .schema("doc_id long, text string")
@@ -359,8 +360,10 @@ def stream_line_dedup(spark: SparkSession, input_dir: str,
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
         else:
-            okey = pdf["doc_id"] * POS_CAP + pdf["pos"]
-            pdf.loc[okey.idxmin(), "kept"] = True
+            # lexicographic (doc_id, pos) min — an encoded bigint key
+            # would overflow for xxhash64 ids (the queries._okey note)
+            first = pdf.sort_values(["doc_id", "pos"]).index[0]
+            pdf.loc[first, "kept"] = True
             state.update((1,))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)

@@ -1047,6 +1047,81 @@ def test_training_pipeline_filter_then_dedup(spark, tmp_path):
     assert dec.filter("url = 'p://junk'").count() == 0
 
 
+def test_run_job_subdoc_dedup_modes_crash_resume(spark, tmp_path):
+    """r6: --mode linededup / --mode substrdedup — the sub-document
+    dedup operators under the production contract. Both are
+    corpus-GLOBAL (a line/span decision depends on every other doc),
+    so resume re-derives the full decision set and appends only the
+    rows a crash failed to write: the final table must equal an
+    uninterrupted run."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.run import run_job
+    from pdfio_spark.pipeline.job import (linededup_decisions,
+                                          substrdedup_decisions)
+    nav = "subscribe to our newsletter"
+    rows = [("doc://0", nav + "\nalpha body text"),
+            ("doc://1", nav + "\nbeta body text"),
+            ("doc://2", "gamma only unique content"),
+            ("doc://2", "gamma only unique content")]  # recrawl
+    df = spark.createDataFrame(rows, "url string, text string")
+    inp = str(tmp_path / "sdd_in")
+    df.write.parquet(inp)
+
+    # --- linededup: full contract + crash resume ---
+    outp = str(tmp_path / "sdd_out")
+    met = str(tmp_path / "sdd_met")
+    (linededup_decisions(df).limit(1)
+     .withColumn("run_id", F.lit("r1")).write.parquet(outp))
+    r = run_job(spark, inp, outp, met, resume=True, mode="linededup",
+                run_id="r2")
+    assert r["written"] == 2
+    out = spark.read.parquet(outp)
+    assert out.count() == 3  # one decision per distinct url
+    want = {(x.url, x.n_lines, x.n_kept, x.text_out, x.status)
+            for x in linededup_decisions(df).collect()}
+    got = {(x.url, x.n_lines, x.n_kept, x.text_out, x.status)
+           for x in out.collect()}
+    assert got == want
+    by_url = {x.url: x for x in out.collect()}
+    # exactly one of doc://0 / doc://1 keeps the shared nav line
+    deduped = [u for u in ("doc://0", "doc://1")
+               if by_url[u].status == "deduped"]
+    assert len(deduped) == 1
+    assert by_url["doc://2"].status == "intact"
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 3
+    assert m.agg(F.sum("n_deduped")).collect()[0][0] == 1
+
+    # --- substrdedup: decisions + metrics (same machinery) ---
+    k10a = " ".join(f"w{i}" for i in range(12))  # shared 12-token span
+    rows2 = [("doc://a", k10a + " tail alpha"),
+             ("doc://b", k10a + " tail beta"),
+             ("doc://c", "short unique")]
+    df2 = spark.createDataFrame(rows2, "url string, text string")
+    inp2 = str(tmp_path / "sdd_in2")
+    outp2 = str(tmp_path / "sdd_out2")
+    met2 = str(tmp_path / "sdd_met2")
+    df2.write.parquet(inp2)
+    r2 = run_job(spark, inp2, outp2, met2, mode="substrdedup",
+                 run_id="s1")
+    assert r2["written"] == 3
+    by2 = {x.url: x for x in spark.read.parquet(outp2).collect()}
+    dd = [u for u in ("doc://a", "doc://b")
+          if by2[u].status == "deduped"]
+    assert len(dd) == 1  # one copy of the shared span survives
+    # shared prefix is 13 tokens (w0..w11 + 'tail') -> 4 dup grams
+    # covering tokens 0..12; only the last token survives
+    assert (by2[dd[0]].n_dup_starts, by2[dd[0]].n_kept) == (4, 1)
+    assert by2["doc://c"].status == "intact"
+    m2 = spark.read.parquet(met2)
+    assert m2.agg(F.sum("n_docs")).collect()[0][0] == 3
+    assert m2.agg(F.sum("n_dup_starts")).collect()[0][0] == 4
+    # second derivation deterministic (the recrawl/min-text rule)
+    again = {(x.url, x.n_kept) for x in
+             substrdedup_decisions(df2).collect()}
+    assert again == {(x.url, x.n_kept) for x in by2.values()}
+
+
 def test_run_job_dedup_mode_crash_resume(spark, tmp_path):
     """Production dedup path (r6): run_job --mode dedup writes one
     keep decision per url under the resume/metrics/run_id contract.

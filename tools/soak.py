@@ -693,10 +693,9 @@ def main() -> None:
         # ~50 s of the 100k chain)
         scrubbed = (pii_scrub_over(docs).select("url", "text")
                     .localCheckpoint())
-        # numeric id recovered from the doc:// url — xxhash64 ids
-        # would overflow the okey doc_id*POS_CAP encoding (it holds
-        # to ~9.2e12 DOCS, not the full 2^63 hash space; production
-        # corpora assign dense ids for exactly this reason)
+        # numeric id recovered from the doc:// url (cheaper than a
+        # hash and deterministic; the struct-min okey would also
+        # accept xxhash64 ids)
         gated = (quality_decisions(scrubbed, min_words=30,
                                    max_dup_word_frac=0.55)
                  .filter(F.col("status") == "kept")
