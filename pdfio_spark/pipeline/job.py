@@ -899,7 +899,10 @@ PII_CATEGORIES = ("email", "ssn", "ipv4", "phone")
 _PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
     "ssn": r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)",
-    "ipv4": r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])",
+    # trailing guard is (?!\.?\d), not (?![\d.]): a 5th dotted group
+    # (version string 1.2.3.4.5) still blocks, but a sentence-final
+    # period after the quad ('from 10.1.2.3.') no longer does
+    "ipv4": r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?!\.?\d)",
     # separator or parens form required: a bare 10-digit integer is
     # more often an id/timestamp than a phone number — scrubbing is
     # deliberately conservative on that ambiguity (documented choice)

@@ -349,25 +349,51 @@ def stream_line_dedup(spark: SparkSession, input_dir: str,
         if state.hasTimedOut:
             state.remove()
             return iter(())
-        pdfs = [p for p in pdf_iter if len(p)]
-        if not pdfs:
-            return iter(())
-        pdf = pd.concat(pdfs, ignore_index=True)
-        pdf["kept"] = False
-        if state.exists:
-            # seen in an earlier batch: every arrival drops; re-arm
-            # the TTL (GroupState drops timeouts not set again)
-            if ttl_ms is not None:
-                state.setTimeoutDuration(ttl_ms)
-        else:
-            # lexicographic (doc_id, pos) min — an encoded bigint key
-            # would overflow for xxhash64 ids (the queries._okey note)
-            first = pdf.sort_values(["doc_id", "pos"]).index[0]
-            pdf.loc[first, "kept"] = True
+        # a hot boilerplate line (nav/header shared by every doc) can
+        # land its whole batch-wide group under this one key — never
+        # concat the group: stream chunk-wise, holding back only the
+        # current lexicographic (doc_id, pos) min candidate (an
+        # encoded bigint key would overflow for xxhash64 ids, the
+        # queries._okey note). State ops happen before the generator
+        # is consumed; TTL re-arms every invocation (GroupState drops
+        # timeouts not set again).
+        fresh = not state.exists
+        if fresh:
             state.update((1,))
-            if ttl_ms is not None:
-                state.setTimeoutDuration(ttl_ms)
-        return iter([pdf[["doc_id", "pos", "line", "kept"]]])
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        cols = ["doc_id", "pos", "line", "kept"]
+
+        def gen():
+            cand = None  # one-row frame: current first-occurrence
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                pdf = pdf.copy()
+                pdf["kept"] = False
+                if fresh:
+                    i = pdf.sort_values(["doc_id", "pos"]).index[0]
+                    row = pdf.loc[[i]]
+                    pdf = pdf.drop(index=i)
+                    if cand is None:
+                        cand = row
+                    elif ((row.iloc[0]["doc_id"], row.iloc[0]["pos"])
+                          < (cand.iloc[0]["doc_id"],
+                             cand.iloc[0]["pos"])):
+                        pdf = pd.concat([pdf, cand],
+                                        ignore_index=True)
+                        cand = row
+                    else:
+                        pdf = pd.concat([pdf, row],
+                                        ignore_index=True)
+                if len(pdf):
+                    yield pdf[cols]
+            if cand is not None:
+                won = cand.copy()
+                won["kept"] = True
+                yield won[cols]
+
+        return gen()
 
     decided = keyed.groupBy("k").applyInPandasWithState(
         decide_fn,

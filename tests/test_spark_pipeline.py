@@ -924,6 +924,8 @@ def test_pii_scrub_over_and_run_job_pii_mode(spark, tmp_path):
         ("p://mail", "write to jane.doe+spam@sub.example.co.uk today"),
         ("p://ssn", "ssn 123-45-6789 on file"),
         ("p://ip", "served from 192.168.0.1 and 10.0.0.254"),
+        # sentence-final quad redacts; 5-group version string stays
+        ("p://ipdot", "origin was 10.1.2.3. Release 1.2.3.4.5 ok"),
         ("p://phone", "call (555) 123-4567 or +1 555.123.4567"),
         ("p://clean", "order 1234567890 shipped on 12-34-5678"),
         ("p://null", None),
@@ -936,10 +938,12 @@ def test_pii_scrub_over_and_run_job_pii_mode(spark, tmp_path):
     assert out["p://ssn"]["text"] == "ssn <SSN> on file"
     assert out["p://ip"]["text"] == "served from <IPV4> and <IPV4>"
     assert out["p://ip"]["n_ipv4"] == 2
+    assert out["p://ipdot"]["text"] == "origin was <IPV4>. Release 1.2.3.4.5 ok"
+    assert out["p://ipdot"]["n_ipv4"] == 1
     assert out["p://phone"]["text"] == "call <PHONE> or <PHONE>"
     assert out["p://phone"]["n_phone"] == 2
     # bare digit runs and a 2-2-4 date-like group stay untouched
-    assert out["p://clean"]["text"] == rows[4][1]
+    assert out["p://clean"]["text"] == rows[5][1]
     assert (out["p://clean"]["n_pii"], out["p://clean"]["status"]) \
         == (0, "clean")
     assert out["p://null"]["text"] == ""
@@ -950,7 +954,7 @@ def test_pii_scrub_over_and_run_job_pii_mode(spark, tmp_path):
     met = str(tmp_path / "pii_met")
     corpus.write.parquet(inp)
     r1 = run_job(spark, inp, outp, met, mode="pii", run_id="p1")
-    assert r1["by_status"] == {"scrubbed": 4, "clean": 2}
+    assert r1["by_status"] == {"scrubbed": 5, "clean": 2}
     spark.createDataFrame([("p://late", "ping admin@example.org")],
                           "url string, text string") \
         .write.mode("append").parquet(inp)
@@ -958,10 +962,10 @@ def test_pii_scrub_over_and_run_job_pii_mode(spark, tmp_path):
                  run_id="p2")
     assert r2["written"] == 1 and r2["by_status"] == {"scrubbed": 1}
     m = spark.read.parquet(met)
-    assert m.agg(F.sum("n_docs")).collect()[0][0] == 7
-    assert m.agg(F.sum("n_scrubbed")).collect()[0][0] == 5
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 8
+    assert m.agg(F.sum("n_scrubbed")).collect()[0][0] == 6
     assert m.agg(F.sum("n_email")).collect()[0][0] == 2
-    assert m.agg(F.sum("n_pii")).collect()[0][0] == 7
+    assert m.agg(F.sum("n_pii")).collect()[0][0] == 8
 
 
 def test_stream_pii_scrub(spark, tmp_path):

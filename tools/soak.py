@@ -656,14 +656,6 @@ def main() -> None:
                                    "max_dup_word_frac": 0.55})
         return
 
-    from bench import replicate_corpus
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    k = max(1, (n_docs + base - 1) // base)
-    docs = replicate_corpus(spark, sf_dir, k,
-                            extra_cols=("lang",)).limit(n_docs)
-    corpus_path = os.path.join(soak_dir, f"{mode}_corpus")
-    shutil.rmtree(corpus_path, ignore_errors=True)
-
     if mode == "trainingprep":
         # the COMPOSED prep chain a training-data team actually runs,
         # end-to-end at 1M docs / 200-way duplication, cheap-to-
@@ -739,6 +731,17 @@ def main() -> None:
         docs = docs.select("url", F.concat("text", pii).alias("text"))
         _soak_run_job(spark, docs, "pii", mode, smj, soak_dir)
         return
+
+    # corpus build shared by the extraction-family modes below only —
+    # it pays an eager count + a replicate plan, so modes that build
+    # their own corpus (trainingprep/runpii above) return before it
+    from bench import replicate_corpus
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    k = max(1, (n_docs + base - 1) // base)
+    docs = replicate_corpus(spark, sf_dir, k,
+                            extra_cols=("lang",)).limit(n_docs)
+    corpus_path = os.path.join(soak_dir, f"{mode}_corpus")
+    shutil.rmtree(corpus_path, ignore_errors=True)
 
     if mode == "pdf":
         from pdfio_spark.pipeline.job import extract_pdfs, gen_pdf_corpus
