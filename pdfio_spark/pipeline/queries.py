@@ -2413,40 +2413,14 @@ FROM k GROUP BY doc_id ORDER BY doc_id
 GRAM_K = 10
 
 
-def substr_dedup_over(docs: DataFrame, k: int = GRAM_K,
-                      min_count: int = 2) -> DataFrame:
-    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
-    Data Makes Language Models Better" §3.1 ExactSubstr): any k-token
-    span occurring >= min_count times corpus-wide keeps only its FIRST
-    occurrence by (doc_id, pos); every other copy's tokens are removed
-    from their documents. The granularity between doc-level dedup
-    (misses partial copies) and line dedup (misses reflowed text that
-    crosses line breaks). No reference counterpart; inter-document
-    plane.
-
-    Returns one row per doc: (doc_id, n_tokens, n_dup_starts, n_kept,
-    text_out) — text_out is the surviving tokens re-joined by ' '.
-    Docs shorter than k tokens contribute no grams and pass untouched.
-
-    Scale shape: Lee et al. use a monolithic suffix array; the
-    distributed equivalent here is a k-gram melt keyed by md5(gram) —
-    the shuffle carries a 32-byte hash per token position, never the
-    k-fold text expansion, and the duplicate count/first-occurrence
-    is ONE partial-aggregable groupBy (a boilerplate passage on 10^9
-    pages collapses map-side; same no-window rationale as
-    line_dedup_over). The duplicated starts merge into disjoint
-    [lo,hi] coverage intervals via gaps-and-islands (a per-doc-bounded
-    window + codegen'd aggregates) and the kept token indices come
-    closed-form from the interval GAPS — O(n + starts) per doc.
-    MEASURED TRAP behind that choice: the obvious alternative — an
-    in-project aggregate() fold building the intervals, then a
-    per-token filter(exists(iv)) — lets CollapseProject inline the
-    fold ALIAS into the token lambda, re-running the interpreted fold
-    once PER TOKEN (100k soak docs: 358 s vs 11 s for this shape).
-    Island/interval columns arrive through a shuffle as real
-    attributes, which cannot be inlined. First-occurrence key is the
-    _okey() struct min on (doc_id, pos), the line_dedup_over
-    convention."""
+def substr_gram_melt(docs: DataFrame, k: int = GRAM_K) -> DataFrame:
+    """(doc_id, text) -> one (doc_id, pos, g) row per k-token window,
+    g = md5 of the space-joined gram. ONE kernel shared by batch
+    substr_dedup_over and the streaming twin
+    (streaming.stream_substr_dedup), so both hash identically by
+    construction. The shuffle downstream carries the 32-byte hash per
+    token position, never the k-fold text expansion. Docs shorter
+    than k tokens contribute no rows."""
     d = (docs.select("doc_id",
                      F.split(F.coalesce(F.col("text"), F.lit("")), " ")
                      .alias("ws"))
@@ -2459,14 +2433,24 @@ def substr_dedup_over(docs: DataFrame, k: int = GRAM_K,
                     lambda i: F.md5(F.array_join(
                         F.slice(F.col("ws"), i + 1, k), " ")))
     ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("doc_id", F.posexplode(gh).alias("pos", "g"))
-    okey = _okey()
-    stats = (grams.groupBy("g")
-             .agg(F.count("*").alias("cnt"), F.min(okey).alias("fkey"))
-             .filter(F.col("cnt") >= min_count))
-    dup = (grams.join(stats, "g")
-           .filter(okey != F.col("fkey"))
-           .select("doc_id", "pos"))
+    return d.select("doc_id", F.posexplode(gh).alias("pos", "g"))
+
+
+def substr_dedup_reassemble(docs: DataFrame, dup: DataFrame,
+                            k: int = GRAM_K) -> DataFrame:
+    """(doc_id, text) corpus + (doc_id, pos) duplicated-gram START
+    rows -> one (doc_id, n_tokens, n_dup_starts, n_kept, text_out)
+    row per doc: starts merge into disjoint [lo, hi] token-coverage
+    intervals via gaps-and-islands and the kept token indices come
+    closed-form from the interval GAPS — O(n + starts) per doc, the
+    per-doc window bounded by the doc's own length. ONE kernel shared
+    by batch substr_dedup_over and the streaming twin's post-pass
+    (dup = the sink's kept=false rows), so both reassemble
+    identically by construction."""
+    d = (docs.select("doc_id",
+                     F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                     .alias("ws"))
+         .withColumn("n", F.size("ws")))
     # gaps-and-islands: start s covers [s, s+k-1]; consecutive sorted
     # starts merge while pos <= prev + k. The window is per-doc
     # (bounded by the doc's own length), never corpus-global.
@@ -2510,6 +2494,52 @@ def substr_dedup_over(docs: DataFrame, k: int = GRAM_K,
         F.array_join(
             F.transform(kept, lambda j: F.element_at("ws", j + 1)),
             " ").alias("text_out"))
+
+
+def substr_dedup_over(docs: DataFrame, k: int = GRAM_K,
+                      min_count: int = 2) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" §3.1 ExactSubstr): any k-token
+    span occurring >= min_count times corpus-wide keeps only its FIRST
+    occurrence by (doc_id, pos); every other copy's tokens are removed
+    from their documents. The granularity between doc-level dedup
+    (misses partial copies) and line dedup (misses reflowed text that
+    crosses line breaks). No reference counterpart; inter-document
+    plane.
+
+    Returns one row per doc: (doc_id, n_tokens, n_dup_starts, n_kept,
+    text_out) — text_out is the surviving tokens re-joined by ' '.
+    Docs shorter than k tokens contribute no grams and pass untouched.
+
+    Scale shape: Lee et al. use a monolithic suffix array; the
+    distributed equivalent here is a k-gram melt keyed by md5(gram) —
+    the shuffle carries a 32-byte hash per token position, never the
+    k-fold text expansion, and the duplicate count/first-occurrence
+    is ONE partial-aggregable groupBy (a boilerplate passage on 10^9
+    pages collapses map-side; same no-window rationale as
+    line_dedup_over). The duplicated starts merge into disjoint
+    [lo,hi] coverage intervals via gaps-and-islands (a per-doc-bounded
+    window + codegen'd aggregates) and the kept token indices come
+    closed-form from the interval GAPS — O(n + starts) per doc.
+    MEASURED TRAP behind that choice: the obvious alternative — an
+    in-project aggregate() fold building the intervals, then a
+    per-token filter(exists(iv)) — lets CollapseProject inline the
+    fold ALIAS into the token lambda, re-running the interpreted fold
+    once PER TOKEN (100k soak docs: 358 s vs 11 s for this shape).
+    Island/interval columns arrive through a shuffle as real
+    attributes, which cannot be inlined. First-occurrence key is the
+    _okey() struct min on (doc_id, pos), the line_dedup_over
+    convention. Composes the two shared kernels (substr_gram_melt,
+    substr_dedup_reassemble) the streaming twin also uses."""
+    grams = substr_gram_melt(docs, k)
+    okey = _okey()
+    stats = (grams.groupBy("g")
+             .agg(F.count("*").alias("cnt"), F.min(okey).alias("fkey"))
+             .filter(F.col("cnt") >= min_count))
+    dup = (grams.join(stats, "g")
+           .filter(okey != F.col("fkey"))
+           .select("doc_id", "pos"))
+    return substr_dedup_reassemble(docs, dup, k)
 
 
 #: 12-token corpus-wide boilerplate passage for q_substr_dedup

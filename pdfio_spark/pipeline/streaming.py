@@ -303,66 +303,35 @@ def stream_quality_filter(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
-def stream_line_dedup(spark: SparkSession, input_dir: str,
-                      checkpoint_dir: str, output_dir: str,
-                      state_ttl_hours: int | None = None):
-    """Streaming twin of line_dedup_over (C4 corpus-level line
-    dedup): docs arrive as (doc_id, text); every NON-BLANK line is
-    checked against a corpus-global seen-set — one GroupState per
-    md5(line) — and only its first arrival keeps kept=true. Blank
-    lines bypass the stateful operator entirely (always kept, and a
-    seen-set entry per structural blank would be pure state bloat).
-    Within one micro-batch the winner is the min (doc_id, pos) key —
-    deterministic and identical to the batch operator when the whole
-    corpus lands in one batch; across batches it is arrival order,
-    the same semantics stream_dedup documents for urls.
+def _first_seen_state_fn(cols, ttl_ms):
+    """applyInPandasWithState function for a corpus-global
+    first-occurrence seen-set: per grouping key, the lexicographic
+    (doc_id, pos) min of the key's FIRST batch gets kept=true, every
+    other arrival (same batch or later) kept=false. `cols` is the
+    output column order (must include doc_id/pos/kept). Shared by
+    stream_line_dedup (key = md5(line)) and stream_substr_dedup
+    (key = md5(k-gram)) so both twins decide identically by
+    construction.
 
-    Emits one row PER LINE (doc_id, pos, line, kept); reassemble docs
-    with queries.line_dedup_reassemble over the sink — the same
-    kernel the batch operator ends with. State growth is O(distinct
-    non-blank lines); state_ttl_hours bounds it for unbounded crawls
-    (an expired line re-admits one copy, the stream_dedup tradeoff).
-    NOTE (CLAUDE.md invariant): availableNow + ProcessingTimeTimeout
-    never self-terminates — tests with a TTL must stop() the query."""
+    Memory shape: a hot boilerplate key (nav line / ToS gram shared
+    by every doc) can land its whole batch-wide group under this one
+    key — never concat the group: stream chunks, holding back only
+    the current (doc_id, pos)-min candidate row (an encoded bigint
+    key would overflow for xxhash64 ids, the queries._okey note).
+    State ops happen before the generator is consumed; the TTL
+    re-arms every invocation (GroupState drops timeouts not set
+    again)."""
     import pandas as pd
-    from pyspark.sql.streaming.state import (GroupState,
-                                             GroupStateTimeout)
-    from .queries import _WS_CHARS
 
-    src = (spark.readStream
-           .schema("doc_id long, text string")
-           .option("maxFilesPerTrigger", 8)
-           .parquet(input_dir))
-    lines = src.select(
-        "doc_id",
-        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")),
-                             "\n")).alias("pos", "line"))
-    is_blank = F.btrim(F.col("line"), F.lit(_WS_CHARS)) == ""
-    blank = (lines.filter(is_blank)
-             .withColumn("kept", F.lit(True)))
-    keyed = (lines.filter(~is_blank)
-             .withColumn("k", F.md5("line")))
-    ttl_ms = None if state_ttl_hours is None else \
-        max(1, int(state_ttl_hours * 3600 * 1000))
-
-    def decide_fn(key, pdf_iter, state: GroupState):
+    def decide_fn(key, pdf_iter, state):
         if state.hasTimedOut:
             state.remove()
             return iter(())
-        # a hot boilerplate line (nav/header shared by every doc) can
-        # land its whole batch-wide group under this one key — never
-        # concat the group: stream chunk-wise, holding back only the
-        # current lexicographic (doc_id, pos) min candidate (an
-        # encoded bigint key would overflow for xxhash64 ids, the
-        # queries._okey note). State ops happen before the generator
-        # is consumed; TTL re-arms every invocation (GroupState drops
-        # timeouts not set again).
         fresh = not state.exists
         if fresh:
             state.update((1,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        cols = ["doc_id", "pos", "line", "kept"]
 
         def gen():
             cand = None  # one-row frame: current first-occurrence
@@ -395,8 +364,52 @@ def stream_line_dedup(spark: SparkSession, input_dir: str,
 
         return gen()
 
+    return decide_fn
+
+
+def stream_line_dedup(spark: SparkSession, input_dir: str,
+                      checkpoint_dir: str, output_dir: str,
+                      state_ttl_hours: int | None = None):
+    """Streaming twin of line_dedup_over (C4 corpus-level line
+    dedup): docs arrive as (doc_id, text); every NON-BLANK line is
+    checked against a corpus-global seen-set — one GroupState per
+    md5(line) — and only its first arrival keeps kept=true. Blank
+    lines bypass the stateful operator entirely (always kept, and a
+    seen-set entry per structural blank would be pure state bloat).
+    Within one micro-batch the winner is the min (doc_id, pos) key —
+    deterministic and identical to the batch operator when the whole
+    corpus lands in one batch; across batches it is arrival order,
+    the same semantics stream_dedup documents for urls.
+
+    Emits one row PER LINE (doc_id, pos, line, kept); reassemble docs
+    with queries.line_dedup_reassemble over the sink — the same
+    kernel the batch operator ends with. State growth is O(distinct
+    non-blank lines); state_ttl_hours bounds it for unbounded crawls
+    (an expired line re-admits one copy, the stream_dedup tradeoff).
+    NOTE (CLAUDE.md invariant): availableNow + ProcessingTimeTimeout
+    never self-terminates — tests with a TTL must stop() the query."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from .queries import _WS_CHARS
+
+    src = (spark.readStream
+           .schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    lines = src.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")),
+                             "\n")).alias("pos", "line"))
+    is_blank = F.btrim(F.col("line"), F.lit(_WS_CHARS)) == ""
+    blank = (lines.filter(is_blank)
+             .withColumn("kept", F.lit(True)))
+    keyed = (lines.filter(~is_blank)
+             .withColumn("k", F.md5("line")))
+    ttl_ms = None if state_ttl_hours is None else \
+        max(1, int(state_ttl_hours * 3600 * 1000))
+
     decided = keyed.groupBy("k").applyInPandasWithState(
-        decide_fn,
+        _first_seen_state_fn(["doc_id", "pos", "line", "kept"],
+                             ttl_ms),
         outputStructType="doc_id long, pos int, line string, "
                          "kept boolean",
         stateStructType="seen int",
@@ -407,6 +420,61 @@ def stream_line_dedup(spark: SparkSession, input_dir: str,
     out = blank.select("doc_id", "pos", "line", "kept") \
         .unionByName(decided)
     return (out.writeStream
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
+def stream_substr_dedup(spark: SparkSession, input_dir: str,
+                        checkpoint_dir: str, output_dir: str,
+                        k: int | None = None,
+                        state_ttl_hours: int | None = None):
+    """Streaming twin of substr_dedup_over (Lee et al. 2022
+    ExactSubstr): docs arrive as (doc_id, text); every k-token gram
+    (queries.substr_gram_melt — the SAME md5 kernel as batch) is
+    checked against a corpus-global seen-set, one GroupState per gram
+    hash, and only its first arrival keeps kept=true. Within one
+    micro-batch the winner is the min (doc_id, pos) key —
+    deterministic and identical to the batch operator when the whole
+    corpus lands in one batch; across batches it is arrival order,
+    the stream_dedup semantics. Unlike the line twin, arrival order
+    also moves the kept TOKEN total slightly: which copy of two
+    OVERLAPPING grams survives changes that doc's interval gaps. The
+    order-independent invariant is one kept row per distinct gram
+    (pinned by the soak); token counts are exact only single-batch.
+
+    Emits one row PER GRAM START (doc_id, pos, kept); rebuild docs by
+    feeding the sink's kept=false rows as `dup` into
+    queries.substr_dedup_reassemble beside the original corpus — the
+    same gaps-and-islands kernel the batch operator ends with. State
+    growth is O(distinct grams) (32-byte keys; at crawl scale bound
+    it with state_ttl_hours — an expired gram re-admits one copy,
+    the stream_dedup tradeoff). Docs shorter than k tokens produce
+    no rows here and pass through reassembly untouched.
+    NOTE (CLAUDE.md invariant): availableNow + ProcessingTimeTimeout
+    never self-terminates — tests with a TTL must stop() the query."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from .queries import GRAM_K, substr_gram_melt
+
+    src = (spark.readStream
+           .schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    grams = substr_gram_melt(src, k or GRAM_K)
+    ttl_ms = None if state_ttl_hours is None else \
+        max(1, int(state_ttl_hours * 3600 * 1000))
+    decided = grams.groupBy("g").applyInPandasWithState(
+        _first_seen_state_fn(["doc_id", "pos", "kept"], ttl_ms),
+        outputStructType="doc_id long, pos int, kept boolean",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if ttl_ms is not None
+                     else GroupStateTimeout.NoTimeout))
+    return (decided.writeStream
             .format("parquet")
             .option("path", output_dir)
             .option("checkpointLocation", checkpoint_dir)

@@ -1324,6 +1324,59 @@ def test_stream_line_dedup(spark, tmp_path):
     assert (d3.n_lines, d3.n_kept, d3.text_out) == (2, 1, "fresh line")
 
 
+def test_stream_substr_dedup(spark, tmp_path):
+    """r6: streaming twin of substr_dedup_over — one GroupState per
+    k-gram hash (the SAME substr_gram_melt kernel as batch); a
+    whole-corpus single batch fed through substr_dedup_reassemble
+    must equal the batch operator EXACTLY, and a later run over the
+    same checkpoint must strip spans seen in the first run."""
+    from pdfio_spark.pipeline.queries import (substr_dedup_over,
+                                              substr_dedup_reassemble)
+    from pdfio_spark.pipeline.streaming import stream_substr_dedup
+    K = 4
+    rows = [
+        (0, "t1 t2 t3 t4 body0 x y z"),
+        (1, "t1 t2 t3 t4 body1 p q r"),
+        (2, "solo words only here nothing shared"),
+        (3, "tiny doc"),  # < k tokens: no grams, passes untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "ssd_in")
+    chk = str(tmp_path / "ssd_chk")
+    outp = str(tmp_path / "ssd_out")
+    df.coalesce(1).write.parquet(inp)  # one file -> one micro-batch
+    q = stream_substr_dedup(spark, inp, chk, outp, k=K)
+    q.awaitTermination(120)
+    sink = spark.read.parquet(outp)
+    assert sink.count() == 13  # (8-3) + (8-3) + (6-3) + 0 grams
+    dup = sink.filter("NOT kept").select("doc_id", "pos")
+    got = {r.doc_id: r for r in
+           substr_dedup_reassemble(df, dup, k=K).collect()}
+    want = {r.doc_id: r for r in substr_dedup_over(df, k=K).collect()}
+    for d in want:
+        assert (got[d].n_tokens, got[d].n_dup_starts, got[d].n_kept,
+                got[d].text_out) == \
+            (want[d].n_tokens, want[d].n_dup_starts, want[d].n_kept,
+             want[d].text_out)
+    assert got[1].text_out == "body1 p q r"  # shared span stripped
+    assert got[3].text_out == "tiny doc"
+    # cross-run state: a later file repeating the span loses it
+    spark.createDataFrame([(4, "t1 t2 t3 t4 fresh tokens here now")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    q2 = stream_substr_dedup(spark, inp, chk, outp, k=K)
+    q2.awaitTermination(60)
+    out2 = spark.read.parquet(outp)
+    assert out2.count() == 18  # 13 first-run grams + 5 new, no replay
+    df4 = spark.createDataFrame(
+        [(4, "t1 t2 t3 t4 fresh tokens here now")],
+        "doc_id long, text string")
+    d4 = substr_dedup_reassemble(
+        df4, out2.filter("NOT kept AND doc_id = 4")
+        .select("doc_id", "pos"), k=K).collect()[0]
+    assert (d4.n_tokens, d4.text_out) == (8, "fresh tokens here now")
+
+
 def test_dedup_simhash_production_variant(spark):
     """q_dedup_simhash left the registry in r6 (slot freed for the
     oracled q_line_dedup) but remains the fast 32-bit production

@@ -288,6 +288,69 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode == "streamsubstr":
+        # stateful-streaming scale probe for the GRAM seen-set:
+        # n_docs (default 100k) 200-way-duplicated docs through the
+        # span-planting fixture and stream_substr_dedup — every body
+        # gram's GroupState contested by ~200 replicas, the header
+        # passage's by the whole corpus (the hot-key shape the
+        # chunk-wise decide_fn exists for); exactly-once gram
+        # decisions reassembled and cross-checked against the batch
+        # operator's aggregate counts on the same input. Emits one
+        # state row per TOKEN position, ~10x the line soak's volume
+        # per doc — expect a proportionally lower docs/s.
+        from pdfio_spark.pipeline.queries import (
+            substr_dedup_fixture, substr_dedup_over,
+            substr_dedup_reassemble)
+        from pdfio_spark.pipeline.streaming import stream_substr_dedup
+        n_docs = n_docs if len(sys.argv) > 2 else 100_000
+        docs = substr_dedup_fixture(_replicated_corpus(
+            spark, sf_dir, n_docs, cpus, key="doc_id"))
+        inp = os.path.join(soak_dir, "ss_in")
+        chk = os.path.join(soak_dir, "ss_chk")
+        outp = os.path.join(soak_dir, "ss_out")
+        for d in (inp, chk, outp):
+            shutil.rmtree(d, ignore_errors=True)
+        docs.repartition(64).write.parquet(inp)
+        n = spark.read.parquet(inp).count()
+        t0 = time.perf_counter()
+        q = stream_substr_dedup(spark, inp, chk, outp)
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        src = spark.read.parquet(inp)
+        sink = spark.read.parquet(outp)
+        dup = sink.filter("NOT kept").select("doc_id", "pos")
+        agg = (substr_dedup_reassemble(src, dup)
+               .agg(F.count("*").alias("docs"),
+                    F.sum("n_tokens").alias("tokens"),
+                    F.sum("n_kept").alias("kept")).collect()[0])
+        # the order-independent invariant: exactly ONE kept gram row
+        # per distinct gram, matching the batch melt's distinct count
+        # regardless of arrival order. The kept TOKEN total is NOT
+        # order-independent under multi-batch arrival — which copy of
+        # two OVERLAPPING grams survives changes the interval gaps
+        # (batch total printed beside it for the drift magnitude)
+        kept_grams = sink.filter("kept").count()
+        from pdfio_spark.pipeline.queries import substr_gram_melt
+        distinct_grams = substr_gram_melt(src).select("g") \
+            .distinct().count()
+        bk = (substr_dedup_over(src)
+              .agg(F.sum("n_kept")).collect()[0][0])
+        print(json.dumps({"mode": mode, "n_docs": n,
+                          "tokens": int(agg["tokens"]),
+                          "kept_grams": int(kept_grams),
+                          "distinct_grams": int(distinct_grams),
+                          "kept_tokens": int(agg["kept"]),
+                          "batch_kept_tokens": int(bk),
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(n / dt, 1)}))
+        assert kept_grams == distinct_grams, \
+            (kept_grams, distinct_grams)
+        for d in (inp, chk, outp):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
     if mode == "ann":
         from pdfio_spark.pipeline.queries import (ann_lsh_topk_over,
                                                   _hyperplanes)
