@@ -961,6 +961,165 @@ def pii_metrics(extracted: DataFrame) -> DataFrame:
             .groupBy("partition_id").agg(*aggs))
 
 
+#: second-level public suffixes the registrable-domain heuristic
+#: recognizes under the last label (the full Public Suffix List is
+#: ~9k rules; these cover the common ccTLD second levels — a
+#: documented approximation: a deployment needing exact PSL semantics
+#: matches at the host level via the blocklist's own entries)
+_SLD_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "co.nz", "co.jp", "ne.jp", "or.jp",
+    "co.in", "co.kr", "com.br", "com.mx", "com.cn", "com.tw",
+    "com.sg", "co.za", "com.ar", "com.tr")
+
+URL_REASONS = ("bad_scheme", "no_host", "url_too_long",
+               "blocked_domain", "blocked_token")
+
+
+def url_parse_cols(url: str = "url") -> list:
+    """Expression set deriving (scheme, host, domain, url_norm) from
+    a URL column — all row-local JVM regex/array exprs, no UDF. ONE
+    kernel shared by url_filter_decisions and the streaming twin.
+
+    - scheme: lowercased; '' when the value has no '<scheme>://'.
+    - host: lowercased authority host, userinfo and port stripped;
+      bracketed IPv6 literals kept whole ('[::1]').
+    - domain: registrable domain — last two labels, or last three
+      when the last two are a known second-level suffix
+      (_SLD_SUFFIXES); IPv4 literal hosts pass through unchanged.
+    - url_norm: canonical form for URL-keyed dedup — fragment
+      stripped, scheme+authority lowercased, default :80/:443 port
+      dropped, dangling '?' removed. Path/query case is preserved
+      (servers may be case-sensitive there)."""
+    u = F.col(url)
+    scheme = F.lower(F.regexp_extract(
+        u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?"
+           r"(\[[^\]]*\]|[^/:?#]*)", 1))
+    labels = F.split(host, r"\.")
+    nl = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    last3 = F.concat_ws(".", F.element_at(labels, -3),
+                        F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    domain = (F.when(is_ip | (nl <= 2), host)
+              .when(last2.isin(*_SLD_SUFFIXES), last3)
+              .otherwise(last2))
+    # authority prefix (scheme://user@host:port): scheme and
+    # host:port lowercase, USERINFO verbatim (credentials are
+    # case-sensitive), default port dropped; the rest of the URL
+    # rides along unchanged minus fragment and a dangling '?'
+    prefix = F.regexp_extract(
+        u, r"^([A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?[^/?#]*)", 1)
+    userinfo = F.regexp_extract(prefix, r"^[^:]+://([^/?#]*@)", 1)
+    hostport = F.lower(F.regexp_extract(
+        prefix, r"^[^:]+://(?:[^/?#]*@)?([^/?#]*)$", 1))
+    hostport = (F.when(scheme == "http",
+                       F.regexp_replace(hostport, ":80$", ""))
+                .when(scheme == "https",
+                      F.regexp_replace(hostport, ":443$", ""))
+                .otherwise(hostport))
+    plow = F.concat(scheme, F.lit("://"), userinfo, hostport)
+    rest = F.substr(u, F.length(prefix) + F.lit(1))
+    rest = F.regexp_replace(F.regexp_replace(rest, "#.*$", ""),
+                            r"\?$", "")
+    url_norm = F.when(scheme == "", u).otherwise(F.concat(plow, rest))
+    return [scheme.alias("scheme"), host.alias("host"),
+            domain.alias("domain"), url_norm.alias("url_norm")]
+
+
+def url_filter_decisions(corpus: DataFrame,
+                         blocked_domains=None,
+                         blocked_tokens: tuple = (),
+                         allowed_schemes: tuple = ("http", "https"),
+                         max_url_len: int = 2048) -> DataFrame:
+    """The URL gate of a training-data pipeline (C4 §2.1 / RefinedWeb
+    §3.1 shape): (url, ...) -> per-doc keep decision BEFORE any byte
+    of content is fetched or parsed — the cheapest filter in the
+    chain, so it runs first. Emits the url_parse_cols derivation plus
+    machine-readable reasons (URL_REASONS) and status
+    'kept'|'dropped' (the run_job by_status contract).
+
+    blocked_domains: a list/tuple of entries OR a 1-column DataFrame
+    (a million-entry UT1-style blocklist belongs in a table, not an
+    argv literal). An entry blocks a doc when it equals the HOST
+    exactly or equals the REGISTRABLE DOMAIN (so 'example.com' blocks
+    every subdomain of example.com, while 'ads.example.com' blocks
+    only that host — deeper-suffix wildcarding is NOT implied).
+    blocked_tokens: lowercase substrings matched against the whole
+    lowercased URL (the C4 bad-words-in-URL rule); keep this list
+    small — it compiles into the row expression.
+
+    Scale shape: the token/scheme/length rules are row-local JVM
+    exprs; the blocklist is TWO broadcast hash equi-joins (host key,
+    domain key) against the deduped entry table — map-only end to
+    end, no shuffle of the corpus, at 100 TB it runs at scan speed.
+    An OR-of-equalities join condition would degrade to a broadcast
+    nested-loop — hence two joins. No reference counterpart;
+    inter-document plane."""
+    if isinstance(blocked_domains, (list, tuple, set)):
+        spark = corpus.sparkSession
+        ents = sorted({str(d).lower() for d in blocked_domains})
+        blocked_domains = spark.createDataFrame(
+            [(e,) for e in ents], "entry string") if ents else None
+    m = corpus.select("url", *url_parse_cols())
+    if blocked_domains is None:
+        hit_host = hit_dom = F.lit(False)
+    else:
+        bl = (blocked_domains
+              .select(F.lower(F.col(blocked_domains.columns[0]))
+                      .alias("entry")).distinct())
+        m = (m.join(F.broadcast(bl.withColumnRenamed(
+                "entry", "_bl_host")),
+                on=F.col("host") == F.col("_bl_host"), how="left")
+             .join(F.broadcast(bl.withColumnRenamed(
+                 "entry", "_bl_dom")),
+                 on=F.col("domain") == F.col("_bl_dom"), how="left"))
+        hit_host = F.col("_bl_host").isNotNull()
+        hit_dom = F.col("_bl_dom").isNotNull()
+    toks = [str(t).lower() for t in blocked_tokens]
+    tok_hit = F.exists(
+        F.array(*[F.lit(t) for t in toks]),
+        lambda t: F.contains(F.lower(F.col("url")), t)
+    ) if toks else F.lit(False)
+    conds = {
+        "bad_scheme": ~F.col("scheme").isin(*allowed_schemes),
+        "no_host": F.col("host") == "",
+        "url_too_long": F.length("url") > max_url_len,
+        "blocked_domain": hit_host | hit_dom,
+        "blocked_token": tok_hit,
+    }
+    if set(conds) != set(URL_REASONS):
+        raise AssertionError("url rule set drifted from URL_REASONS")
+    reasons = F.array_compact(F.array(
+        *[F.when(conds[t], F.lit(t)) for t in URL_REASONS]))
+    return (m.withColumn("reasons", reasons)
+            .withColumn("status", F.when(F.size("reasons") == 0,
+                                         "kept").otherwise("dropped"))
+            .select("url", "scheme", "host", "domain", "url_norm",
+                    "reasons", "status"))
+
+
+def urlfilter_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for the URL-gate path: docs, kept, one
+    counter per URL_REASONS tag — sums read only output-borne
+    columns, so the crash reconcile pass stays exact (the
+    wat_metrics rule)."""
+    aggs = [F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+             .alias("n_kept")]
+    for r in URL_REASONS:
+        aggs.append(
+            F.sum(F.when(F.array_contains("reasons", r), 1)
+                  .otherwise(0)).alias(f"n_{r}"))
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id").agg(*aggs))
+
+
 def sigaudit_metrics(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage for the signature-audit path: output
     rows, SIGNATURE rows (status='ok' — a 3-signature doc contributes

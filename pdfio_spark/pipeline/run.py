@@ -62,7 +62,8 @@ def run_job(spark, input_path: str, output_path: str,
             metrics_path: str | None = None, resume: bool = False,
             mode: str = "pdf", run_id: str | None = None,
             sig_material: dict | None = None,
-            filter_opts: dict | None = None) -> dict:
+            filter_opts: dict | None = None,
+            url_opts: dict | None = None) -> dict:
     """mode='pdf' (default): full PDF parse stack. mode='html': the
     web-page half — DOM block-scoring boilerplate strip over the same
     (url, html binary) table shape, same resume/metrics contract.
@@ -117,6 +118,21 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "pii":
         from .job import pii_metrics, pii_scrub_over
         extract_fn, metrics_fn = pii_scrub_over, pii_metrics
+    elif mode == "urlfilter":
+        import inspect
+        from .job import url_filter_decisions, urlfilter_metrics
+        uo = url_opts or {}
+        # fail fast on a typo'd option name (the filter_opts rule):
+        # 'blocked_domain' would otherwise silently gate NOTHING
+        valid = set(inspect.signature(url_filter_decisions).parameters)
+        bad = set(uo) - (valid - {"corpus"})
+        if bad:
+            raise ValueError(f"unknown url_opts keys {sorted(bad)} "
+                             f"(valid: {sorted(valid - {'corpus'})})")
+
+        def extract_fn(c, _uo=uo):
+            return url_filter_decisions(c, **_uo)
+        metrics_fn = urlfilter_metrics
     elif mode == "linededup":
         from .job import linededup_decisions, linededup_metrics
         extract_fn, metrics_fn = linededup_decisions, linededup_metrics
@@ -144,19 +160,23 @@ def run_job(spark, input_path: str, output_path: str,
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
                          "wat | dedup | sigaudit | filter | pii | "
-                         "linededup | substrdedup)")
+                         "urlfilter | linededup | substrdedup)")
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
     if filter_opts is not None and mode != "filter":
         raise ValueError("filter_opts is only valid with "
                          "mode='filter'")
+    if url_opts is not None and mode != "urlfilter":
+        raise ValueError("url_opts is only valid with "
+                         "mode='urlfilter'")
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
     # column pruning reaches the scan: each mode reads only its columns
     cols = {"wet": ["url", "text"], "dedup": ["url", "text"],
             "filter": ["url", "text"], "pii": ["url", "text"],
+            "urlfilter": ["url"],
             "linededup": ["url", "text"],
             "substrdedup": ["url", "text"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
@@ -272,7 +292,7 @@ def main(argv=None) -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--mode",
                     choices=("pdf", "html", "wet", "wat", "dedup",
-                             "sigaudit", "filter", "pii",
+                             "sigaudit", "filter", "pii", "urlfilter",
                              "linededup", "substrdedup"),
                     default="pdf")
     # sigaudit material: os.pathsep-separated file paths, read on the
@@ -285,12 +305,26 @@ def main(argv=None) -> None:
     # --mode filter thresholds as a JSON object, e.g.
     # --filter-opts '{"min_words": 10, "langs": ["en", "de"]}'
     ap.add_argument("--filter-opts", default=None)
+    # --mode urlfilter options as a JSON object; --blocked-domains is
+    # a newline-separated entry file read on the DRIVER (a UT1-style
+    # list doesn't fit in argv) and merged into url_opts
+    ap.add_argument("--url-opts", default=None)
+    ap.add_argument("--blocked-domains", default=None)
     args = ap.parse_args(argv)
 
     filter_opts = None
     if args.filter_opts is not None:
         import json
         filter_opts = json.loads(args.filter_opts)
+    url_opts = None
+    if args.url_opts is not None:
+        import json
+        url_opts = json.loads(args.url_opts)
+    if args.blocked_domains is not None:
+        with open(args.blocked_domains) as f:
+            doms = [ln.strip() for ln in f if ln.strip()
+                    and not ln.startswith("#")]
+        url_opts = dict(url_opts or {}, blocked_domains=doms)
 
     # build sig_material from the flags in EVERY mode: run_job's
     # mode guard then rejects e.g. `--mode pdf --crl-pems x.pem`
@@ -315,7 +349,8 @@ def main(argv=None) -> None:
     spark.sparkContext.setLogLevel("WARN")
     out = run_job(spark, args.input, args.output, args.metrics,
                   args.resume, mode=args.mode,
-                  sig_material=sig_material, filter_opts=filter_opts)
+                  sig_material=sig_material, filter_opts=filter_opts,
+                  url_opts=url_opts)
     print(out)
     spark.stop()
 

@@ -303,6 +303,32 @@ def stream_quality_filter(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_url_filter(spark: SparkSession, input_dir: str,
+                      checkpoint_dir: str, output_dir: str,
+                      available_now: bool = True, **url_opts):
+    """Streaming twin of run.py --mode urlfilter: file-source stream
+    of docs -> per-URL keep decisions with reason tags
+    (job.url_filter_decisions — row-local JVM exprs plus two
+    broadcast blocklist joins, no fan-out needed: runs at scan
+    speed) -> parquet sink, exactly-once via the checkpoint.
+    `url_opts` pass through (blocked_domains=..., blocked_tokens=...,
+    etc.); a DataFrame blocklist must be a BATCH DataFrame (it is
+    broadcast per micro-batch)."""
+    from .job import url_filter_decisions
+    src = (spark.readStream
+           .schema("url string")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    writer = (url_filter_decisions(src, **url_opts).writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _first_seen_state_fn(cols, ttl_ms):
     """applyInPandasWithState function for a corpus-global
     first-occurrence seen-set: per grouping key, the lexicographic

@@ -968,6 +968,106 @@ def test_pii_scrub_over_and_run_job_pii_mode(spark, tmp_path):
     assert m.agg(F.sum("n_pii")).collect()[0][0] == 8
 
 
+def test_url_filter_decisions_and_run_job_urlfilter_mode(spark,
+                                                         tmp_path):
+    """r6: URL gate (C4/RefinedWeb shape) — scheme/host/registrable-
+    domain/normalized-url derivation + blocklist and token rules,
+    under the full resume/metrics/run_id contract. Blocklist
+    semantics: an entry blocks on exact HOST or registrable DOMAIN
+    (subdomains of a registrable entry included, deeper wildcarding
+    not implied)."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import url_filter_decisions
+    from pdfio_spark.pipeline.run import run_job
+    rows = [
+        ("https://WWW.Example.COM:443/Path/Q?a=1#frag",),
+        ("http://sub.news.co.uk:80/story",),
+        ("http://User:Pw@ads.example.com/x",),
+        ("https://10.1.2.3:8443/admin",),
+        ("mailto:someone@example.com",),
+        ("https://spam.example.net/poker-online",),
+        ("https://clean.example.org/article",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r.url: r for r in url_filter_decisions(
+        df, blocked_domains=["example.com", "news.co.uk"],
+        blocked_tokens=("casino", "poker")).collect()}
+    r0 = out[rows[0][0]]
+    # scheme+host lowercase, default port dropped, fragment stripped,
+    # PATH CASE PRESERVED; www.example.com blocks via example.com
+    assert (r0.scheme, r0.host, r0.domain) == \
+        ("https", "www.example.com", "example.com")
+    assert r0.url_norm == "https://www.example.com/Path/Q?a=1"
+    assert (list(r0.reasons), r0.status) == (["blocked_domain"],
+                                             "dropped")
+    # co.uk second-level suffix -> registrable domain news.co.uk
+    assert out[rows[1][0]].domain == "news.co.uk"
+    assert out[rows[1][0]].status == "dropped"
+    # userinfo case preserved in url_norm (credentials are
+    # case-sensitive); host-level block via registrable domain
+    r2 = out[rows[2][0]]
+    assert r2.url_norm == "http://User:Pw@ads.example.com/x"
+    assert r2.status == "dropped"
+    # IPv4 host: domain == host, no block
+    assert (out[rows[3][0]].domain, out[rows[3][0]].status) == \
+        ("10.1.2.3", "kept")
+    assert set(out[rows[4][0]].reasons) == {"bad_scheme", "no_host"}
+    assert list(out[rows[5][0]].reasons) == ["blocked_token"]
+    assert out[rows[6][0]].status == "kept"
+    # DataFrame blocklist input (the UT1-scale surface) agrees
+    bl_df = spark.createDataFrame([("EXAMPLE.com",), ("news.co.uk",)],
+                                  "entry string")
+    out2 = {r.url: r.status for r in url_filter_decisions(
+        df, blocked_domains=bl_df,
+        blocked_tokens=("casino", "poker")).collect()}
+    assert out2 == {u: r.status for u, r in out.items()}
+
+    # production contract: run_id + metrics + exactly-once resume
+    inp = str(tmp_path / "uf_in")
+    outp = str(tmp_path / "uf_out")
+    met = str(tmp_path / "uf_met")
+    df.write.parquet(inp)
+    uo = {"blocked_domains": ["example.com", "news.co.uk"],
+          "blocked_tokens": ["casino", "poker"]}
+    r1 = run_job(spark, inp, outp, met, mode="urlfilter",
+                 run_id="u1", url_opts=uo)
+    assert r1["by_status"] == {"kept": 2, "dropped": 5}
+    spark.createDataFrame([("https://late.example.com/y",)],
+                          "url string") \
+        .write.mode("append").parquet(inp)
+    r2j = run_job(spark, inp, outp, met, mode="urlfilter",
+                  resume=True, run_id="u2", url_opts=uo)
+    assert r2j["written"] == 1 and r2j["by_status"] == {"dropped": 1}
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 8
+    assert m.agg(F.sum("n_kept")).collect()[0][0] == 2
+    assert m.agg(F.sum("n_blocked_domain")).collect()[0][0] == 4
+    # typo'd option key fails driver-side; opts rejected off-mode
+    with pytest.raises(ValueError, match="unknown url_opts"):
+        run_job(spark, inp, outp, met, mode="urlfilter",
+                url_opts={"blocked_domain": []})
+    with pytest.raises(ValueError, match="url_opts is only valid"):
+        run_job(spark, inp, outp, met, mode="pdf", url_opts={})
+
+
+def test_stream_url_filter(spark, tmp_path):
+    """Streaming twin of --mode urlfilter: exactly-once decisions."""
+    from pdfio_spark.pipeline.streaming import stream_url_filter
+    inp = str(tmp_path / "suf_in")
+    chk = str(tmp_path / "suf_chk")
+    outp = str(tmp_path / "suf_out")
+    spark.createDataFrame(
+        [("https://ok.example.org/a",), ("http://bad.example.com/b",)],
+        "url string").write.parquet(inp)
+    q = stream_url_filter(spark, inp, chk, outp,
+                          blocked_domains=["example.com"])
+    q.awaitTermination(120)
+    out = {r.url: r.status for r in
+           spark.read.parquet(outp).collect()}
+    assert out == {"https://ok.example.org/a": "kept",
+                   "http://bad.example.com/b": "dropped"}
+
+
 def test_stream_pii_scrub(spark, tmp_path):
     """Streaming twin of --mode pii: exactly-once redaction."""
     from pdfio_spark.pipeline.streaming import stream_pii_scrub

@@ -777,6 +777,49 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode == "runurl":
+        # the URL gate through run_job --mode urlfilter: n_docs
+        # synthetic crawl URLs over a 1000-host pool (id-hash scheme/
+        # subdomain/port/fragment variation so every parse branch
+        # runs), 100 of the hosts blocklisted + 2 bad tokens — the
+        # cheapest production stage (url column only reaches the
+        # scan; map-only exprs + two broadcast joins), its docs/s is
+        # the contract ceiling for a decision-only pass.
+        from pdfio_spark.pipeline.run import run_job
+        urls = (spark.range(n_docs).selectExpr(
+            "concat(element_at(array('https', 'http'), "
+            "cast(id % 2 + 1 as int)), '://', "
+            "element_at(array('', 'www.', 'cdn.'), "
+            "cast(id % 3 + 1 as int)), "
+            "'site', cast(id % 1000 as string), '.example.com"
+            "', element_at(array('', ':443', ':8080'), "
+            "cast(id % 3 + 1 as int)), "
+            "'/page/', cast(id as string), "
+            "element_at(array('', '#frag', '?q=casino'), "
+            "cast(id % 5 % 3 + 1 as int))) as url"))
+        inp = os.path.join(soak_dir, "ru_in")
+        outp = os.path.join(soak_dir, "ru_out")
+        met = os.path.join(soak_dir, "ru_met")
+        for d in (inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        urls.repartition(cpus * 2).write.parquet(inp)
+        blocked = [f"site{i}.example.com" for i in range(100)]
+        t0 = time.perf_counter()
+        res = run_job(spark, inp, outp, met, mode="urlfilter",
+                      run_id=f"soak-{mode}",
+                      url_opts={"blocked_domains": blocked,
+                                "blocked_tokens": ["casino"]})
+        dt = time.perf_counter() - t0
+        print(json.dumps({"mode": mode, "n_docs": res["written"],
+                          "by_status": res["by_status"],
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(res["written"] / dt,
+                                                1)}))
+        for d in (inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
     if mode == "runpii":
         # the PII redaction stage through run_job --mode pii: sf0.1
         # texts with PLANTED pii (email/ssn/ip/phone/clean picked
