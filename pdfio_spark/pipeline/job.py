@@ -1103,6 +1103,87 @@ def url_filter_decisions(corpus: DataFrame,
                     "reasons", "status"))
 
 
+#: tokens per decontamination gram — the GPT-3 Appendix C choice
+#: (13-gram overlap against evaluation sets)
+DECONTAM_K = 13
+
+
+def decontam_decisions(corpus: DataFrame, benchmark,
+                       k: int = DECONTAM_K,
+                       min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 Appendix C; Lee
+    et al. 2022 §6.2): drop training docs sharing any k-token span
+    with an evaluation set, so benchmark numbers measure
+    generalization instead of memorization. (url, text) + benchmark
+    -> one row per doc with n_contam_grams and status
+    'kept'|'dropped' (the run_job by_status contract; reasons
+    ['contaminated'] when dropped, for the metrics shape shared with
+    the other gates).
+
+    benchmark: a DataFrame with a `text` column (one row per eval
+    example) or a list of strings. Eval sets are small — their
+    distinct gram table broadcasts.
+
+    Scale shape: BOTH sides reuse queries.substr_gram_melt (one md5
+    per token position — the dedup kernel, so decontamination and
+    ExactSubstr agree on what "the same span" means by construction).
+    The corpus melt joins the broadcast benchmark-gram set map-side;
+    only the HITS (rare by construction) reach the groupBy, and the
+    hit table joins back to the corpus on url. No corpus shuffle
+    besides that hit join; at 100 TB the stage is scan + broadcast
+    probe. No reference counterpart; inter-document plane.
+
+    Streaming: no dedicated twin — the decision is DOC-LOCAL (doc +
+    static benchmark; no cross-doc state), so per-micro-batch
+    application is already globally correct: wrap this operator in
+    foreachBatch. A direct writeStream twin would need the hit-count
+    aggregate plus a post-aggregate join in one append-mode plan,
+    which Structured Streaming rejects without watermark gymnastics
+    that buy nothing here."""
+    from .queries import substr_gram_melt
+    if isinstance(benchmark, (list, tuple)):
+        benchmark = corpus.sparkSession.createDataFrame(
+            [(t,) for t in benchmark], "text string")
+    bgrams = (substr_gram_melt(
+        benchmark.select(F.monotonically_increasing_id()
+                         .alias("doc_id"),
+                         "text"), k)
+        .select("g").distinct())
+    melt = substr_gram_melt(
+        corpus.select(F.col("url").alias("doc_id"), "text"), k)
+    hits = (melt.join(F.broadcast(bgrams), "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contam_grams"))
+            .withColumnRenamed("doc_id", "url"))
+    out = (corpus.select("url", "text")
+           .join(hits, "url", "left")
+           .withColumn("n_contam_grams",
+                       F.coalesce("n_contam_grams", F.lit(0))))
+    dropped = F.col("n_contam_grams") >= min_hits
+    return (out
+            .withColumn("reasons",
+                        F.when(dropped,
+                               F.array(F.lit("contaminated")))
+                        .otherwise(F.array().cast("array<string>")))
+            .withColumn("status", F.when(dropped, "dropped")
+                        .otherwise("kept")))
+
+
+def decontam_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for the decontamination path — sums read
+    only output-borne columns, so the crash reconcile pass stays
+    exact (the wat_metrics rule)."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("status") == "kept", 1)
+                       .otherwise(0)).alias("n_kept"),
+                 F.sum(F.when(F.col("status") == "dropped", 1)
+                       .otherwise(0)).alias("n_contaminated"),
+                 F.sum("n_contam_grams").alias("n_contam_grams")))
+
+
 def urlfilter_metrics(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage for the URL-gate path: docs, kept, one
     counter per URL_REASONS tag — sums read only output-borne

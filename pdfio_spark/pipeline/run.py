@@ -63,7 +63,8 @@ def run_job(spark, input_path: str, output_path: str,
             mode: str = "pdf", run_id: str | None = None,
             sig_material: dict | None = None,
             filter_opts: dict | None = None,
-            url_opts: dict | None = None) -> dict:
+            url_opts: dict | None = None,
+            decontam_opts: dict | None = None) -> dict:
     """mode='pdf' (default): full PDF parse stack. mode='html': the
     web-page half — DOM block-scoring boilerplate strip over the same
     (url, html binary) table shape, same resume/metrics contract.
@@ -118,6 +119,26 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "pii":
         from .job import pii_metrics, pii_scrub_over
         extract_fn, metrics_fn = pii_scrub_over, pii_metrics
+    elif mode == "decontam":
+        from .job import decontam_decisions, decontam_metrics
+        do = dict(decontam_opts or {})
+        bad = set(do) - {"benchmark_path", "benchmark_texts", "k",
+                         "min_hits"}
+        if bad:
+            raise ValueError(f"unknown decontam_opts keys "
+                             f"{sorted(bad)} (benchmark_path | "
+                             "benchmark_texts | k | min_hits)")
+        bench_path = do.pop("benchmark_path", None)
+        bench = do.pop("benchmark_texts", None)
+        if (bench_path is None) == (bench is None):
+            raise ValueError("decontam needs exactly one of "
+                             "benchmark_path / benchmark_texts")
+        if bench_path is not None:
+            bench = spark.read.parquet(bench_path).select("text")
+
+        def extract_fn(c, _b=bench, _do=do):
+            return decontam_decisions(c, _b, **_do)
+        metrics_fn = decontam_metrics
     elif mode == "urlfilter":
         import inspect
         from .job import url_filter_decisions, urlfilter_metrics
@@ -160,7 +181,8 @@ def run_job(spark, input_path: str, output_path: str,
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
                          "wat | dedup | sigaudit | filter | pii | "
-                         "urlfilter | linededup | substrdedup)")
+                         "urlfilter | decontam | linededup | "
+                         "substrdedup)")
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
@@ -170,13 +192,16 @@ def run_job(spark, input_path: str, output_path: str,
     if url_opts is not None and mode != "urlfilter":
         raise ValueError("url_opts is only valid with "
                          "mode='urlfilter'")
+    if decontam_opts is not None and mode != "decontam":
+        raise ValueError("decontam_opts is only valid with "
+                         "mode='decontam'")
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
     # column pruning reaches the scan: each mode reads only its columns
     cols = {"wet": ["url", "text"], "dedup": ["url", "text"],
             "filter": ["url", "text"], "pii": ["url", "text"],
-            "urlfilter": ["url"],
+            "urlfilter": ["url"], "decontam": ["url", "text"],
             "linededup": ["url", "text"],
             "substrdedup": ["url", "text"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
@@ -293,7 +318,7 @@ def main(argv=None) -> None:
     ap.add_argument("--mode",
                     choices=("pdf", "html", "wet", "wat", "dedup",
                              "sigaudit", "filter", "pii", "urlfilter",
-                             "linededup", "substrdedup"),
+                             "decontam", "linededup", "substrdedup"),
                     default="pdf")
     # sigaudit material: os.pathsep-separated file paths, read on the
     # driver and shipped into task closures (works on a real cluster
@@ -310,6 +335,9 @@ def main(argv=None) -> None:
     # list doesn't fit in argv) and merged into url_opts
     ap.add_argument("--url-opts", default=None)
     ap.add_argument("--blocked-domains", default=None)
+    # --mode decontam options, e.g. --decontam-opts
+    # '{"benchmark_path": "/data/eval.parquet", "k": 13}'
+    ap.add_argument("--decontam-opts", default=None)
     args = ap.parse_args(argv)
 
     filter_opts = None
@@ -320,6 +348,10 @@ def main(argv=None) -> None:
     if args.url_opts is not None:
         import json
         url_opts = json.loads(args.url_opts)
+    decontam_opts = None
+    if args.decontam_opts is not None:
+        import json
+        decontam_opts = json.loads(args.decontam_opts)
     if args.blocked_domains is not None:
         with open(args.blocked_domains) as f:
             doms = [ln.strip() for ln in f if ln.strip()
@@ -350,7 +382,7 @@ def main(argv=None) -> None:
     out = run_job(spark, args.input, args.output, args.metrics,
                   args.resume, mode=args.mode,
                   sig_material=sig_material, filter_opts=filter_opts,
-                  url_opts=url_opts)
+                  url_opts=url_opts, decontam_opts=decontam_opts)
     print(out)
     spark.stop()
 

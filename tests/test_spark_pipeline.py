@@ -1050,6 +1050,74 @@ def test_url_filter_decisions_and_run_job_urlfilter_mode(spark,
         run_job(spark, inp, outp, met, mode="pdf", url_opts={})
 
 
+def test_decontam_decisions_and_run_job_mode(spark, tmp_path):
+    """r6: benchmark decontamination (GPT-3 App. C 13-gram rule,
+    k=5 here for fixture brevity) — docs sharing any k-token span
+    with the eval set drop; both sides hash through the SAME
+    substr_gram_melt kernel as ExactSubstr dedup."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import decontam_decisions
+    from pdfio_spark.pipeline.run import run_job
+    eval_q = "what is the capital of france paris of course"
+    rows = [
+        # contains the eval 5-gram "what is the capital of"
+        ("d://leak1", "quiz time what is the capital of france asked"),
+        # contains a different eval span (exactly one 5-gram)
+        ("d://leak2", "he said of france paris of course and smiled"),
+        ("d://clean", "entirely original prose about gardens"),
+        ("d://short", "tiny"),
+        ("d://null", None),
+    ]
+    corpus = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: r for r in decontam_decisions(
+        corpus, [eval_q], k=5).collect()}
+    assert out["d://leak1"].status == "dropped"
+    assert out["d://leak1"].n_contam_grams >= 1
+    assert out["d://leak2"].status == "dropped"
+    assert out["d://clean"].status == "kept"
+    assert out["d://short"].status == "kept"   # < k tokens: no grams
+    assert out["d://null"].status == "kept"
+    # min_hits raises the bar
+    strict = {r.url: r.status for r in decontam_decisions(
+        corpus, [eval_q], k=5, min_hits=3).collect()}
+    assert strict["d://leak2"] == "kept"
+    # DataFrame benchmark input agrees with the list form
+    bdf = spark.createDataFrame([(eval_q,)], "text string")
+    out2 = {r.url: r.status for r in decontam_decisions(
+        corpus, bdf, k=5).collect()}
+    assert out2 == {u: r.status for u, r in out.items()}
+
+    # production contract: benchmark_path + metrics + resume
+    inp = str(tmp_path / "dc_in")
+    outp = str(tmp_path / "dc_out")
+    met = str(tmp_path / "dc_met")
+    bp = str(tmp_path / "dc_bench")
+    corpus.write.parquet(inp)
+    bdf.write.parquet(bp)
+    do = {"benchmark_path": bp, "k": 5}
+    r1 = run_job(spark, inp, outp, met, mode="decontam",
+                 run_id="dc1", decontam_opts=do)
+    assert r1["by_status"] == {"kept": 3, "dropped": 2}
+    spark.createDataFrame(
+        [("d://late", "the capital of france paris again here")],
+        "url string, text string").write.mode("append").parquet(inp)
+    r2 = run_job(spark, inp, outp, met, mode="decontam",
+                 resume=True, run_id="dc2", decontam_opts=do)
+    assert r2["written"] == 1 and r2["by_status"] == {"dropped": 1}
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 6
+    assert m.agg(F.sum("n_contaminated")).collect()[0][0] == 3
+    # option fail-fast: typo'd key, both/neither benchmark source
+    with pytest.raises(ValueError, match="unknown decontam_opts"):
+        run_job(spark, inp, outp, met, mode="decontam",
+                decontam_opts={"bench_path": bp})
+    with pytest.raises(ValueError, match="exactly one"):
+        run_job(spark, inp, outp, met, mode="decontam",
+                decontam_opts={})
+    with pytest.raises(ValueError, match="decontam_opts is only"):
+        run_job(spark, inp, outp, met, mode="pdf", decontam_opts={})
+
+
 def test_stream_url_filter(spark, tmp_path):
     """Streaming twin of --mode urlfilter: exactly-once decisions."""
     from pdfio_spark.pipeline.streaming import stream_url_filter

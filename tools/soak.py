@@ -820,6 +820,43 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode == "rundecontam":
+        # benchmark decontamination at corpus scale: n_docs
+        # 200-way-replicated sf texts, benchmark = 25 of the base
+        # texts verbatim — every replica of those texts shares all
+        # its 13-grams with the eval set, so planted contamination
+        # is a 25/base LOWER bound on the drop fraction (the
+        # formulaic sf texts also share a few NATURAL 13-gram spans
+        # — measured 5,400 dropped vs 5,000 planted at 1M, the +400
+        # are true positives). Timed half = run_job (melt +
+        # broadcast probe + hit join + both appends).
+        from pdfio_spark.pipeline.run import run_job
+        docs = _replicated_url_corpus(spark, sf_dir, n_docs, cpus)
+        bench = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .orderBy("doc_id").limit(25).select("text"))
+        bp = os.path.join(soak_dir, "dc_bench")
+        inp = os.path.join(soak_dir, "dc_in")
+        outp = os.path.join(soak_dir, "dc_out")
+        met = os.path.join(soak_dir, "dc_met")
+        for d in (bp, inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        bench.write.parquet(bp)
+        docs.write.parquet(inp)
+        n = spark.read.parquet(inp).count()
+        t0 = time.perf_counter()
+        res = run_job(spark, inp, outp, met, mode="decontam",
+                      run_id=f"soak-{mode}",
+                      decontam_opts={"benchmark_path": bp})
+        dt = time.perf_counter() - t0
+        print(json.dumps({"mode": mode, "n_docs": n,
+                          "by_status": res["by_status"],
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(n / dt, 1)}))
+        for d in (bp, inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
     if mode == "runpii":
         # the PII redaction stage through run_job --mode pii: sf0.1
         # texts with PLANTED pii (email/ssn/ip/phone/clean picked
