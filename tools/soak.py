@@ -723,45 +723,73 @@ def main() -> None:
         # the COMPOSED prep chain a training-data team actually runs,
         # end-to-end at 1M docs / 200-way duplication, cheap-to-
         # expensive stage order (the filter-then-dedup lesson):
-        #   1. PII scrub        (map-only regexes)
-        #   2. quality gate     (map-only metric exprs, tuned to the
+        #   1. URL gate         (decided before any content parse;
+        #                        5% of the host pool blocklisted)
+        #   2. PII scrub        (map-only regexes)
+        #   3. quality gate     (map-only metric exprs, tuned to the
         #                        synthetic corpus like runfilter)
-        #   3. substring dedup  (k-gram melt + islands; duplicated
+        #   4. decontamination  (gram melt + broadcast eval probe)
+        #   5. substring dedup  (k-gram melt + islands; duplicated
         #                        spans stripped, doc bodies survive)
-        #   4. doc-level dedup  (exact-first keep list over the
+        #   6. doc-level dedup  (exact-first keep list over the
         #                        span-stripped text)
         # Each map stage shrinks or shields what the shuffle stages
         # see; one wall-clock for the whole chain is the number that
         # matters at 100 TB.
-        from pdfio_spark.pipeline.job import (pii_scrub_over,
-                                              quality_decisions)
+        from pdfio_spark.pipeline.job import (decontam_decisions,
+                                              pii_scrub_over,
+                                              quality_decisions,
+                                              url_filter_decisions)
         from pdfio_spark.pipeline.queries import (dedup_keep_list,
                                                   substr_dedup_over)
-        docs = _replicated_corpus(spark, sf_dir, n_docs, cpus,
+        base = _replicated_corpus(spark, sf_dir, n_docs, cpus,
                                   checkpoint=True)
+        # crawl-shaped urls (the doc:// id rides in the path so the
+        # dedup stage can recover a numeric doc_id later); ~5% of the
+        # 1000-host pool blocklisted
+        docs = base.select(
+            F.concat(F.lit("https://site"),
+                     (F.xxhash64("url") % 500 + 500) % 500,
+                     F.lit(".example.com/doc/"),
+                     F.substring("url", 7, 20)).alias("url"), "text")
+        blocked = [f"site{i}.example.com" for i in range(0, 500, 20)]
+        bench = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .orderBy("doc_id").limit(25).select("text")
+                 .localCheckpoint())
         n = docs.count()
         t0 = time.perf_counter()
+        passed_url = (url_filter_decisions(docs,
+                                           blocked_domains=blocked)
+                      .filter(F.col("status") == "kept")
+                      .select("url").join(docs, "url"))
         # checkpoint between stages, as run_job's parquet hops do in
         # production: scrubbed.text is otherwise a 4-regex ALIAS that
         # CollapseProject inlines into the quality gate's per-bigram
         # lambda — the fold-inlining corollary one level up (measured
         # ~50 s of the 100k chain)
-        scrubbed = (pii_scrub_over(docs).select("url", "text")
+        scrubbed = (pii_scrub_over(passed_url).select("url", "text")
                     .localCheckpoint())
-        # numeric id recovered from the doc:// url (cheaper than a
-        # hash and deterministic; the struct-min okey would also
-        # accept xxhash64 ids)
+        n_url = scrubbed.count()
         gated = (quality_decisions(scrubbed, min_words=30,
                                    max_dup_word_frac=0.55)
                  .filter(F.col("status") == "kept")
                  .join(scrubbed, "url")
-                 .select(F.substring("url", 7, 20).cast("long")
-                         .alias("doc_id"), "text")
-                 # substr dedup consumes its input on BOTH sides of
-                 # the gram self-join — cut the pii+gate lineage once
+                 .select("url", "text")
                  .localCheckpoint())
         n_gated = gated.count()
-        span = (substr_dedup_over(gated)
+        # numeric id recovered from the url path (cheaper than a
+        # hash and deterministic; the struct-min okey would also
+        # accept xxhash64 ids). Decontam's melt consumes gated once
+        # more — the checkpoint above shields the gate lineage.
+        clean = (decontam_decisions(gated, bench)
+                 .filter(F.col("status") == "kept")
+                 .select(F.regexp_extract("url", r"/doc/(\d+)", 1)
+                         .cast("long").alias("doc_id"), "text")
+                 # substr dedup consumes its input on BOTH sides of
+                 # the gram self-join — cut the decontam lineage once
+                 .localCheckpoint())
+        n_clean = clean.count()
+        span = (substr_dedup_over(clean)
                 .select("doc_id", F.col("text_out").alias("text"))
                 .localCheckpoint())
         n_span_docs = span.filter(F.length("text") > 0).count()
@@ -769,7 +797,9 @@ def main() -> None:
         n_kept = keep.filter("is_kept").count()
         dt = time.perf_counter() - t0
         print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
+                          "after_url": n_url,
                           "after_quality": n_gated,
+                          "after_decontam": n_clean,
                           "nonempty_after_span_dedup": n_span_docs,
                           "final_kept": n_kept,
                           "sec": round(dt, 1),
