@@ -994,9 +994,12 @@ def url_parse_cols(url: str = "url") -> list:
     u = F.col(url)
     scheme = F.lower(F.regexp_extract(
         u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    host = F.lower(F.regexp_extract(
+    # trailing root-label dot stripped: 'www.example.com.' is
+    # DNS-equivalent to the undotted form and would otherwise defeat
+    # both the blocklist and the registrable-domain split (r6 review)
+    host = F.regexp_replace(F.lower(F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?"
-           r"(\[[^\]]*\]|[^/:?#]*)", 1))
+           r"(\[[^\]]*\]|[^/:?#]*)", 1)), r"\.$", "")
     labels = F.split(host, r"\.")
     nl = F.size(labels)
     last2 = F.concat_ws(".", F.element_at(labels, -2),
@@ -1017,6 +1020,9 @@ def url_parse_cols(url: str = "url") -> list:
     userinfo = F.regexp_extract(prefix, r"^[^:]+://([^/?#]*@)", 1)
     hostport = F.lower(F.regexp_extract(
         prefix, r"^[^:]+://(?:[^/?#]*@)?([^/?#]*)$", 1))
+    # same trailing-dot canonicalization in the normalized key, so
+    # 'example.com.' and 'example.com' dedup to one resource
+    hostport = F.regexp_replace(hostport, r"\.(:\d*)?$", "$1")
     hostport = (F.when(scheme == "http",
                        F.regexp_replace(hostport, ":80$", ""))
                 .when(scheme == "https",
@@ -1065,7 +1071,13 @@ def url_filter_decisions(corpus: DataFrame,
         ents = sorted({str(d).lower() for d in blocked_domains})
         blocked_domains = spark.createDataFrame(
             [(e,) for e in ents], "entry string") if ents else None
-    m = corpus.select("url", *url_parse_cols())
+    # a NULL url must DROP, not slide through as kept-with-NULL-rules
+    # (every condition would be SQL NULL -> array_compact -> []); it
+    # coalesces to '' so the scheme/host rules fire AND the resume
+    # anti-join key is stable (r6 review)
+    m = (corpus.select(F.coalesce(F.col("url"), F.lit(""))
+                       .alias("url"))
+         .select("url", *url_parse_cols()))
     if blocked_domains is None:
         hit_host = hit_dom = F.lit(False)
     else:
@@ -1115,18 +1127,23 @@ def decontam_decisions(corpus: DataFrame, benchmark,
     et al. 2022 §6.2): drop training docs sharing any k-token span
     with an evaluation set, so benchmark numbers measure
     generalization instead of memorization. (url, text) + benchmark
-    -> one row per doc with n_contam_grams and status
-    'kept'|'dropped' (the run_job by_status contract; reasons
+    -> one row per doc with n_contam_grams (distinct shared grams),
+    n_contam_spans (independent contaminated spans — overlapping/
+    adjacent hits merged, the quantity min_hits thresholds) and
+    status 'kept'|'dropped' (the run_job by_status contract; reasons
     ['contaminated'] when dropped, for the metrics shape shared with
-    the other gates).
+    the other gates). Text is whitespace-normalized on BOTH sides
+    before hashing (unlike ExactSubstr dedup, whose positions must
+    index the raw token array).
 
     benchmark: a DataFrame with a `text` column (one row per eval
     example) or a list of strings. Eval sets are small — their
     distinct gram table broadcasts.
 
     Scale shape: BOTH sides reuse queries.substr_gram_melt (one md5
-    per token position — the dedup kernel, so decontamination and
-    ExactSubstr agree on what "the same span" means by construction).
+    per token position — the dedup kernel, so both features hash a
+    token window identically; decontam only adds the normalization
+    pass upstream of it).
     The corpus melt joins the broadcast benchmark-gram set map-side;
     only the HITS (rare by construction) reach the groupBy, and the
     hit table joins back to the corpus on url. No corpus shuffle
@@ -1144,22 +1161,53 @@ def decontam_decisions(corpus: DataFrame, benchmark,
     if isinstance(benchmark, (list, tuple)):
         benchmark = corpus.sparkSession.createDataFrame(
             [(t,) for t in benchmark], "text string")
-    bgrams = (substr_gram_melt(
+
+    # whitespace-normalize BOTH sides before hashing (GPT-3 App. C
+    # normalizes first): extracted corpus text is full of line
+    # breaks, and a shared 13-gram crossing one would otherwise hash
+    # differently and pass the gate (r6 review). ExactSubstr dedup
+    # deliberately does NOT normalize — its positions must index the
+    # original token array for reassembly.
+    def _norm(df):
+        return df.withColumn(
+            "text", F.btrim(F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                r"\s+", " ")))
+
+    bgrams = (substr_gram_melt(_norm(
         benchmark.select(F.monotonically_increasing_id()
                          .alias("doc_id"),
-                         "text"), k)
+                         "text")), k)
         .select("g").distinct())
-    melt = substr_gram_melt(
-        corpus.select(F.col("url").alias("doc_id"), "text"), k)
-    hits = (melt.join(F.broadcast(bgrams), "g")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_contam_grams"))
+    melt = substr_gram_melt(_norm(
+        corpus.select(F.col("url").alias("doc_id"), "text")), k)
+    # min_hits counts INDEPENDENT contaminated spans: hit positions
+    # within k of each other merge gaps-and-islands style (one
+    # 14-token shared span = two overlapping 13-grams = ONE span;
+    # the raw gram count would satisfy min_hits=2 on it alone — r6
+    # review). Hits are rare by construction, so the per-doc window
+    # runs over a tiny table. n_contam_grams = distinct shared grams,
+    # kept as the evidence column.
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (melt.join(F.broadcast(bgrams), "g")
+           .withColumn("brk",
+                       F.when(F.col("pos") >
+                              F.lag("pos").over(w) + k, 1)
+                       .otherwise(0))
+           .withColumn("island", F.sum("brk").over(w)))
+    hits = (isl.groupBy("doc_id")
+            .agg(F.count_distinct("g").alias("n_contam_grams"),
+                 (F.max("island") + 1).cast("long")
+                 .alias("n_contam_spans"))
             .withColumnRenamed("doc_id", "url"))
     out = (corpus.select("url", "text")
            .join(hits, "url", "left")
            .withColumn("n_contam_grams",
-                       F.coalesce("n_contam_grams", F.lit(0))))
-    dropped = F.col("n_contam_grams") >= min_hits
+                       F.coalesce("n_contam_grams", F.lit(0)))
+           .withColumn("n_contam_spans",
+                       F.coalesce("n_contam_spans", F.lit(0))))
+    dropped = F.col("n_contam_spans") >= min_hits
     return (out
             .withColumn("reasons",
                         F.when(dropped,
@@ -1181,7 +1229,8 @@ def decontam_metrics(extracted: DataFrame) -> DataFrame:
                        .otherwise(0)).alias("n_kept"),
                  F.sum(F.when(F.col("status") == "dropped", 1)
                        .otherwise(0)).alias("n_contaminated"),
-                 F.sum("n_contam_grams").alias("n_contam_grams")))
+                 F.sum("n_contam_grams").alias("n_contam_grams"),
+                 F.sum("n_contam_spans").alias("n_contam_spans")))
 
 
 def urlfilter_metrics(extracted: DataFrame) -> DataFrame:

@@ -355,7 +355,7 @@ def main(argv=None) -> None:
     if args.blocked_domains is not None:
         with open(args.blocked_domains) as f:
             doms = [ln.strip() for ln in f if ln.strip()
-                    and not ln.startswith("#")]
+                    and not ln.strip().startswith("#")]
         url_opts = dict(url_opts or {}, blocked_domains=doms)
 
     # build sig_material from the flags in EVERY mode: run_job's

@@ -1014,6 +1014,19 @@ def test_url_filter_decisions_and_run_job_urlfilter_mode(spark,
     assert set(out[rows[4][0]].reasons) == {"bad_scheme", "no_host"}
     assert list(out[rows[5][0]].reasons) == ["blocked_token"]
     assert out[rows[6][0]].status == "kept"
+    # r6 review: NULL url drops (coalesced to '' -> scheme rules
+    # fire) and a trailing-dot FQDN neither defeats the blocklist
+    # nor corrupts the registrable domain / normalized key
+    extra = spark.createDataFrame(
+        [(None,), ("https://www.Example.com./x",)], "url string")
+    eo = {r.url: r for r in url_filter_decisions(
+        extra, blocked_domains=["example.com"]).collect()}
+    assert eo[""].status == "dropped"
+    assert set(eo[""].reasons) == {"bad_scheme", "no_host"}
+    rdot = eo["https://www.Example.com./x"]
+    assert (rdot.host, rdot.domain, rdot.status) == \
+        ("www.example.com", "example.com", "dropped")
+    assert rdot.url_norm == "https://www.example.com/x"
     # DataFrame blocklist input (the UT1-scale surface) agrees
     bl_df = spark.createDataFrame([("EXAMPLE.com",), ("news.co.uk",)],
                                   "entry string")
@@ -1077,10 +1090,21 @@ def test_decontam_decisions_and_run_job_mode(spark, tmp_path):
     assert out["d://clean"].status == "kept"
     assert out["d://short"].status == "kept"   # < k tokens: no grams
     assert out["d://null"].status == "kept"
-    # min_hits raises the bar
+    # r6 review: leak1's two overlapping grams are ONE independent
+    # span; min_hits counts spans, not raw gram occurrences
+    assert (out["d://leak1"].n_contam_grams,
+            out["d://leak1"].n_contam_spans) == (2, 1)
     strict = {r.url: r.status for r in decontam_decisions(
-        corpus, [eval_q], k=5, min_hits=3).collect()}
+        corpus, [eval_q], k=5, min_hits=2).collect()}
+    assert strict["d://leak1"] == "kept"
     assert strict["d://leak2"] == "kept"
+    # r6 review: whitespace normalizes before hashing — a shared
+    # span crossing a LINE BREAK still contaminates
+    nl = spark.createDataFrame(
+        [("d://nl", "quiz what is the\ncapital of france indeed")],
+        "url string, text string")
+    assert decontam_decisions(nl, [eval_q], k=5) \
+        .collect()[0].status == "dropped"
     # DataFrame benchmark input agrees with the list form
     bdf = spark.createDataFrame([(eval_q,)], "text string")
     out2 = {r.url: r.status for r in decontam_decisions(
