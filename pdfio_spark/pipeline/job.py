@@ -1115,6 +1115,79 @@ def url_filter_decisions(corpus: DataFrame,
                     "reasons", "status"))
 
 
+def domain_cap_decisions(corpus: DataFrame,
+                         max_per_domain: int = 100_000) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/C4 curation rule: no
+    single site may dominate the corpus): keep at most max_per_domain
+    docs per registrable domain, chosen DETERMINISTICALLY by unsigned
+    xxhash64(url) order (url tie-break) so reruns and crash-resume
+    derive the identical keep set. (url, ...) -> one row per doc with
+    domain, domain_rank and status 'kept'|'dropped' (reasons
+    ['domain_cap'] — the run_job by_status contract). Run the URL
+    gate first: undecidable urls all share domain '' and would cap
+    as one pseudo-site.
+
+    Scale shape — the hot-domain hazard is the whole problem (a
+    10^7-doc domain under a naive row_number() over (partition by
+    domain) lands on ONE task): the global per-domain rank decomposes
+    exactly, the q_skew_diagnosis idiom. Bucket = top 10 bits of the
+    UNSIGNED hash — monotone in unsigned order, and within a bucket
+    the sign bit is fixed so SIGNED comparison equals unsigned —
+    giving rank = (count in lower buckets) + (row_number within
+    bucket). The histogram groupBy and the within-bucket window both
+    key on (domain, bucket), so a hot domain spreads over 1024 tasks;
+    the only per-domain-global step is a cumsum over its <=1024
+    histogram rows. The histogram join back is co-partitioned with
+    the window's shuffle. No reference counterpart; inter-document
+    plane."""
+    from pyspark.sql import Window
+    if max_per_domain < 0:
+        raise ValueError("max_per_domain must be >= 0")
+    m = (corpus.select(F.coalesce(F.col("url"), F.lit(""))
+                       .alias("url"))
+         .select("url", *url_parse_cols())
+         .select("url", "domain",
+                 F.xxhash64("url").alias("h"))
+         .withColumn("ub", F.shiftrightunsigned("h", 54)))
+    hist = m.groupBy("domain", "ub").agg(F.count("*").alias("cnt"))
+    wd = (Window.partitionBy("domain").orderBy("ub")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bucket_base = hist.select(
+        "domain", "ub",
+        F.coalesce(F.sum("cnt").over(wd), F.lit(0)).alias("base"))
+    wb = Window.partitionBy("domain", "ub").orderBy("h", "url")
+    ranked = (m.withColumn("rk", F.row_number().over(wb))
+              .join(bucket_base, ["domain", "ub"])
+              .withColumn("domain_rank",
+                          (F.col("base") + F.col("rk")).cast("long")))
+    dropped = F.col("domain_rank") > max_per_domain
+    return (ranked
+            .withColumn("reasons",
+                        F.when(dropped,
+                               F.array(F.lit("domain_cap")))
+                        .otherwise(F.array().cast("array<string>")))
+            .withColumn("status", F.when(dropped, "dropped")
+                        .otherwise("kept"))
+            .select("url", "domain", "domain_rank", "reasons",
+                    "status"))
+
+
+def domaincap_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for the domain-cap path — sums read only
+    output-borne columns, so the crash reconcile pass stays exact
+    (the wat_metrics rule). Deliberately no distinct-domain counter:
+    per-partition distincts are not sum-exact across partitionings,
+    which would break reconcile."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("status") == "kept", 1)
+                       .otherwise(0)).alias("n_kept"),
+                 F.sum(F.when(F.col("status") == "dropped", 1)
+                       .otherwise(0)).alias("n_capped")))
+
+
 #: tokens per decontamination gram — the GPT-3 Appendix C choice
 #: (13-gram overlap against evaluation sets)
 DECONTAM_K = 13

@@ -64,7 +64,8 @@ def run_job(spark, input_path: str, output_path: str,
             sig_material: dict | None = None,
             filter_opts: dict | None = None,
             url_opts: dict | None = None,
-            decontam_opts: dict | None = None) -> dict:
+            decontam_opts: dict | None = None,
+            domaincap_opts: dict | None = None) -> dict:
     """mode='pdf' (default): full PDF parse stack. mode='html': the
     web-page half — DOM block-scoring boilerplate strip over the same
     (url, html binary) table shape, same resume/metrics contract.
@@ -119,6 +120,17 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "pii":
         from .job import pii_metrics, pii_scrub_over
         extract_fn, metrics_fn = pii_scrub_over, pii_metrics
+    elif mode == "domaincap":
+        from .job import domain_cap_decisions, domaincap_metrics
+        co = domaincap_opts or {}
+        bad = set(co) - {"max_per_domain"}
+        if bad:
+            raise ValueError(f"unknown domaincap_opts keys "
+                             f"{sorted(bad)} (max_per_domain)")
+
+        def extract_fn(c, _co=co):
+            return domain_cap_decisions(c, **_co)
+        metrics_fn = domaincap_metrics
     elif mode == "decontam":
         from .job import decontam_decisions, decontam_metrics
         do = dict(decontam_opts or {})
@@ -181,8 +193,8 @@ def run_job(spark, input_path: str, output_path: str,
     else:
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
                          "wat | dedup | sigaudit | filter | pii | "
-                         "urlfilter | decontam | linededup | "
-                         "substrdedup)")
+                         "urlfilter | decontam | domaincap | "
+                         "linededup | substrdedup)")
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
@@ -195,6 +207,9 @@ def run_job(spark, input_path: str, output_path: str,
     if decontam_opts is not None and mode != "decontam":
         raise ValueError("decontam_opts is only valid with "
                          "mode='decontam'")
+    if domaincap_opts is not None and mode != "domaincap":
+        raise ValueError("domaincap_opts is only valid with "
+                         "mode='domaincap'")
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
@@ -202,13 +217,17 @@ def run_job(spark, input_path: str, output_path: str,
     cols = {"wet": ["url", "text"], "dedup": ["url", "text"],
             "filter": ["url", "text"], "pii": ["url", "text"],
             "urlfilter": ["url"], "decontam": ["url", "text"],
+            "domaincap": ["url"],
             "linededup": ["url", "text"],
             "substrdedup": ["url", "text"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
                                                       ["url", "html"])
     # decisions in these modes depend on EVERY other doc: resume must
     # re-derive over the full input, then append only unwritten rows
-    corpus_global = mode in ("dedup", "linededup", "substrdedup")
+    # domaincap's keep set depends on every other doc in a domain —
+    # corpus-global like the dedups
+    corpus_global = mode in ("dedup", "linededup", "substrdedup",
+                             "domaincap")
     corpus = src.select(*cols)
 
     prev = None
@@ -318,7 +337,8 @@ def main(argv=None) -> None:
     ap.add_argument("--mode",
                     choices=("pdf", "html", "wet", "wat", "dedup",
                              "sigaudit", "filter", "pii", "urlfilter",
-                             "decontam", "linededup", "substrdedup"),
+                             "decontam", "domaincap", "linededup",
+                             "substrdedup"),
                     default="pdf")
     # sigaudit material: os.pathsep-separated file paths, read on the
     # driver and shipped into task closures (works on a real cluster
@@ -338,6 +358,9 @@ def main(argv=None) -> None:
     # --mode decontam options, e.g. --decontam-opts
     # '{"benchmark_path": "/data/eval.parquet", "k": 13}'
     ap.add_argument("--decontam-opts", default=None)
+    # --mode domaincap options, e.g. --domaincap-opts
+    # '{"max_per_domain": 100000}'
+    ap.add_argument("--domaincap-opts", default=None)
     args = ap.parse_args(argv)
 
     filter_opts = None
@@ -352,6 +375,10 @@ def main(argv=None) -> None:
     if args.decontam_opts is not None:
         import json
         decontam_opts = json.loads(args.decontam_opts)
+    domaincap_opts = None
+    if args.domaincap_opts is not None:
+        import json
+        domaincap_opts = json.loads(args.domaincap_opts)
     if args.blocked_domains is not None:
         with open(args.blocked_domains) as f:
             doms = [ln.strip() for ln in f if ln.strip()
@@ -382,7 +409,8 @@ def main(argv=None) -> None:
     out = run_job(spark, args.input, args.output, args.metrics,
                   args.resume, mode=args.mode,
                   sig_material=sig_material, filter_opts=filter_opts,
-                  url_opts=url_opts, decontam_opts=decontam_opts)
+                  url_opts=url_opts, decontam_opts=decontam_opts,
+                  domaincap_opts=domaincap_opts)
     print(out)
     spark.stop()
 

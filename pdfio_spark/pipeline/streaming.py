@@ -329,6 +329,65 @@ def stream_url_filter(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_domain_cap(spark: SparkSession, input_dir: str,
+                      checkpoint_dir: str, output_dir: str,
+                      max_per_domain: int = 100_000):
+    """Streaming twin of run.py --mode domaincap: one GroupState
+    counter per registrable domain; a doc keeps while its domain's
+    running count is below max_per_domain — ARRIVAL-order semantics
+    (the stream_dedup convention), not the batch operator's
+    deterministic hash order: the streaming cap admits the first N
+    to arrive, the batch cap admits the hash-smallest N. Emits
+    (url, domain, kept). State is one int per domain — growth is
+    O(distinct domains), no TTL needed at web scale (~10^8 domains
+    is a few GB across the state store)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from .job import url_parse_cols
+
+    src = (spark.readStream
+           .schema("url string")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    m = (src.select(F.coalesce(F.col("url"), F.lit(""))
+                    .alias("url"))
+         .select("url", *url_parse_cols())
+         .select("url", "domain"))
+    cap = int(max_per_domain)
+
+    def decide_fn(key, pdf_iter, state):
+        c = state.get[0] if state.exists else 0
+        cols = ["url", "domain", "kept"]
+
+        def gen():
+            nonlocal c
+            for pdf in pdf_iter:
+                n = len(pdf)
+                if not n:
+                    continue
+                take = max(0, min(n, cap - c))
+                pdf = pdf.copy()
+                pdf["kept"] = [i < take for i in range(n)]
+                c += n
+                yield pdf[cols]
+            state.update((c,))
+
+        return gen()
+
+    decided = m.groupBy("domain").applyInPandasWithState(
+        decide_fn,
+        outputStructType="url string, domain string, kept boolean",
+        stateStructType="cnt long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return (decided.writeStream
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
 def _first_seen_state_fn(cols, ttl_ms):
     """applyInPandasWithState function for a corpus-global
     first-occurrence seen-set: per grouping key, the lexicographic

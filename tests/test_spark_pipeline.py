@@ -1142,6 +1142,101 @@ def test_decontam_decisions_and_run_job_mode(spark, tmp_path):
         run_job(spark, inp, outp, met, mode="pdf", decontam_opts={})
 
 
+def test_domain_cap_decisions_and_run_job_mode(spark, tmp_path):
+    """r6: per-domain cap — deterministic unsigned-xxhash64 order,
+    computed via the q_skew_diagnosis exact-rank decomposition
+    (bucket histogram + within-bucket row_number) so a hot domain
+    spreads over 1024 tasks instead of one."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import domain_cap_decisions
+    from pdfio_spark.pipeline.run import run_job
+    urls = ([f"https://big.example.com/p/{i}" for i in range(7)]
+            + [f"https://www.big.example.com/q/{i}" for i in range(4)]
+            + [f"https://small.example.org/{i}" for i in range(2)]
+            + ["https://solo.example.net/x"])
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    CAP = 3
+    out = domain_cap_decisions(df, max_per_domain=CAP).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    # big.example.com + www subdomain share the registrable domain
+    assert {d: len(v) for d, v in by_dom.items()} == {
+        "example.com": 11, "example.org": 2, "example.net": 1}
+    for d, rows in by_dom.items():
+        kept = [r for r in rows if r.status == "kept"]
+        assert len(kept) == min(len(rows), CAP)
+        # ranks are exactly 1..n (the decomposition is a true
+        # permutation rank, not bucket-local)
+        assert sorted(r.domain_rank for r in rows) == \
+            list(range(1, len(rows) + 1))
+    # the keep set is EXACTLY the unsigned-hash-smallest CAP urls —
+    # recompute the truth driver-side from the engine's own hashes
+    hs = {r.url: r.h % 2 ** 64 for r in
+          df.select("url", F.xxhash64("url").alias("h")).collect()}
+    want_kept = set()
+    for d, rows in by_dom.items():
+        ordered = sorted((hs[r.url], r.url) for r in rows)
+        want_kept |= {u for _, u in ordered[:CAP]}
+    assert {r.url for r in out if r.status == "kept"} == want_kept
+    # deterministic across runs
+    again = {(r.url, r.status) for r in
+             domain_cap_decisions(df, max_per_domain=CAP).collect()}
+    assert again == {(r.url, r.status) for r in out}
+
+    # production contract: corpus-global resume (a new doc can only
+    # APPEND decisions; previously written rows are immutable)
+    inp = str(tmp_path / "dc2_in")
+    outp = str(tmp_path / "dc2_out")
+    met = str(tmp_path / "dc2_met")
+    df.write.parquet(inp)
+    r1 = run_job(spark, inp, outp, met, mode="domaincap",
+                 run_id="cap1",
+                 domaincap_opts={"max_per_domain": CAP})
+    assert r1["by_status"] == {"kept": 6, "dropped": 8}
+    spark.createDataFrame([("https://solo.example.net/y",)],
+                          "url string") \
+        .write.mode("append").parquet(inp)
+    r2 = run_job(spark, inp, outp, met, mode="domaincap",
+                 resume=True, run_id="cap2",
+                 domaincap_opts={"max_per_domain": CAP})
+    assert r2["written"] == 1
+    with pytest.raises(ValueError, match="unknown domaincap_opts"):
+        run_job(spark, inp, outp, met, mode="domaincap",
+                domaincap_opts={"cap": 1})
+    with pytest.raises(ValueError, match="domaincap_opts is only"):
+        run_job(spark, inp, outp, met, mode="pdf", domaincap_opts={})
+
+
+def test_stream_domain_cap(spark, tmp_path):
+    """Streaming twin: arrival-order cap, counter state persists
+    across runs on the same checkpoint."""
+    from pdfio_spark.pipeline.streaming import stream_domain_cap
+    inp = str(tmp_path / "sdc_in")
+    chk = str(tmp_path / "sdc_chk")
+    outp = str(tmp_path / "sdc_out")
+    spark.createDataFrame(
+        [(f"https://hot.example.com/{i}",) for i in range(5)],
+        "url string").coalesce(1).write.parquet(inp)
+    q = stream_domain_cap(spark, inp, chk, outp, max_per_domain=3)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(outp)
+    assert out1.filter("kept").count() == 3
+    assert out1.count() == 5
+    # second run: the domain's counter is already exhausted
+    spark.createDataFrame([("https://hot.example.com/late",),
+                           ("https://fresh.example.org/a",)],
+                          "url string") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    q2 = stream_domain_cap(spark, inp, chk, outp, max_per_domain=3)
+    q2.awaitTermination(60)
+    out2 = {r.url: r.kept for r in
+            spark.read.parquet(outp).collect()}
+    assert len(out2) == 7
+    assert out2["https://hot.example.com/late"] is False
+    assert out2["https://fresh.example.org/a"] is True
+
+
 def test_stream_url_filter(spark, tmp_path):
     """Streaming twin of --mode urlfilter: exactly-once decisions."""
     from pdfio_spark.pipeline.streaming import stream_url_filter

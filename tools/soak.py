@@ -850,6 +850,45 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode == "rundomaincap":
+        # the per-domain cap under the skew it exists for: HALF the
+        # corpus lands on one registrable domain (site0.com), the
+        # rest spreads over 500 odd-numbered sites (~1k docs each,
+        # exactly at cap) — a naive per-domain row_number would rank
+        # 500k rows in ONE task; the bucket decomposition spreads
+        # them over 1024 (domain, bucket) groups. www. subdomains
+        # exercise the registrable collapse. cap=1000 -> expected
+        # kept = 1000 (site0 capped) + ~500k tail. First calibration
+        # run used site*.example.com hosts — every row collapsed to
+        # the ONE registrable domain example.com and the operator
+        # ranked all 1M rows of it in 12 s (kept exactly 1000): the
+        # total-skew extreme, handled without a straggler.
+        from pdfio_spark.pipeline.run import run_job
+        urls = (spark.range(n_docs).selectExpr(
+            "concat('https://www.site', "
+            "case when id % 2 = 0 then 0 else id % 1000 end, "
+            "'.com/doc/', id) as url"))
+        inp = os.path.join(soak_dir, "rdc_in")
+        outp = os.path.join(soak_dir, "rdc_out")
+        met = os.path.join(soak_dir, "rdc_met")
+        for d in (inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        urls.repartition(cpus * 2).write.parquet(inp)
+        t0 = time.perf_counter()
+        res = run_job(spark, inp, outp, met, mode="domaincap",
+                      run_id=f"soak-{mode}",
+                      domaincap_opts={"max_per_domain": 1000})
+        dt = time.perf_counter() - t0
+        print(json.dumps({"mode": mode, "n_docs": res["written"],
+                          "by_status": res["by_status"],
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(res["written"] / dt,
+                                                1)}))
+        for d in (inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
     if mode == "rundecontam":
         # benchmark decontamination at corpus scale: n_docs
         # 200-way-replicated sf texts, benchmark = 25 of the base
