@@ -1121,7 +1121,9 @@ def domain_cap_decisions(corpus: DataFrame,
     single site may dominate the corpus): keep at most max_per_domain
     docs per registrable domain, chosen DETERMINISTICALLY by unsigned
     xxhash64(url) order (url tie-break) so reruns and crash-resume
-    derive the identical keep set. (url, ...) -> one row per doc with
+    over the SAME input snapshot derive the identical keep set (docs
+    appended between runs can displace earlier winners — run_job's
+    corpus-global resume audits and warns on that). (url, ...) -> one row per doc with
     domain, domain_rank and status 'kept'|'dropped' (reasons
     ['domain_cap'] — the run_job by_status contract). Run the URL
     gate first: undecidable urls all share domain '' and would cap
@@ -1148,7 +1150,13 @@ def domain_cap_decisions(corpus: DataFrame,
          .select("url", *url_parse_cols())
          .select("url", "domain",
                  F.xxhash64("url").alias("h"))
-         .withColumn("ub", F.shiftrightunsigned("h", 54)))
+         .withColumn("ub", F.shiftrightunsigned("h", 54))
+         # histogram side and window side both descend from this
+         # projection: without the checkpoint each would re-scan the
+         # input and re-run the URL regexes + hash (the r4
+         # checkpoint-before-self-join lesson); the snapshot is 4
+         # narrow columns
+         .localCheckpoint())
     hist = m.groupBy("domain", "ub").agg(F.count("*").alias("cnt"))
     wd = (Window.partitionBy("domain").orderBy("ub")
           .rowsBetween(Window.unboundedPreceding, -1))

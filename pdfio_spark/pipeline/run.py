@@ -267,7 +267,35 @@ def run_job(spark, input_path: str, output_path: str,
         # deterministic decision set is re-derived over the full input
         # snapshot and only the rows a crash failed to write are
         # appended — exactly-once rows, globally correct decisions.
+        # This contract assumes the input SNAPSHOT is unchanged since
+        # the crashed run: rows appended to the input in between can
+        # DISPLACE already-written decisions (a hash-smaller doc
+        # becomes the dedup winner / enters a full domain cap), and
+        # written rows are immutable — audit and warn rather than
+        # silently violate the invariant (r6 review).
         from .job import resume_filter
+        # one checkpoint of the full re-derived set feeds both the
+        # displacement audit and the anti-join (the decision plan
+        # would otherwise evaluate twice)
+        extracted = extracted.localCheckpoint()
+        if "status" in prev.columns:
+            n_displaced = (
+                extracted.select("url", "status")
+                .join(prev.select("url", F.col("status")
+                                  .alias("_prev_status")), "url")
+                .filter(F.col("status") != F.col("_prev_status"))
+                .count())
+            if n_displaced:
+                import warnings
+                warnings.warn(
+                    f"corpus-global resume: {n_displaced} previously"
+                    "-written decision(s) diverge from the set "
+                    "re-derived over the current input — the input "
+                    "grew since the interrupted run. Written rows "
+                    "are immutable, so mode invariants (dedup "
+                    "uniqueness / domain caps) may now be violated; "
+                    "corpus-global resume is crash recovery over an "
+                    "unchanged snapshot, not incremental ingest.")
         extracted = resume_filter(extracted, prev.select("url"))
     # localCheckpoint (not cache): the resume anti-join scans
     # output_path lazily, so ANY recomputation after the append —

@@ -348,11 +348,15 @@ def stream_domain_cap(spark: SparkSession, input_dir: str,
            .schema("url string")
            .option("maxFilesPerTrigger", 8)
            .parquet(input_dir))
+    cap = int(max_per_domain)
+    if cap < 0:
+        # mirror the batch guard: a mis-signed cap would otherwise
+        # silently mark every document kept=false forever
+        raise ValueError("max_per_domain must be >= 0")
     m = (src.select(F.coalesce(F.col("url"), F.lit(""))
                     .alias("url"))
          .select("url", *url_parse_cols())
          .select("url", "domain"))
-    cap = int(max_per_domain)
 
     def decide_fn(key, pdf_iter, state):
         c = state.get[0] if state.exists else 0

@@ -1208,6 +1208,51 @@ def test_domain_cap_decisions_and_run_job_mode(spark, tmp_path):
         run_job(spark, inp, outp, met, mode="pdf", domaincap_opts={})
 
 
+def test_corpus_global_resume_displacement_warns(spark, tmp_path):
+    """r6 review: corpus-global resume is crash recovery over an
+    UNCHANGED snapshot — when input appended between runs displaces
+    an already-written decision (here: a hash-smaller doc entering a
+    full domain cap), run_job must warn instead of silently
+    violating the invariant (written rows are immutable)."""
+    import warnings as _w
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.run import run_job
+    u1, u2 = "https://d.example.com/a", "https://d.example.com/b"
+    hs = {r.url: r.h % 2 ** 64 for r in spark.createDataFrame(
+        [(u1,), (u2,)], "url string")
+        .select("url", F.xxhash64("url").alias("h")).collect()}
+    first = u1 if hs[u1] > hs[u2] else u2   # run 1: larger hash
+    second = u2 if first == u1 else u1      # appended: displaces it
+    inp = str(tmp_path / "disp_in")
+    outp = str(tmp_path / "disp_out")
+    spark.createDataFrame([(first,)], "url string").write.parquet(inp)
+    r1 = run_job(spark, inp, outp, None, mode="domaincap",
+                 run_id="w1", domaincap_opts={"max_per_domain": 1})
+    assert r1["by_status"] == {"kept": 1}
+    # unchanged snapshot: clean crash-recovery resume stays silent
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        r2 = run_job(spark, inp, outp, None, mode="domaincap",
+                     resume=True, run_id="w2",
+                     domaincap_opts={"max_per_domain": 1})
+    assert r2["written"] == 0
+    spark.createDataFrame([(second,)], "url string") \
+        .write.mode("append").parquet(inp)
+    with pytest.warns(UserWarning, match="diverge"):
+        r3 = run_job(spark, inp, outp, None, mode="domaincap",
+                     resume=True, run_id="w3",
+                     domaincap_opts={"max_per_domain": 1})
+    assert r3["by_status"] == {"kept": 1}  # the documented violation
+    out = spark.read.parquet(outp)
+    assert out.filter("status = 'kept'").count() == 2
+    # ...and the violated table keeps warning on every later resume
+    with pytest.warns(UserWarning, match="diverge"):
+        r4 = run_job(spark, inp, outp, None, mode="domaincap",
+                     resume=True, run_id="w4",
+                     domaincap_opts={"max_per_domain": 1})
+    assert r4["written"] == 0
+
+
 def test_stream_domain_cap(spark, tmp_path):
     """Streaming twin: arrival-order cap, counter state persists
     across runs on the same checkpoint."""
