@@ -571,6 +571,62 @@ def substrdedup_metrics(extracted: DataFrame) -> DataFrame:
                  F.sum("n_kept").alias("n_kept")))
 
 
+def semdedup_decisions(corpus: DataFrame, k: int | None = None,
+                       iters: int | None = None,
+                       tau: float | None = None,
+                       train_frac: float | None = None) -> DataFrame:
+    """Production surface of SemDeDup (queries.semdedup_over): (url,
+    embedding array<numeric>) -> exactly one keep decision per url.
+    Corpus-GLOBAL like --mode dedup (cluster training + the >tau
+    connected components see every doc), so run.py's resume re-derives
+    the full decision set and appends only unwritten rows.
+
+    Graph/vector ids are xxhash64(url) (dedup_decisions' collision
+    note applies: direction benign, surrogate ids at 10^12 docs). A
+    url crawled twice is ONE decision subject — min(embedding)
+    (arrays order lexicographically) resolves a recrawl with a
+    changed vector deterministically on every derivation, the same
+    rule dedup_decisions uses for min(text).
+
+    status: 'kept' (the component representative — the member
+    farthest from its cluster centroid) or 'sem_dup'."""
+    from .queries import semdedup_over
+    corpus = corpus.groupBy("url").agg(
+        F.min("embedding").alias("embedding"))
+    ids = corpus.select(F.xxhash64("url").alias("vec_id"), "url",
+                        "embedding")
+    vecs = ids.groupBy("vec_id").agg(
+        F.min("embedding").alias("embedding"))
+    kw = {key: v for key, v in (("k", k), ("iters", iters),
+                                ("tau", tau),
+                                ("train_frac", train_frac))
+          if v is not None}
+    dec = semdedup_over(vecs, **kw)
+    keep_urls = (ids.select(F.col("vec_id").alias("keep_id"),
+                            F.col("url").alias("keep_url"))
+                 .groupBy("keep_id")
+                 .agg(F.min("keep_url").alias("keep_url")))
+    return (ids.select("vec_id", "url")
+            .join(dec, "vec_id")
+            .join(keep_urls, "keep_id")
+            .select("url", "c_id", "c_sim", "keep_url", "is_kept",
+                    F.when(F.col("is_kept"), "kept")
+                    .otherwise("sem_dup").alias("status")))
+
+
+def semdedup_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for --mode semdedup — output-borne
+    columns only (the wat_metrics rule): docs decided, kept, and
+    dropped as semantic dups."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+                 F.sum(F.when(F.col("status") == "sem_dup", 1)
+                       .otherwise(0)).alias("n_sem_dup")))
+
+
 def rewrite_pdfs(corpus: DataFrame, encrypt: str | None = None,
                  user_pw: bytes = b"", owner_pw: bytes | None = None,
                  pack: str = "classic") -> DataFrame:

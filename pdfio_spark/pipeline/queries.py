@@ -1653,6 +1653,131 @@ def _ivf_oracle_sql() -> str:
 ORACLE_ANN_IVF = _ivf_oracle_sql()
 
 
+# ---------------------------------------------------------- SemDeDup
+
+SEMDEDUP_TAU = 0.95
+
+
+def semdedup_over(emb: DataFrame, k: int = IVF_K,
+                  iters: int = IVF_LLOYD_ITERS,
+                  tau: float = SEMDEDUP_TAU,
+                  train_frac: float | None = None,
+                  hot_threshold: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al., 'SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication', arXiv:2303.09540):
+    semantic near-dup removal by embedding clustering — cluster with
+    the shared Lloyd trainer (ivf_train, deterministic spherical
+    k-means over quantized integers), then compute exact pairwise
+    cosine ONLY within each cluster and drop members of any
+    similarity-connected group above `tau`, keeping the member
+    FARTHEST from its centroid (the paper's low-centroid-similarity
+    criterion: edge examples carry more training signal; ties break
+    to the lowest vec_id).
+
+    Spark shape: `k` is THE scale lever — pair cost is sum of squared
+    cluster sizes, so at 10^8+ vectors k grows toward ~sqrt(n) (the
+    paper runs 50k clusters on LAION-440M; train on a sample via
+    `train_frac` like ivf_train documents). Assignment streams n*k
+    rows through a partial-aggregable max_by — the broadcast nested-
+    loop join keeps row locality, so map-side combine collapses to
+    one row per vector BEFORE the shuffle; at k >= ~10^4 that stream
+    itself dominates and a two-level quantizer (assign to sqrt(k)
+    coarse cells, then within the winner's children) is the standard
+    escalation. The within-cluster self-join reuses the LSH skew
+    machinery (_salted_bucket_pairs keyed on the cell id): a hot
+    cluster's n^2 single task becomes LSH_SALT parallel tasks, output
+    identical. Duplicate groups are
+    the CONNECTED COMPONENTS of the >tau graph (Kiveris star CC,
+    O(log n) rounds) — transitive closure is slightly more
+    aggressive than the paper's greedy per-cluster matrix scan on
+    similarity CHAINS (a~b~c with a!~c keeps 1, greedy may keep 2),
+    and is chosen because it is arrival-order-independent, which the
+    corpus-global resume contract requires (run.py re-derives the
+    decision set after a crash; a greedy scan's survivors depend on
+    intra-cluster enumeration order).
+
+    Input (vec_id long, embedding array<numeric>); returns one row
+    per vec_id: (vec_id, c_id, c_sim, keep_id, is_kept)."""
+    qe = F.transform(F.col("embedding"),
+                     lambda x: F.round(x.cast("double") * IVF_QUANT)
+                     .cast("long"))
+    _norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    # pre-normalized doubles + the quantized-vector norm in the ONE
+    # checkpointed base: the k-way assignment and the within-cluster
+    # pair join then pay 1 dot each instead of dot + 2 norms (the
+    # ann_lsh_topk_over lesson — measured 129 s -> see BASELINE.md)
+    base = (emb.select(
+        "vec_id", qe.alias("qe"),
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double")
+                    / _norm(F.col("embedding"))).alias("ne"),
+        _norm(qe).alias("qn"))
+        .localCheckpoint())
+    train = None
+    if train_frac is not None:
+        train = base.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
+            < int(train_frac * 1_000_000))
+    cents = ivf_train(base, k=k, iters=iters, train=train)
+    # centroid norms once on the 256-row broadcast side, not per pair
+    cents = cents.select("c_id", "c_emb", _norm(F.col("c_emb"))
+                         .alias("cn"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    # top-1 assignment via max_by: partial-aggregable, no window —
+    # unlike ann_ivf_over's rank_cells this path never needs r <= nprobe
+    assigned = (base.crossJoin(F.broadcast(cents))
+                .select("vec_id", "ne",
+                        F.round(dot(F.col("qe"), F.col("c_emb"))
+                                / (F.col("qn") * F.col("cn")), 6)
+                        .alias("sim"),
+                        "c_id")
+                .groupBy("vec_id")
+                .agg(F.max_by(
+                        F.struct(F.col("c_id"), F.col("sim")
+                                 .alias("c_sim")),
+                        F.struct(F.col("sim"),
+                                 (-F.col("c_id")).alias("nc")))
+                     .alias("best"),
+                     F.first("ne").alias("ne"))
+                .select("vec_id", "ne",
+                        F.col("best.c_id").alias("c_id"),
+                        F.col("best.c_sim").alias("c_sim"))
+                # feeds the pair join (both sides via _salted_bucket_
+                # pairs' three consumers) AND the final keep join —
+                # without this the k-way centroid cross join recomputes
+                # per consumer (the LSH coded-base lesson)
+                .localCheckpoint())
+    b = assigned.select("vec_id", F.col("ne").alias("embedding"),
+                        F.col("c_id").alias("bucket"))
+    kw = {} if hot_threshold is None else \
+        {"hot_threshold": hot_threshold}
+    joined = _salted_bucket_pairs(b, lambda a, c: a < c, **kw)
+    edges = (joined.select(
+        F.col("a.vec_id").alias("s"), F.col("c.vec_id").alias("t"),
+        F.round(dot(F.col("a.embedding"), F.col("c.embedding")), 6)
+        .alias("cos_sim"))
+        .filter(F.col("cos_sim") > tau)
+        .select("s", "t"))
+    labels, _ = connected_components(edges)
+    comp = (assigned.select("vec_id", "c_id", "c_sim")
+            .join(labels.withColumnRenamed("node", "vec_id"),
+                  "vec_id", "left")
+            # singletons (no >tau edge) are their own component
+            .withColumn("component",
+                        F.coalesce("component", F.col("vec_id"))))
+    keep = comp.groupBy("component").agg(
+        F.min_by("vec_id", F.struct(F.col("c_sim"), F.col("vec_id")))
+        .alias("keep_id"))
+    return (comp.join(keep, "component")
+            .select("vec_id", "c_id", "c_sim", "keep_id",
+                    (F.col("vec_id") == F.col("keep_id"))
+                    .alias("is_kept")))
+
+
 # --------------------------------------------------------------- PQ ANN
 
 PQ_SUBSPACES = 4       # M: 64 dims -> 4 x 16-dim subvectors

@@ -20,7 +20,9 @@ CRL/OCSP revocation material come from --trust-pems/--crl-pems/
 --ocsp-ders (driver-read, closure-shipped) or each executor's
 $PDFIO_SPARK_* env; --mode filter (r6) runs the Gopher/C4-style
 quality gate (job.quality_decisions) over (url, text) — keep
-decisions with per-rule reason tags, map-only. All modes share the
+decisions with per-rule reason tags, map-only; --mode semdedup (r6)
+runs SemDeDup (job.semdedup_decisions) over (url, embedding) —
+embedding-cluster semantic dedup, corpus-global like --mode dedup. All modes share the
 resume/metrics/run_id-reconcile contract (dedup resume re-derives the
 corpus-global decisions and appends only unwritten rows — see
 run_job).
@@ -65,7 +67,8 @@ def run_job(spark, input_path: str, output_path: str,
             filter_opts: dict | None = None,
             url_opts: dict | None = None,
             decontam_opts: dict | None = None,
-            domaincap_opts: dict | None = None) -> dict:
+            domaincap_opts: dict | None = None,
+            semdedup_opts: dict | None = None) -> dict:
     """mode='pdf' (default): full PDF parse stack. mode='html': the
     web-page half — DOM block-scoring boilerplate strip over the same
     (url, html binary) table shape, same resume/metrics contract.
@@ -166,6 +169,18 @@ def run_job(spark, input_path: str, output_path: str,
         def extract_fn(c, _uo=uo):
             return url_filter_decisions(c, **_uo)
         metrics_fn = urlfilter_metrics
+    elif mode == "semdedup":
+        from .job import semdedup_decisions, semdedup_metrics
+        so = semdedup_opts or {}
+        bad = set(so) - {"k", "iters", "tau", "train_frac"}
+        if bad:
+            raise ValueError(f"unknown semdedup_opts keys "
+                             f"{sorted(bad)} (k | iters | tau | "
+                             "train_frac)")
+
+        def extract_fn(c, _so=so):
+            return semdedup_decisions(c, **_so)
+        metrics_fn = semdedup_metrics
     elif mode == "linededup":
         from .job import linededup_decisions, linededup_metrics
         extract_fn, metrics_fn = linededup_decisions, linededup_metrics
@@ -194,7 +209,7 @@ def run_job(spark, input_path: str, output_path: str,
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
                          "wat | dedup | sigaudit | filter | pii | "
                          "urlfilter | decontam | domaincap | "
-                         "linededup | substrdedup)")
+                         "linededup | substrdedup | semdedup)")
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
@@ -210,6 +225,9 @@ def run_job(spark, input_path: str, output_path: str,
     if domaincap_opts is not None and mode != "domaincap":
         raise ValueError("domaincap_opts is only valid with "
                          "mode='domaincap'")
+    if semdedup_opts is not None and mode != "semdedup":
+        raise ValueError("semdedup_opts is only valid with "
+                         "mode='semdedup'")
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
@@ -220,6 +238,7 @@ def run_job(spark, input_path: str, output_path: str,
             "domaincap": ["url"],
             "linededup": ["url", "text"],
             "substrdedup": ["url", "text"],
+            "semdedup": ["url", "embedding"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
                                                       ["url", "html"])
     # decisions in these modes depend on EVERY other doc: resume must
@@ -227,7 +246,7 @@ def run_job(spark, input_path: str, output_path: str,
     # domaincap's keep set depends on every other doc in a domain —
     # corpus-global like the dedups
     corpus_global = mode in ("dedup", "linededup", "substrdedup",
-                             "domaincap")
+                             "domaincap", "semdedup")
     corpus = src.select(*cols)
 
     prev = None
@@ -366,7 +385,7 @@ def main(argv=None) -> None:
                     choices=("pdf", "html", "wet", "wat", "dedup",
                              "sigaudit", "filter", "pii", "urlfilter",
                              "decontam", "domaincap", "linededup",
-                             "substrdedup"),
+                             "substrdedup", "semdedup"),
                     default="pdf")
     # sigaudit material: os.pathsep-separated file paths, read on the
     # driver and shipped into task closures (works on a real cluster
@@ -389,6 +408,9 @@ def main(argv=None) -> None:
     # --mode domaincap options, e.g. --domaincap-opts
     # '{"max_per_domain": 100000}'
     ap.add_argument("--domaincap-opts", default=None)
+    # --mode semdedup options, e.g. --semdedup-opts
+    # '{"k": 1024, "tau": 0.95, "train_frac": 0.1}'
+    ap.add_argument("--semdedup-opts", default=None)
     args = ap.parse_args(argv)
 
     filter_opts = None
@@ -407,6 +429,10 @@ def main(argv=None) -> None:
     if args.domaincap_opts is not None:
         import json
         domaincap_opts = json.loads(args.domaincap_opts)
+    semdedup_opts = None
+    if args.semdedup_opts is not None:
+        import json
+        semdedup_opts = json.loads(args.semdedup_opts)
     if args.blocked_domains is not None:
         with open(args.blocked_domains) as f:
             doms = [ln.strip() for ln in f if ln.strip()
@@ -438,7 +464,8 @@ def main(argv=None) -> None:
                   args.resume, mode=args.mode,
                   sig_material=sig_material, filter_opts=filter_opts,
                   url_opts=url_opts, decontam_opts=decontam_opts,
-                  domaincap_opts=domaincap_opts)
+                  domaincap_opts=domaincap_opts,
+                  semdedup_opts=semdedup_opts)
     print(out)
     spark.stop()
 

@@ -1523,6 +1523,126 @@ def test_run_job_dedup_mode_crash_resume(spark, tmp_path):
     assert m.agg(F.sum("n_kept")).collect()[0][0] == 3
 
 
+def _axis_vec(*pairs, dim=64):
+    v = [0.0] * dim
+    for i, x in pairs:
+        v[i] = float(x)
+    return v
+
+
+def test_semdedup_over_semantics(spark):
+    """SemDeDup (r6): embedding-cluster semantic dedup. A >tau-
+    connected group keeps exactly its min-(c_sim, vec_id) member (the
+    paper's farthest-from-centroid criterion), chains collapse
+    transitively (the documented CC delta vs the greedy scan),
+    sub-tau members stay kept, and the double run is deterministic."""
+    from pdfio_spark.pipeline.queries import semdedup_over
+    rows = [
+        (0, _axis_vec((0, 1.0))),             # A base
+        (1, _axis_vec((63, 1.0))),            # B base (init spans both)
+        (2, _axis_vec((0, 1.0), (1, 0.05))),  # near twin of 0
+        (3, _axis_vec((0, 1.0), (2, 0.06))),  # twin of 0 -> chain 2~0~3
+        (4, _axis_vec((0, 1.0), (5, 0.5))),   # A member, cos~0.89 to 0
+        (5, _axis_vec((0, 1.0), (6, 0.5))),   # A member
+        (6, _axis_vec((63, 1.0), (10, 0.5))),  # B member
+        (7, _axis_vec((63, 1.0), (11, 0.05))),  # near twin of 1
+    ]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    out = semdedup_over(df, k=2, iters=2, tau=0.95)
+    by = {r.vec_id: r for r in out.collect()}
+    assert len(by) == 8  # one row per vector
+    # the twin trio {0,2,3} is ONE component with ONE keeper
+    trio = [by[i] for i in (0, 2, 3)]
+    assert len({r.keep_id for r in trio}) == 1
+    assert sum(r.is_kept for r in trio) == 1
+    # keeper = min by (c_sim, vec_id) within the component
+    want_keep = min(trio, key=lambda r: (r.c_sim, r.vec_id)).vec_id
+    assert trio[0].keep_id == want_keep
+    # the B twin pair {1,7} likewise
+    pair = [by[i] for i in (1, 7)]
+    assert len({r.keep_id for r in pair}) == 1
+    assert sum(r.is_kept for r in pair) == 1
+    assert pair[0].keep_id == min(pair,
+                                  key=lambda r: (r.c_sim, r.vec_id)
+                                  ).vec_id
+    # sub-tau members are singletons: kept, keep_id = self
+    for i in (4, 5, 6):
+        assert by[i].is_kept and by[i].keep_id == i
+    # clusters actually separated A from B (Lloyd assignment sanity)
+    assert by[0].c_id != by[1].c_id
+    assert by[4].c_id == by[0].c_id and by[6].c_id == by[1].c_id
+    # deterministic re-derivation (the corpus-global resume contract)
+    again = {tuple(r) for r in
+             semdedup_over(df, k=2, iters=2, tau=0.95).collect()}
+    assert again == {tuple(r) for r in out.collect()}
+
+
+def test_run_job_semdedup_mode_crash_resume(spark, tmp_path):
+    """run.py --mode semdedup under the corpus-global resume
+    contract: crash after a partial output append -> resume
+    re-derives the decision set over the full snapshot, appends only
+    the missing rows, reconciles the crashed run's metrics — final
+    table identical to an uninterrupted run."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import semdedup_decisions
+    from pdfio_spark.pipeline.run import run_job
+    urls = [f"doc://{i}" for i in range(8)]
+    vecs = [_axis_vec((0, 1.0)),
+            _axis_vec((63, 1.0)),
+            _axis_vec((0, 1.0), (1, 0.05)),   # twin of doc 0
+            _axis_vec((0, 1.0), (2, 0.06)),   # twin of doc 0
+            _axis_vec((0, 1.0), (5, 0.5)),
+            _axis_vec((0, 1.0), (6, 0.5)),
+            _axis_vec((63, 1.0), (10, 0.5)),
+            _axis_vec((63, 1.0), (11, 0.05))]  # twin of doc 1
+    rows = list(zip(urls, vecs))
+    # url recrawled with a CHANGED vector -> still ONE decision row,
+    # resolved by min(embedding) on every derivation
+    rows.append(("doc://6", _axis_vec((63, 1.0), (10, 0.4))))
+    df = spark.createDataFrame(rows,
+                               "url string, embedding array<double>")
+    inp, outp, met = (str(tmp_path / p) for p in ("in", "out", "met"))
+    df.write.parquet(inp)
+    so = {"k": 2, "iters": 2, "tau": 0.95}
+    # crash simulation: run s1 committed 3 output rows, no metrics
+    (semdedup_decisions(df, **so).limit(3)
+     .withColumn("run_id", F.lit("s1")).write.parquet(outp))
+    r = run_job(spark, inp, outp, met, resume=True, mode="semdedup",
+                run_id="s2", semdedup_opts=so)
+    assert r["written"] == 5
+    out = spark.read.parquet(outp)
+    assert out.count() == 8
+    assert out.select("url").distinct().count() == 8
+    want = {(x.url, x.keep_url, x.is_kept, x.status)
+            for x in semdedup_decisions(df, **so).collect()}
+    got = {(x.url, x.keep_url, x.is_kept, x.status)
+           for x in out.collect()}
+    assert got == want
+    by_url = {x.url: x for x in out.collect()}
+    trio = [by_url[f"doc://{i}"] for i in (0, 2, 3)]
+    assert len({x.keep_url for x in trio}) == 1
+    assert sum(x.is_kept for x in trio) == 1
+    assert sum(x.status == "sem_dup" for x in trio) == 2
+    for i in (4, 5):
+        assert by_url[f"doc://{i}"].status == "kept"
+        assert by_url[f"doc://{i}"].keep_url == f"doc://{i}"
+    # metrics: s2 direct + s1 reconciled cover all 8 decisions
+    m = spark.read.parquet(met)
+    assert bool(m.filter("run_id = 's1'").collect()[0]["reconciled"])
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 8
+    assert (m.agg(F.sum("n_kept")).collect()[0][0]
+            == sum(1 for x in by_url.values() if x.is_kept))
+    # opts hygiene: typo'd key and wrong-mode opts fail fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="semdedup_opts"):
+        run_job(spark, inp, outp, met, mode="semdedup",
+                semdedup_opts={"kk": 3})
+    with _pytest.raises(ValueError, match="only valid"):
+        run_job(spark, inp, outp, met, mode="pdf",
+                semdedup_opts=so)
+
+
 def test_line_dedup_over_semantics(spark):
     """r6: C4-style corpus-level line dedup — a duplicated line keeps
     only its first occurrence by (doc_id, pos), including WITHIN one

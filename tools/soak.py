@@ -5,7 +5,8 @@ extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
 Usage: python3 tools/soak.py [pdf|html|amend|sigaudit|dedup|rundedup|
-       runfilter|runpii|wat|ann|ivf|pq|ivfpq|stream|neardup|
+       runfilter|runpii|wat|ann|ivf|pq|ivfpq|semdedup|runsemdedup|
+       stream|neardup|
        linededup|substrdedup|trainingprep|streamline] [n_docs] (default pdf 1e6)
 
 linededup / substrdedup modes (r6): 1M docs with 200-way duplication
@@ -605,6 +606,64 @@ def main() -> None:
                 found / max(issued, 1), 3)
         print(json.dumps(res))
         spark.stop()
+        return
+
+    if mode == "semdedup":
+        # SemDeDup at 100k vectors + 10% planted twins (cos~0.994 >
+        # tau=0.95): closed-form truth is one collapsed pair per twin
+        # UNLESS the pair straddles a Lloyd cell boundary — within-
+        # cluster-only comparison is SemDeDup's documented recall
+        # trade, so the collapse fraction is the reported metric.
+        # k=256 ~ sqrt(n/2), the cost balance point (assignment n*k
+        # vs pairs n^2/2k); codebook trains on a 10% sample.
+        from pdfio_spark.pipeline.queries import semdedup_over
+        n_vec = n_docs if len(sys.argv) > 2 else 100_000
+        emb = _uniform_corpus(spark, n_vec, cpus)
+        n_twin = n_vec // 10
+        emb = _plant_twins(emb, n_vec, n_twin, cpus)
+        t0 = time.perf_counter()
+        out = semdedup_over(emb, k=256, tau=0.95,
+                            train_frac=0.1).localCheckpoint()
+        total, n_kept = out.agg(
+            F.count("*"),
+            F.sum(F.col("is_kept").cast("long"))).collect()[0]
+        dt = time.perf_counter() - t0
+        src = (out.filter(F.col("vec_id") < n_twin)
+               .select(F.col("vec_id").alias("s_id"),
+                       F.col("keep_id").alias("s_keep")))
+        tw = (out.filter(F.col("vec_id") >= n_vec)
+              .select((F.col("vec_id") - n_vec).alias("s_id"),
+                      F.col("keep_id").alias("t_keep")))
+        collapsed = (src.join(tw, "s_id")
+                     .filter("s_keep = t_keep").count())
+        assert total == n_vec + n_twin  # one decision per vector
+        # uniform vectors have no chance >0.95 pairs (cos std ~ 1/8):
+        # every drop must come from a collapsed planted pair
+        assert int(n_kept) == total - collapsed
+        print(json.dumps({
+            "mode": mode, "smj": smj, "n_vectors": n_vec,
+            "k": 256, "tau": 0.95, "train_frac": 0.1,
+            "planted_twins": n_twin, "n_kept": int(n_kept),
+            "collapsed_pairs": collapsed,
+            "planted_collapse_frac": round(collapsed / n_twin, 3),
+            "sec": round(dt, 1),
+            "vectors_per_sec": round((n_vec + n_twin) / dt, 1)}))
+        spark.stop()
+        return
+
+    if mode == "runsemdedup":
+        # the same corpus through run.py --mode semdedup — the
+        # production surface (url-keyed decisions, lineage metrics,
+        # parquet in/out)
+        n_vec = n_docs if len(sys.argv) > 2 else 100_000
+        emb = _plant_twins(_uniform_corpus(spark, n_vec, cpus),
+                           n_vec, n_vec // 10, cpus)
+        rows = emb.select(
+            F.concat(F.lit("doc://"), F.col("vec_id")).alias("url"),
+            "embedding")
+        _soak_run_job(spark, rows, "semdedup", mode, smj, soak_dir,
+                      semdedup_opts={"k": 256, "tau": 0.95,
+                                     "train_frac": 0.1})
         return
 
     if mode == "dedup":
