@@ -1171,6 +1171,99 @@ def url_filter_decisions(corpus: DataFrame,
                     "reasons", "status"))
 
 
+def mix_decisions(corpus: DataFrame, weights=None,
+                  default_rate: float = 1.0,
+                  seed: int = 0) -> DataFrame:
+    """Data-mixture sampling — the per-source weighting step of
+    pretraining corpus assembly (Gao et al., 'The Pile', §1: per-set
+    epoch counts; Brown et al., GPT-3 Table 2.2: datasets sampled at
+    different rates). One decision per input row with a
+    DETERMINISTIC copy count, so downsampling, passthrough, and
+    epoch-style upsampling are one rule:
+
+        n_copies = floor(rate) + (u < frac(rate))
+        u = pmod(xxhash64(url, seed), 1e6) / 1e6
+
+    `weights`: {registrable_domain: rate} dict or a 2-column
+    (domain, rate) DataFrame — a rate is the EXPECTED copies per doc
+    (0.3 downsamples to 30%, 1.0 passes, 2.5 upsamples to 2 or 3).
+    Unlisted domains get `default_rate`. Changing `seed` redraws the
+    fractional coin corpus-wide.
+
+    Scale shape: url_parse_cols derivation + one broadcast equi-join
+    on the registrable domain + row-local hash arithmetic — map-only,
+    scan speed at 100 TB, doc-local (resume works per url; input is
+    assumed url-unique like the other doc-local gates). A NULL or
+    empty url drops, and NULL is coalesced to '' in the output (the
+    urlfilter rule — a NULL key could never resume: the anti-join
+    never matches it). status: 'dropped' (0) / 'kept' (1) /
+    'upsampled' (>1); mix_apply materializes the copies. No
+    reference counterpart; inter-document plane."""
+    if isinstance(weights, dict):
+        ents = sorted((str(k).lower(), float(v))
+                      for k, v in weights.items())
+        bad = [k for k, v in ents if v < 0]
+        if bad:
+            raise ValueError(f"negative mix rate for {bad}")
+        weights = (corpus.sparkSession.createDataFrame(
+            ents, "domain string, rate double") if ents else None)
+    if float(default_rate) < 0:
+        raise ValueError("negative default_rate")
+    parsed = (corpus
+              .withColumn("url", F.coalesce(F.col("url"), F.lit("")))
+              .select("url", *url_parse_cols())
+              .select("url", "domain"))
+    if weights is not None:
+        parsed = parsed.join(F.broadcast(weights), "domain", "left")
+    else:
+        parsed = parsed.withColumn("rate", F.lit(None).cast("double"))
+    rate = F.coalesce(F.col("rate"), F.lit(float(default_rate)))
+    u = (F.pmod(F.xxhash64("url", F.lit(seed)), F.lit(1_000_000))
+         / F.lit(1_000_000.0))
+    ncop = F.when(F.col("url") == "", F.lit(0)).otherwise(
+        F.floor(rate).cast("int")
+        + F.when(u < rate - F.floor(rate), 1).otherwise(0))
+    return parsed.select(
+        "url", "domain", rate.alias("rate"),
+        ncop.alias("n_copies"),
+        F.when(ncop == 0, "dropped").when(ncop == 1, "kept")
+        .otherwise("upsampled").alias("status"))
+
+
+def mix_apply(corpus: DataFrame, decisions: DataFrame) -> DataFrame:
+    """Materialize mix_decisions: each input row appears n_copies
+    times with a `copy` index (0-based) — the index keeps replicated
+    rows distinguishable so a downstream shuffle/shard key can hash
+    (url, copy) and spread epochs across shards instead of
+    colocating them. Join strategy left to Spark: both sides are
+    corpus-sized. Zero-copy rows are filtered BEFORE the explode:
+    sequence(0, n-1) with n=0 generates the DESCENDING [0, -1], not
+    an empty array — Spark's start>stop semantics."""
+    dec = (decisions.filter(F.col("n_copies") > 0)
+           .select("url", "n_copies"))
+    return (corpus.join(dec, "url")
+            .withColumn("copy", F.explode(
+                F.sequence(F.lit(0), F.col("n_copies") - 1)))
+            .drop("n_copies"))
+
+
+def mix_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for --mode mix — output-borne columns
+    only: rows decided per class and the materialized copy mass
+    (sum n_copies = the output corpus size mix_apply would produce)."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("status") == "dropped", 1)
+                       .otherwise(0)).alias("n_dropped"),
+                 F.sum(F.when(F.col("status") == "kept", 1)
+                       .otherwise(0)).alias("n_kept"),
+                 F.sum(F.when(F.col("status") == "upsampled", 1)
+                       .otherwise(0)).alias("n_upsampled"),
+                 F.sum("n_copies").alias("n_copies_out")))
+
+
 def domain_cap_decisions(corpus: DataFrame,
                          max_per_domain: int = 100_000) -> DataFrame:
     """Per-domain document cap (the RefinedWeb/C4 curation rule: no

@@ -22,7 +22,10 @@ $PDFIO_SPARK_* env; --mode filter (r6) runs the Gopher/C4-style
 quality gate (job.quality_decisions) over (url, text) — keep
 decisions with per-rule reason tags, map-only; --mode semdedup (r6)
 runs SemDeDup (job.semdedup_decisions) over (url, embedding) —
-embedding-cluster semantic dedup, corpus-global like --mode dedup. All modes share the
+embedding-cluster semantic dedup, corpus-global like --mode dedup;
+--mode mix (r6) runs the data-mixture sampling stage
+(job.mix_decisions) over (url) — per-domain rates with deterministic
+downsampling and epoch-style upsampling, map-only. All modes share the
 resume/metrics/run_id-reconcile contract (dedup resume re-derives the
 corpus-global decisions and appends only unwritten rows — see
 run_job).
@@ -68,7 +71,8 @@ def run_job(spark, input_path: str, output_path: str,
             url_opts: dict | None = None,
             decontam_opts: dict | None = None,
             domaincap_opts: dict | None = None,
-            semdedup_opts: dict | None = None) -> dict:
+            semdedup_opts: dict | None = None,
+            mix_opts: dict | None = None) -> dict:
     """mode='pdf' (default): full PDF parse stack. mode='html': the
     web-page half — DOM block-scoring boilerplate strip over the same
     (url, html binary) table shape, same resume/metrics contract.
@@ -169,6 +173,17 @@ def run_job(spark, input_path: str, output_path: str,
         def extract_fn(c, _uo=uo):
             return url_filter_decisions(c, **_uo)
         metrics_fn = urlfilter_metrics
+    elif mode == "mix":
+        from .job import mix_decisions, mix_metrics
+        mo = mix_opts or {}
+        bad = set(mo) - {"weights", "default_rate", "seed"}
+        if bad:
+            raise ValueError(f"unknown mix_opts keys {sorted(bad)} "
+                             "(weights | default_rate | seed)")
+
+        def extract_fn(c, _mo=mo):
+            return mix_decisions(c, **_mo)
+        metrics_fn = mix_metrics
     elif mode == "semdedup":
         from .job import semdedup_decisions, semdedup_metrics
         so = semdedup_opts or {}
@@ -209,7 +224,7 @@ def run_job(spark, input_path: str, output_path: str,
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
                          "wat | dedup | sigaudit | filter | pii | "
                          "urlfilter | decontam | domaincap | "
-                         "linededup | substrdedup | semdedup)")
+                         "linededup | substrdedup | semdedup | mix)")
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
@@ -228,6 +243,8 @@ def run_job(spark, input_path: str, output_path: str,
     if semdedup_opts is not None and mode != "semdedup":
         raise ValueError("semdedup_opts is only valid with "
                          "mode='semdedup'")
+    if mix_opts is not None and mode != "mix":
+        raise ValueError("mix_opts is only valid with mode='mix'")
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
@@ -239,6 +256,7 @@ def run_job(spark, input_path: str, output_path: str,
             "linededup": ["url", "text"],
             "substrdedup": ["url", "text"],
             "semdedup": ["url", "embedding"],
+            "mix": ["url"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
                                                       ["url", "html"])
     # decisions in these modes depend on EVERY other doc: resume must
@@ -385,7 +403,7 @@ def main(argv=None) -> None:
                     choices=("pdf", "html", "wet", "wat", "dedup",
                              "sigaudit", "filter", "pii", "urlfilter",
                              "decontam", "domaincap", "linededup",
-                             "substrdedup", "semdedup"),
+                             "substrdedup", "semdedup", "mix"),
                     default="pdf")
     # sigaudit material: os.pathsep-separated file paths, read on the
     # driver and shipped into task closures (works on a real cluster
@@ -411,6 +429,9 @@ def main(argv=None) -> None:
     # --mode semdedup options, e.g. --semdedup-opts
     # '{"k": 1024, "tau": 0.95, "train_frac": 0.1}'
     ap.add_argument("--semdedup-opts", default=None)
+    # --mode mix options, e.g. --mix-opts
+    # '{"weights": {"wikipedia.org": 3.0, "spam.net": 0.1}}'
+    ap.add_argument("--mix-opts", default=None)
     args = ap.parse_args(argv)
 
     filter_opts = None
@@ -433,6 +454,10 @@ def main(argv=None) -> None:
     if args.semdedup_opts is not None:
         import json
         semdedup_opts = json.loads(args.semdedup_opts)
+    mix_opts = None
+    if args.mix_opts is not None:
+        import json
+        mix_opts = json.loads(args.mix_opts)
     if args.blocked_domains is not None:
         with open(args.blocked_domains) as f:
             doms = [ln.strip() for ln in f if ln.strip()
@@ -465,7 +490,7 @@ def main(argv=None) -> None:
                   sig_material=sig_material, filter_opts=filter_opts,
                   url_opts=url_opts, decontam_opts=decontam_opts,
                   domaincap_opts=domaincap_opts,
-                  semdedup_opts=semdedup_opts)
+                  semdedup_opts=semdedup_opts, mix_opts=mix_opts)
     print(out)
     spark.stop()
 

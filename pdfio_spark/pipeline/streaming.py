@@ -329,6 +329,28 @@ def stream_url_filter(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_mix(spark: SparkSession, input_dir: str,
+               checkpoint_dir: str, output_dir: str,
+               available_now: bool = True, **mix_opts):
+    """Streaming twin of run.py --mode mix: the decision is doc-local
+    (a deterministic hash of the url), so the stateless map per
+    micro-batch IS globally correct — same rationale as the urlfilter
+    twin; a dict `weights` is broadcast per micro-batch."""
+    from .job import mix_decisions
+    src = (spark.readStream
+           .schema("url string")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    writer = (mix_decisions(src, **mix_opts).writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_domain_cap(spark: SparkSession, input_dir: str,
                       checkpoint_dir: str, output_dir: str,
                       max_per_domain: int = 100_000):

@@ -1063,6 +1063,121 @@ def test_url_filter_decisions_and_run_job_urlfilter_mode(spark,
         run_job(spark, inp, outp, met, mode="pdf", url_opts={})
 
 
+def test_mix_decisions_and_run_job_mix_mode(spark, tmp_path):
+    """r6: data-mixture sampling — per-registrable-domain rates with
+    deterministic hash downsampling and epoch-style upsampling
+    (n_copies = floor(rate) + fractional coin), under the full
+    resume/metrics/run_id contract; mix_apply materializes copies."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import (mix_apply, mix_decisions,
+                                          mix_metrics)
+    from pdfio_spark.pipeline.run import run_job
+    rows = ([(f"https://en.heavy.com/a{i}",) for i in range(40)]
+            + [(f"https://light.com/b{i}",) for i in range(10)]
+            + [(f"https://sub.sampled.com/c{i}",) for i in range(40)]
+            + [("https://plain.org/d0",), (None,)])
+    df = spark.createDataFrame(rows, "url string")
+    w = {"heavy.com": 2.5, "light.com": 0.0, "sampled.com": 0.5}
+    dec = mix_decisions(df, weights=w)
+    by = {r.url: r for r in dec.collect()}
+    assert len(by) == 92
+    heavy = [by[f"https://en.heavy.com/a{i}"] for i in range(40)]
+    # subdomain resolves to the registrable domain's rate
+    assert all(r.domain == "heavy.com" and r.rate == 2.5
+               for r in heavy)
+    assert all(r.n_copies in (2, 3) and r.status == "upsampled"
+               for r in heavy)
+    mass = sum(r.n_copies for r in heavy)
+    assert 85 <= mass <= 115  # E=100, binomial(40,.5) tail bound
+    assert all(by[f"https://light.com/b{i}"].n_copies == 0
+               and by[f"https://light.com/b{i}"].status == "dropped"
+               for i in range(10))
+    samp = [by[f"https://sub.sampled.com/c{i}"] for i in range(40)]
+    assert all(r.n_copies in (0, 1) for r in samp)
+    n_in = sum(r.n_copies for r in samp)
+    assert 8 <= n_in <= 32  # E=20
+    # unlisted domain -> default_rate 1.0, exactly one copy
+    assert by["https://plain.org/d0"].n_copies == 1
+    assert by["https://plain.org/d0"].status == "kept"
+    # NULL url coalesces to '' and drops (could never resume)
+    assert by[""].n_copies == 0 and by[""].status == "dropped"
+    # deterministic re-derivation; a different seed redraws coins
+    assert ({tuple(r) for r in mix_decisions(df, weights=w).collect()}
+            == {tuple(r) for r in dec.collect()})
+    other = {r.url: r.n_copies for r in
+             mix_decisions(df, weights=w, seed=7).collect()}
+    assert any(other[u] != r.n_copies for u, r in by.items()
+               if r.n_copies in (0, 1, 2, 3) and u)
+    # DataFrame weights agree with the dict form
+    wdf = spark.createDataFrame(sorted(w.items()),
+                                "domain string, rate double")
+    assert ({tuple(r) for r in
+             mix_decisions(df, weights=wdf).collect()}
+            == {tuple(r) for r in dec.collect()})
+    # mix_apply: copy mass matches, indices 0..n-1 per url
+    applied = mix_apply(df.filter("url is not null"), dec)
+    total = sum(r.n_copies for r in by.values())
+    assert applied.count() == total
+    cgrp = (applied.groupBy("url")
+            .agg(F.count("*").alias("n"),
+                 F.array_sort(F.collect_list("copy")).alias("ix"))
+            .collect())
+    assert all(list(r.ix) == list(range(r.n)) for r in cgrp)
+    # metrics identity: copy mass out equals the applied count
+    msum = mix_metrics(dec).agg(
+        F.sum("n_docs"), F.sum("n_copies_out")).collect()[0]
+    assert (msum[0], msum[1]) == (92, total)
+    # validation: negative rate fails driver-side
+    with pytest.raises(ValueError, match="negative mix rate"):
+        mix_decisions(df, weights={"x.com": -1.0})
+    with pytest.raises(ValueError, match="negative default_rate"):
+        mix_decisions(df, default_rate=-0.5)
+
+    # production contract: run_id + metrics + exactly-once resume
+    inp, outp, met = (str(tmp_path / p) for p in
+                      ("mx_in", "mx_out", "mx_met"))
+    df.filter("url is not null").write.parquet(inp)
+    mo = {"weights": w}
+    r1 = run_job(spark, inp, outp, met, mode="mix", run_id="m1",
+                 mix_opts=mo)
+    assert r1["written"] == 91
+    spark.createDataFrame([("https://late.plain.org/z",)],
+                          "url string") \
+        .write.mode("append").parquet(inp)
+    r2 = run_job(spark, inp, outp, met, mode="mix", resume=True,
+                 run_id="m2", mix_opts=mo)
+    assert r2["written"] == 1
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 92
+    assert (m.agg(F.sum("n_copies_out")).collect()[0][0]
+            == total + 1)
+    with pytest.raises(ValueError, match="unknown mix_opts"):
+        run_job(spark, inp, outp, met, mode="mix",
+                mix_opts={"weight": w})
+    with pytest.raises(ValueError, match="mix_opts is only valid"):
+        run_job(spark, inp, outp, met, mode="pdf", mix_opts={})
+
+
+def test_stream_mix_twin(spark, tmp_path):
+    """The stateless streaming twin emits byte-identical decisions to
+    the batch operator (doc-local rule -> foreachBatch-free map)."""
+    from pdfio_spark.pipeline.job import mix_decisions
+    from pdfio_spark.pipeline.streaming import stream_mix
+    rows = [(f"https://d{i % 5}.example{i % 7}.org/p{i}",)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "url string")
+    inp, chk, outp = (str(tmp_path / p) for p in
+                      ("smx_in", "smx_chk", "smx_out"))
+    df.write.parquet(inp)
+    w = {"example0.org": 2.0, "example1.org": 0.25}
+    q = stream_mix(spark, inp, chk, outp, weights=w)
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(outp).collect()}
+    want = {tuple(r) for r in
+            mix_decisions(df, weights=w).collect()}
+    assert got == want
+
+
 def test_decontam_decisions_and_run_job_mode(spark, tmp_path):
     """r6: benchmark decontamination (GPT-3 App. C 13-gram rule,
     k=5 here for fixture brevity) — docs sharing any k-token span

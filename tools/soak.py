@@ -5,7 +5,7 @@ extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
 Usage: python3 tools/soak.py [pdf|html|amend|sigaudit|dedup|rundedup|
-       runfilter|runpii|wat|ann|ivf|pq|ivfpq|semdedup|runsemdedup|
+       runfilter|runpii|runmix|wat|ann|ivf|pq|ivfpq|semdedup|runsemdedup|
        stream|neardup|
        linededup|substrdedup|trainingprep|streamline] [n_docs] (default pdf 1e6)
 
@@ -901,6 +901,48 @@ def main() -> None:
         dt = time.perf_counter() - t0
         print(json.dumps({"mode": mode, "n_docs": res["written"],
                           "by_status": res["by_status"],
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(res["written"] / dt,
+                                                1)}))
+        for d in (inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
+    if mode == "runmix":
+        # data-mixture sampling through run_job --mode mix: n_docs
+        # urls over 1000 DISTINCT registrable domains (site{i}.com —
+        # NOT site{i}.example.com, which all share one registrable
+        # domain), 100 domains weighted 0.0 (drop), 100 weighted 2.5
+        # (epoch upsample), rest default 1.0 — closed-form expected
+        # class counts, map-only + one broadcast join.
+        from pdfio_spark.pipeline.run import run_job
+        urls = (spark.range(n_docs).selectExpr(
+            "concat('https://www.site', cast(id % 1000 as string), "
+            "'.com/page/', cast(id as string)) as url"))
+        inp = os.path.join(soak_dir, "rm_in")
+        outp = os.path.join(soak_dir, "rm_out")
+        met = os.path.join(soak_dir, "rm_met")
+        for d in (inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        urls.repartition(cpus * 2).write.parquet(inp)
+        w = {f"site{i}.com": 0.0 for i in range(100)}
+        w.update({f"site{i}.com": 2.5 for i in range(100, 200)})
+        t0 = time.perf_counter()
+        res = run_job(spark, inp, outp, met, mode="mix",
+                      run_id=f"soak-{mode}",
+                      mix_opts={"weights": w})
+        dt = time.perf_counter() - t0
+        bs = res["by_status"]
+        want = n_docs // 10  # 100 of 1000 domains per class
+        assert bs.get("dropped", 0) == want, bs
+        assert bs.get("upsampled", 0) == want, bs
+        assert bs.get("kept", 0) == n_docs - 2 * want, bs
+        n_out = (spark.read.parquet(met)
+                 .agg(F.sum("n_copies_out")).collect()[0][0])
+        print(json.dumps({"mode": mode, "n_docs": res["written"],
+                          "by_status": bs,
+                          "n_copies_out": int(n_out),
                           "sec": round(dt, 1),
                           "docs_per_sec": round(res["written"] / dt,
                                                 1)}))
