@@ -1264,6 +1264,50 @@ def mix_metrics(extracted: DataFrame) -> DataFrame:
                  F.sum("n_copies").alias("n_copies_out")))
 
 
+def shard_export(corpus: DataFrame, output_path: str,
+                 n_shards: int, seed: int = 0,
+                 key_cols=("url",), mode: str = "error") -> None:
+    """Terminal writer of a training-data pipeline: deterministic
+    pseudo-random global shuffle into exactly `n_shards` shard
+    directories (shard=N/ parquet), each internally ordered — the
+    'shuffle and shard' step every pretraining corpus assembly ends
+    with, so sequential shard reads see an i.i.d.-like document
+    stream instead of crawl order.
+
+    Shard membership is a PURE ROW FUNCTION: h = xxhash64(*key_cols,
+    seed), shard = pmod(h, n_shards), within-shard order (h,
+    key_cols). Pure-function assignment (vs repartitionByRange's
+    sample-derived boundaries) means the placement of every row is
+    recomputable from the row alone — re-runs are byte-stable and an
+    auditor can locate any document without scanning. Balance is
+    binomial (uniform hash), so skew-free by construction; choose
+    n_shards for a few GB per shard at the target corpus size.
+    After epoch upsampling, pass key_cols=("url", "copy") —
+    mix_apply's copy index — so a document's epochs spread across
+    shards instead of colocating.
+
+    Plan shape: ONE full shuffle (repartition on the shard id — a
+    global permutation IS a shuffle, there is nothing to elide) +
+    map-side sortWithinPartitions; every row of a shard lands in one
+    task, so partitionBy writes exactly one sorted file per shard
+    directory. NOT a run.py mode: the output is the permuted corpus
+    itself, and a partial write cannot be resumed by url anti-join
+    (an interrupted export must be re-run; `mode` passes through to
+    the parquet writer). No reference counterpart; inter-document
+    plane."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    keys = [F.col(c) for c in key_cols]
+    h = F.xxhash64(*keys, F.lit(seed))
+    df = (corpus.withColumn("sort_key", h)
+          .withColumn("shard",
+                      F.pmod(F.col("sort_key"), F.lit(n_shards))
+                      .cast("int")))
+    (df.repartition(n_shards, F.col("shard"))
+       .sortWithinPartitions("shard", "sort_key", *key_cols)
+       .write.partitionBy("shard").mode(mode).parquet(output_path))
+
+
 def domain_cap_decisions(corpus: DataFrame,
                          max_per_domain: int = 100_000) -> DataFrame:
     """Per-domain document cap (the RefinedWeb/C4 curation rule: no

@@ -1178,6 +1178,73 @@ def test_stream_mix_twin(spark, tmp_path):
     assert got == want
 
 
+def test_shard_export(spark, tmp_path):
+    """r6: deterministic shuffle-and-shard export — pure-row-function
+    shard membership, per-shard internal order, binomial balance,
+    byte-stable re-runs, and epoch spreading via (url, copy) keys."""
+    import os
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import (mix_apply, mix_decisions,
+                                          shard_export)
+    n, shards = 2000, 8
+    df = spark.createDataFrame(
+        [(f"https://ex.org/{i}", f"text {i}") for i in range(n)],
+        "url string, text string")
+    out = str(tmp_path / "sh")
+    shard_export(df, out, n_shards=shards)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.select("url").distinct().count() == n
+    sizes = {r.shard: r.n for r in
+             back.groupBy("shard").agg(F.count("*").alias("n"))
+             .collect()}
+    assert set(sizes) == set(range(shards))
+    # binomial balance: E=250, sd~15 -> generous 5-sigma band
+    assert all(175 <= v <= 325 for v in sizes.values())
+    # exactly one data file per shard dir, rows sorted within
+    for s in range(shards):
+        d = os.path.join(out, f"shard={s}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
+    one = (back.filter("shard = 3")
+           .select("sort_key").toPandas()["sort_key"].tolist())
+    assert one == sorted(one)
+    # membership is a pure row function: recomputable from the row
+    chk = back.withColumn(
+        "want", F.pmod(F.xxhash64("url", F.lit(0)), F.lit(shards))
+        .cast("int"))
+    assert chk.filter("shard != want").count() == 0
+    # byte-stable re-run: identical per-shard url sequences
+    out2 = str(tmp_path / "sh2")
+    shard_export(df, out2, n_shards=shards)
+    a = {(r.shard, r.sort_key, r.url) for r in
+         spark.read.parquet(out).collect()}
+    b = {(r.shard, r.sort_key, r.url) for r in
+         spark.read.parquet(out2).collect()}
+    assert a == b
+    # a different seed is a different permutation
+    out3 = str(tmp_path / "sh3")
+    shard_export(df, out3, n_shards=shards, seed=9)
+    c = {(r.shard, r.url) for r in spark.read.parquet(out3).collect()}
+    assert c != {(s, u) for s, _, u in a}
+    # epochs spread: after 3x upsampling, (url, copy) keys place a
+    # url's copies in >1 shard for most urls
+    dec = mix_decisions(df.select("url"),
+                        weights={"ex.org": 3.0})
+    rep = mix_apply(df, dec)
+    out4 = str(tmp_path / "sh4")
+    shard_export(rep, out4, n_shards=shards,
+                 key_cols=("url", "copy"))
+    b4 = spark.read.parquet(out4)
+    assert b4.count() == n * 3
+    spread = (b4.groupBy("url")
+              .agg(F.countDistinct("shard").alias("k")))
+    n_spread = spread.filter("k >= 2").count()
+    assert n_spread > n * 0.8  # P(all 3 copies same shard) = 1/64
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_export(df, str(tmp_path / "bad"), n_shards=0)
+
+
 def test_decontam_decisions_and_run_job_mode(spark, tmp_path):
     """r6: benchmark decontamination (GPT-3 App. C 13-gram rule,
     k=5 here for fixture brevity) — docs sharing any k-token span

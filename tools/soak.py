@@ -5,7 +5,8 @@ extraction stage alone reading from that parquet — corpus synthesis is
 excluded, exactly like a production run over an existing crawl table.
 
 Usage: python3 tools/soak.py [pdf|html|amend|sigaudit|dedup|rundedup|
-       runfilter|runpii|runmix|wat|ann|ivf|pq|ivfpq|semdedup|runsemdedup|
+       runfilter|runpii|runmix|shardexport|wat|ann|ivf|pq|ivfpq|
+       semdedup|runsemdedup|
        stream|neardup|
        linededup|substrdedup|trainingprep|streamline] [n_docs] (default pdf 1e6)
 
@@ -947,6 +948,42 @@ def main() -> None:
                           "docs_per_sec": round(res["written"] / dt,
                                                 1)}))
         for d in (inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
+    if mode == "shardexport":
+        # the terminal shuffle-and-shard writer at 1M docs: one full
+        # shuffle (the permutation), map-side sort, one sorted file
+        # per shard dir — the export step after the prep chain.
+        from pdfio_spark.pipeline.job import shard_export
+        rows = _replicated_url_corpus(spark, sf_dir, n_docs, cpus)
+        inp = os.path.join(soak_dir, "se_in")
+        outp = os.path.join(soak_dir, "se_out")
+        for d in (inp, outp):
+            shutil.rmtree(d, ignore_errors=True)
+        rows.write.parquet(inp)
+        src = spark.read.parquet(inp)
+        n = src.count()
+        shards = 64
+        t0 = time.perf_counter()
+        shard_export(src, outp, n_shards=shards)
+        dt = time.perf_counter() - t0
+        back = spark.read.parquet(outp)
+        sizes = [r["n"] for r in back.groupBy("shard")
+                 .agg(F.count("*").alias("n")).collect()]
+        assert sum(sizes) == n and len(sizes) == shards
+        files = sum(
+            1 for s in range(shards)
+            for f in os.listdir(os.path.join(outp, f"shard={s}"))
+            if f.endswith(".parquet"))
+        print(json.dumps({
+            "mode": mode, "n_docs": n, "n_shards": shards,
+            "files": files,
+            "shard_min": min(sizes), "shard_max": max(sizes),
+            "sec": round(dt, 1),
+            "docs_per_sec": round(n / dt, 1)}))
+        for d in (inp, outp):
             shutil.rmtree(d, ignore_errors=True)
         spark.stop()
         return
