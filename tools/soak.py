@@ -793,12 +793,18 @@ def main() -> None:
         #                        spans stripped, doc bodies survive)
         #   6. doc-level dedup  (exact-first keep list over the
         #                        span-stripped text)
+        #   7. mixture weights  (epoch upsampling of the survivors —
+        #                        rate 2.0 keeps the count closed-form)
+        #   8. shard export     (the terminal permutation writer)
         # Each map stage shrinks or shields what the shuffle stages
         # see; one wall-clock for the whole chain is the number that
         # matters at 100 TB.
         from pdfio_spark.pipeline.job import (decontam_decisions,
+                                              mix_apply,
+                                              mix_decisions,
                                               pii_scrub_over,
                                               quality_decisions,
+                                              shard_export,
                                               url_filter_decisions)
         from pdfio_spark.pipeline.queries import (dedup_keep_list,
                                                   substr_dedup_over)
@@ -841,29 +847,52 @@ def main() -> None:
         # hash and deterministic; the struct-min okey would also
         # accept xxhash64 ids). Decontam's melt consumes gated once
         # more — the checkpoint above shields the gate lineage.
-        clean = (decontam_decisions(gated, bench)
-                 .filter(F.col("status") == "kept")
-                 .select(F.regexp_extract("url", r"/doc/(\d+)", 1)
-                         .cast("long").alias("doc_id"), "text")
-                 # substr dedup consumes its input on BOTH sides of
-                 # the gram self-join — cut the decontam lineage once
-                 .localCheckpoint())
-        n_clean = clean.count()
+        cleanu = (decontam_decisions(gated, bench)
+                  .filter(F.col("status") == "kept")
+                  .select(F.regexp_extract("url", r"/doc/(\d+)", 1)
+                          .cast("long").alias("doc_id"), "url",
+                          "text")
+                  # substr dedup consumes its input on BOTH sides of
+                  # the gram self-join — cut the decontam lineage once
+                  .localCheckpoint())
+        n_clean = cleanu.count()
+        clean = cleanu.select("doc_id", "text")
+        urlmap = cleanu.select("doc_id", "url")
         span = (substr_dedup_over(clean)
                 .select("doc_id", F.col("text_out").alias("text"))
                 .localCheckpoint())
         n_span_docs = span.filter(F.length("text") > 0).count()
         keep = dedup_keep_list(span)
-        n_kept = keep.filter("is_kept").count()
+        # the assembled training set: kept survivors with body text,
+        # urls recovered for the mixture stage
+        final = (span.join(keep.filter("is_kept")
+                           .select("doc_id"), "doc_id")
+                 .filter(F.length("text") > 0)
+                 .join(urlmap, "doc_id")
+                 .select("url", "text").localCheckpoint())
+        n_kept = final.count()
+        # 7. epoch upsampling at rate 2.0 (integer rate -> exactly 2
+        # copies, closed-form) + 8. the terminal shard writer, copies
+        # spread by the (url, copy) key
+        mixd = mix_decisions(final.select("url"),
+                             weights={"example.com": 2.0})
+        outp = os.path.join(soak_dir, "tp_shards")
+        shutil.rmtree(outp, ignore_errors=True)
+        shard_export(mix_apply(final, mixd), outp, n_shards=32,
+                     key_cols=("url", "copy"))
+        n_exported = spark.read.parquet(outp).count()
         dt = time.perf_counter() - t0
+        assert n_exported == 2 * n_kept, (n_exported, n_kept)
         print(json.dumps({"mode": mode, "smj": smj, "n_docs": n,
                           "after_url": n_url,
                           "after_quality": n_gated,
                           "after_decontam": n_clean,
                           "nonempty_after_span_dedup": n_span_docs,
                           "final_kept": n_kept,
+                          "exported_rows": n_exported,
                           "sec": round(dt, 1),
                           "docs_per_sec": round(n / dt, 1)}))
+        shutil.rmtree(outp, ignore_errors=True)
         spark.stop()
         return
 
