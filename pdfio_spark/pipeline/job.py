@@ -591,8 +591,15 @@ def semdedup_decisions(corpus: DataFrame, k: int | None = None,
     status: 'kept' (the component representative — the member
     farthest from its cluster centroid) or 'sem_dup'."""
     from .queries import semdedup_over
-    corpus = corpus.groupBy("url").agg(
-        F.min("embedding").alias("embedding"))
+    # NULL url coalesces to '' (the urlfilter/mix rule): a NULL key
+    # never matches the resume anti-join, so a NULL decision row
+    # would be re-derived and re-APPENDED on every resume — fatal
+    # for a corpus-global mode whose contract is 'final table
+    # identical to an uninterrupted run' (r6 review)
+    corpus = (corpus
+              .withColumn("url", F.coalesce(F.col("url"), F.lit("")))
+              .groupBy("url")
+              .agg(F.min("embedding").alias("embedding")))
     ids = corpus.select(F.xxhash64("url").alias("vec_id"), "url",
                         "embedding")
     vecs = ids.groupBy("vec_id").agg(
@@ -1199,14 +1206,32 @@ def mix_decisions(corpus: DataFrame, weights=None,
     never matches it). status: 'dropped' (0) / 'kept' (1) /
     'upsampled' (>1); mix_apply materializes the copies. No
     reference counterpart; inter-document plane."""
-    if isinstance(weights, dict):
-        ents = sorted((str(k).lower(), float(v))
-                      for k, v in weights.items())
+    if weights is not None:
+        # BOTH forms normalize through the same driver-side path (the
+        # weights table is broadcast-small by contract, so collecting
+        # the DataFrame form is free): without this, a DataFrame
+        # entry 'Wikipedia.org' silently never matched the lowercased
+        # domain column, a negative DataFrame rate produced
+        # n_copies=-1 rows labeled 'upsampled', and two case-
+        # colliding dict keys made the broadcast join emit TWO
+        # decision rows per url (r6 review x3).
+        items = (list(weights.items()) if isinstance(weights, dict)
+                 else [(r[0], r[1]) for r in weights.collect()])
+        ents = sorted((str(k).lower(), float(v)) for k, v in items)
         bad = [k for k, v in ents if v < 0]
         if bad:
             raise ValueError(f"negative mix rate for {bad}")
+        dd: dict = {}
+        for k, v in ents:
+            if k in dd and dd[k] != v:
+                raise ValueError(
+                    f"conflicting mix rates for domain {k!r}: "
+                    f"{dd[k]} vs {v} (entries collide after "
+                    "lowercasing)")
+            dd[k] = v
         weights = (corpus.sparkSession.createDataFrame(
-            ents, "domain string, rate double") if ents else None)
+            sorted(dd.items()), "domain string, rate double")
+            if dd else None)
     if float(default_rate) < 0:
         raise ValueError("negative default_rate")
     parsed = (corpus
@@ -1286,15 +1311,25 @@ def shard_export(corpus: DataFrame, output_path: str,
     mix_apply's copy index — so a document's epochs spread across
     shards instead of colocating.
 
-    Plan shape: ONE full shuffle (repartition on the shard id — a
-    global permutation IS a shuffle, there is nothing to elide) +
-    map-side sortWithinPartitions; every row of a shard lands in one
-    task, so partitionBy writes exactly one sorted file per shard
-    directory. NOT a run.py mode: the output is the permuted corpus
-    itself, and a partial write cannot be resumed by url anti-join
-    (an interrupted export must be re-run; `mode` passes through to
-    the parquet writer). No reference counterpart; inter-document
-    plane."""
+    Plan shape: ONE full shuffle (a global permutation IS a shuffle,
+    there is nothing to elide) + map-side sortWithinPartitions; every
+    row of a shard lands in one task, so partitionBy writes exactly
+    one sorted file per shard directory. The shuffle routes on a
+    driver-computed TOKEN per shard, not the shard id itself:
+    repartition(n, shard) hashes shard ids murmur3 % n — balls-into-
+    bins leaves ~1/e of tasks empty and stragglers carrying several
+    shards (measured: 16 shards -> 10 tasks, max 2/task, i.e. 2x the
+    balanced wall clock at exactly the terminal shuffle — at
+    production shard sizes a multi-shard straggler costs minutes).
+    The token search is pure driver Python (_shard_route /
+    _mmh3_int — no Spark job, no pass over the corpus;
+    repartitionByRange's sampler would re-scan it) finding an int
+    per residue class of murmur3 % n, projected in as a literal
+    lookup so every shard gets its own task. NOT a run.py mode: the output is the
+    permuted corpus itself, and a partial write cannot be resumed by
+    url anti-join (an interrupted export must be re-run; `mode`
+    passes through to the parquet writer). No reference counterpart;
+    inter-document plane."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     keys = [F.col(c) for c in key_cols]
@@ -1303,9 +1338,64 @@ def shard_export(corpus: DataFrame, output_path: str,
           .withColumn("shard",
                       F.pmod(F.col("sort_key"), F.lit(n_shards))
                       .cast("int")))
-    (df.repartition(n_shards, F.col("shard"))
+    toks = _shard_route(n_shards)
+    if n_shards <= 4096:
+        # token lookup as ONE projection expression — no extra stage
+        route = F.element_at(
+            F.array(*[F.lit(toks[s]).cast("int")
+                      for s in range(n_shards)]),
+            F.col("shard") + 1)
+        df = df.withColumn("_route", route)
+    else:
+        # a 10^4+-element array literal is the giant-expr-tree shape
+        # codegen falls over on (the unrolled-dot lesson) — broadcast
+        # the lookup instead
+        route_tbl = corpus.sparkSession.createDataFrame(
+            sorted(toks.items()), "shard int, _route int")
+        df = df.join(F.broadcast(route_tbl), "shard")
+    (df.repartition(n_shards, F.col("_route"))
+       .drop("_route")
        .sortWithinPartitions("shard", "sort_key", *key_cols)
        .write.partitionBy("shard").mode(mode).parquet(output_path))
+
+
+def _mmh3_int(i: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one int32, matching Spark's Murmur3Hash
+    expression (F.hash) on an IntegerType column bit-for-bit (seed
+    42, 4-byte block, len-4 finalizer) — pinned against F.hash over
+    [-500, 500) in the shard_export test. Pure Python so the shard
+    route needs NO Spark job."""
+    c1, c2 = 0xcc9e2d51, 0x1b873593
+    k = (i & 0xffffffff) * c1 & 0xffffffff
+    k = ((k << 15) | (k >> 17)) & 0xffffffff
+    k = k * c2 & 0xffffffff
+    h = (seed ^ k) & 0xffffffff
+    h = ((h << 13) | (h >> 19)) & 0xffffffff
+    h = (h * 5 + 0xe6546b64) & 0xffffffff
+    h ^= 4
+    h ^= h >> 16
+    h = h * 0x85ebca6b & 0xffffffff
+    h ^= h >> 13
+    h = h * 0xc2b2ae35 & 0xffffffff
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _shard_route(n_shards: int) -> dict:
+    """{shard: token} where pmod(murmur3(token), n_shards) == shard —
+    HashPartitioning's partition-id expression is exactly
+    pmod(Murmur3Hash(cols, 42), n), so routing the exchange on the
+    token puts shard s in partition s: one task per shard, no
+    balls-into-bins collisions (repartition on the raw shard id
+    leaves ~1/e of tasks empty and stragglers holding several
+    shards). Residues of consecutive ints are uniform, so the scan
+    terminates in ~n ln n steps."""
+    toks: dict = {}
+    t = 0
+    while len(toks) < n_shards:
+        toks.setdefault(_mmh3_int(t) % n_shards, t)
+        t += 1
+    return toks
 
 
 def domain_cap_decisions(corpus: DataFrame,

@@ -266,6 +266,14 @@ def run_job(spark, input_path: str, output_path: str,
     corpus_global = mode in ("dedup", "linededup", "substrdedup",
                              "domaincap", "semdedup")
     corpus = src.select(*cols)
+    # the resume contract keys on url, and a NULL key matches NOTHING
+    # in the anti-join (SQL null equality) — a NULL-url row would be
+    # reprocessed and its decision re-APPENDED on every resume no
+    # matter what the operator writes (the operator-side coalesces
+    # fix the OUTPUT row but sit on the wrong side of the anti-join).
+    # Normalize the key once here, for every mode (r6 review).
+    corpus = corpus.withColumn("url",
+                               F.coalesce(F.col("url"), F.lit("")))
 
     prev = None
     if resume:

@@ -1127,11 +1127,29 @@ def test_mix_decisions_and_run_job_mix_mode(spark, tmp_path):
     msum = mix_metrics(dec).agg(
         F.sum("n_docs"), F.sum("n_copies_out")).collect()[0]
     assert (msum[0], msum[1]) == (92, total)
-    # validation: negative rate fails driver-side
+    # validation: negative rate fails driver-side — BOTH forms (the
+    # DataFrame path used to bypass it: floor(-1.0) = -1 copies
+    # labeled 'upsampled'); case-colliding entries with different
+    # rates are ambiguous and fail; a mixed-case DataFrame entry
+    # matches after normalization (it used to silently match nothing)
     with pytest.raises(ValueError, match="negative mix rate"):
         mix_decisions(df, weights={"x.com": -1.0})
+    with pytest.raises(ValueError, match="negative mix rate"):
+        mix_decisions(df, weights=spark.createDataFrame(
+            [("x.com", -1.0)], "domain string, rate double"))
+    with pytest.raises(ValueError, match="conflicting mix rates"):
+        mix_decisions(df, weights={"Heavy.com": 1.0,
+                                   "heavy.com": 2.0})
     with pytest.raises(ValueError, match="negative default_rate"):
         mix_decisions(df, default_rate=-0.5)
+    cased = mix_decisions(df, weights=spark.createDataFrame(
+        [("LIGHT.com", 0.0)], "domain string, rate double"))
+    assert (cased.filter("status = 'dropped'").count() == 11
+            )  # 10 light.com + the NULL url
+    # identical duplicate entries dedup instead of double-joining
+    two = mix_decisions(df, weights={"light.com": 0.0,
+                                     "LIGHT.com": 0.0})
+    assert two.count() == 92
 
     # production contract: run_id + metrics + exactly-once resume
     inp, outp, met = (str(tmp_path / p) for p in
@@ -1156,6 +1174,49 @@ def test_mix_decisions_and_run_job_mix_mode(spark, tmp_path):
                 mix_opts={"weight": w})
     with pytest.raises(ValueError, match="mix_opts is only valid"):
         run_job(spark, inp, outp, met, mode="pdf", mix_opts={})
+
+
+def test_run_job_null_url_resume_idempotent(spark, tmp_path):
+    """r6 review: a NULL-url input row must not be re-appended on
+    every resume — the anti-join's SQL null equality matches nothing,
+    so run_job normalizes the key to '' BEFORE the resume filter (an
+    operator-side coalesce writes a clean row but sits on the wrong
+    side of the anti-join)."""
+    from pdfio_spark.pipeline.run import run_job
+    rows = [("https://a.org/1",), ("https://b.org/2",), (None,)]
+    df = spark.createDataFrame(rows, "url string")
+    inp, outp, met = (str(tmp_path / p) for p in ("n_in", "n_out",
+                                                  "n_met"))
+    df.write.parquet(inp)
+    r1 = run_job(spark, inp, outp, met, mode="mix", run_id="n1")
+    assert r1["written"] == 3
+    # resume with NOTHING new: zero rows reprocessed, zero appended
+    r2 = run_job(spark, inp, outp, met, mode="mix", resume=True,
+                 run_id="n2")
+    assert r2["written"] == 0
+    out = spark.read.parquet(outp)
+    assert out.count() == 3
+    assert out.filter("url = ''").count() == 1
+    # same property for a corpus-GLOBAL mode (decision re-derived,
+    # but the already-written '' row must not append twice)
+    vdf = spark.createDataFrame(
+        [("u://1", _axis_vec((0, 1.0))),
+         ("u://2", _axis_vec((5, 1.0))),
+         (None, _axis_vec((9, 1.0)))],
+        "url string, embedding array<double>")
+    inp2, outp2, met2 = (str(tmp_path / p) for p in
+                         ("g_in", "g_out", "g_met"))
+    vdf.write.parquet(inp2)
+    so = {"k": 2, "iters": 1, "tau": 0.99}
+    rg1 = run_job(spark, inp2, outp2, met2, mode="semdedup",
+                  run_id="g1", semdedup_opts=so)
+    assert rg1["written"] == 3
+    rg2 = run_job(spark, inp2, outp2, met2, mode="semdedup",
+                  resume=True, run_id="g2", semdedup_opts=so)
+    assert rg2["written"] == 0
+    out2 = spark.read.parquet(outp2)
+    assert out2.count() == 3
+    assert out2.filter("url = ''").count() == 1
 
 
 def test_stream_mix_twin(spark, tmp_path):
@@ -1243,6 +1304,29 @@ def test_shard_export(spark, tmp_path):
     assert n_spread > n * 0.8  # P(all 3 copies same shard) = 1/64
     with pytest.raises(ValueError, match="n_shards"):
         shard_export(df, str(tmp_path / "bad"), n_shards=0)
+    # r6 review: the exchange routes on driver-searched tokens so
+    # every shard gets its OWN task (repartition on the raw shard id
+    # hashes murmur3 % n: balls-into-bins -> empty tasks + stragglers
+    # holding several shards). Alignment property, then observed
+    # task-level balance on the same routed plan the writer builds.
+    from pdfio_spark.pipeline.job import _mmh3_int, _shard_route
+    # the pure-Python murmur3 must match Spark's Murmur3Hash
+    # expression bit-for-bit — the whole routing rests on it
+    hrows = spark.range(-500, 500).select(
+        "id", F.hash(F.col("id").cast("int")).alias("h")).collect()
+    assert all(_mmh3_int(int(r.id)) == r.h for r in hrows)
+    toks = _shard_route(shards)
+    assert sorted(toks) == list(range(shards))
+    routed = (back.withColumn(
+        "_route", F.element_at(
+            F.array(*[F.lit(toks[s]).cast("int")
+                      for s in range(shards)]),
+            F.col("shard") + 1))
+        .repartition(shards, F.col("_route"))
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.countDistinct("shard").alias("k")).collect())
+    assert len(routed) == shards
+    assert all(r.k == 1 for r in routed)
 
 
 def test_decontam_decisions_and_run_job_mode(spark, tmp_path):
