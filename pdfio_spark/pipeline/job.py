@@ -574,7 +574,8 @@ def substrdedup_metrics(extracted: DataFrame) -> DataFrame:
 def semdedup_decisions(corpus: DataFrame, k: int | None = None,
                        iters: int | None = None,
                        tau: float | None = None,
-                       train_frac: float | None = None) -> DataFrame:
+                       train_frac: float | None = None,
+                       nprobe: int | None = None) -> DataFrame:
     """Production surface of SemDeDup (queries.semdedup_over): (url,
     embedding array<numeric>) -> exactly one keep decision per url.
     Corpus-GLOBAL like --mode dedup (cluster training + the >tau
@@ -606,7 +607,8 @@ def semdedup_decisions(corpus: DataFrame, k: int | None = None,
         F.min("embedding").alias("embedding"))
     kw = {key: v for key, v in (("k", k), ("iters", iters),
                                 ("tau", tau),
-                                ("train_frac", train_frac))
+                                ("train_frac", train_frac),
+                                ("nprobe", nprobe))
           if v is not None}
     dec = semdedup_over(vecs, **kw)
     keep_urls = (ids.select(F.col("vec_id").alias("keep_id"),

@@ -1662,7 +1662,8 @@ def semdedup_over(emb: DataFrame, k: int = IVF_K,
                   iters: int = IVF_LLOYD_ITERS,
                   tau: float = SEMDEDUP_TAU,
                   train_frac: float | None = None,
-                  hot_threshold: int | None = None) -> DataFrame:
+                  hot_threshold: int | None = None,
+                  nprobe: int = 1) -> DataFrame:
     """SemDeDup (Abbas et al., 'SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication', arXiv:2303.09540):
     semantic near-dup removal by embedding clustering — cluster with
@@ -1686,7 +1687,12 @@ def semdedup_over(emb: DataFrame, k: int = IVF_K,
     escalation. The within-cluster self-join reuses the LSH skew
     machinery (_salted_bucket_pairs keyed on the cell id): a hot
     cluster's n^2 single task becomes LSH_SALT parallel tasks, output
-    identical. Duplicate groups are
+    identical. `nprobe` > 1 melts each vector into its top-nprobe
+    cells for the pair join only (keep rule stays top-1): the
+    algorithm's inherent misses — twin pairs straddling a Lloyd cell
+    boundary — get compared in a shared runner-up cell, at ~nprobe^2
+    pair cost (measured on the 100k planted-twin soak: collapse
+    0.849 -> 0.995 at nprobe=2). Duplicate groups are
     the CONNECTED COMPONENTS of the >tau graph (Kiveris star CC,
     O(log n) rounds) — transitive closure is slightly more
     aggressive than the paper's greedy per-cluster matrix scan on
@@ -1727,41 +1733,65 @@ def semdedup_over(emb: DataFrame, k: int = IVF_K,
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
-    # top-1 assignment via max_by: partial-aggregable, no window —
-    # unlike ann_ivf_over's rank_cells this path never needs r <= nprobe
-    assigned = (base.crossJoin(F.broadcast(cents))
-                .select("vec_id", "ne",
-                        F.round(dot(F.col("qe"), F.col("c_emb"))
-                                / (F.col("qn") * F.col("cn")), 6)
-                        .alias("sim"),
-                        "c_id")
-                .groupBy("vec_id")
-                .agg(F.max_by(
-                        F.struct(F.col("c_id"), F.col("sim")
-                                 .alias("c_sim")),
-                        F.struct(F.col("sim"),
-                                 (-F.col("c_id")).alias("nc")))
-                     .alias("best"),
-                     F.first("ne").alias("ne"))
-                .select("vec_id", "ne",
-                        F.col("best.c_id").alias("c_id"),
-                        F.col("best.c_sim").alias("c_sim"))
-                # feeds the pair join (both sides via _salted_bucket_
-                # pairs' three consumers) AND the final keep join —
-                # without this the k-way centroid cross join recomputes
-                # per consumer (the LSH coded-base lesson)
-                .localCheckpoint())
-    b = assigned.select("vec_id", F.col("ne").alias("embedding"),
-                        F.col("c_id").alias("bucket"))
+    scored = (base.crossJoin(F.broadcast(cents))
+              .select("vec_id", "ne",
+                      F.round(dot(F.col("qe"), F.col("c_emb"))
+                              / (F.col("qn") * F.col("cn")), 6)
+                      .alias("sim"),
+                      "c_id"))
+    if nprobe <= 1:
+        # top-1 assignment via max_by: partial-aggregable, no window
+        assigned = (scored
+                    .groupBy("vec_id")
+                    .agg(F.max_by(
+                            F.struct(F.col("c_id"), F.col("sim")
+                                     .alias("c_sim")),
+                            F.struct(F.col("sim"),
+                                     (-F.col("c_id")).alias("nc")))
+                         .alias("best"),
+                         F.first("ne").alias("ne"))
+                    .select("vec_id", "ne",
+                            F.col("best.c_id").alias("c_id"),
+                            F.col("best.c_sim").alias("c_sim"))
+                    # feeds the pair join (both sides via _salted_
+                    # bucket_pairs' three consumers) AND the final
+                    # keep join — without this the k-way centroid
+                    # cross join recomputes per consumer (the LSH
+                    # coded-base lesson)
+                    .localCheckpoint())
+        melt = assigned.select("vec_id",
+                               F.col("ne").alias("embedding"),
+                               F.col("c_id").alias("bucket"))
+    else:
+        # boundary mitigation: melt each vector into its top-nprobe
+        # cells for the PAIR JOIN only (the keep rule still uses the
+        # top-1 cell) — twins straddling a Lloyd boundary meet in a
+        # shared runner-up cell. Pair cost scales ~nprobe^2; the
+        # window's r <= nprobe pushes map-side (WindowGroupLimit).
+        wr = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
+                                                  F.asc("c_id"))
+        ranked = (scored.withColumn("r", F.row_number().over(wr))
+                  .filter(F.col("r") <= nprobe)
+                  .localCheckpoint())
+        assigned = (ranked.filter(F.col("r") == 1)
+                    .select("vec_id", "ne", "c_id",
+                            F.col("sim").alias("c_sim")))
+        melt = ranked.select("vec_id", F.col("ne").alias("embedding"),
+                             F.col("c_id").alias("bucket"))
     kw = {} if hot_threshold is None else \
         {"hot_threshold": hot_threshold}
-    joined = _salted_bucket_pairs(b, lambda a, c: a < c, **kw)
+    joined = _salted_bucket_pairs(melt, lambda a, c: a < c, **kw)
     edges = (joined.select(
         F.col("a.vec_id").alias("s"), F.col("c.vec_id").alias("t"),
         F.round(dot(F.col("a.embedding"), F.col("c.embedding")), 6)
         .alias("cos_sim"))
         .filter(F.col("cos_sim") > tau)
         .select("s", "t"))
+    if nprobe > 1:
+        # a pair sharing >=2 of each other's probe cells meets more
+        # than once; CC tolerates duplicate edges, but dedup keeps the
+        # star rounds' shuffles lean
+        edges = edges.distinct()
     labels, _ = connected_components(edges)
     comp = (assigned.select("vec_id", "c_id", "c_sim")
             .join(labels.withColumnRenamed("node", "vec_id"),

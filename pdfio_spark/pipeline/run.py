@@ -187,11 +187,11 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "semdedup":
         from .job import semdedup_decisions, semdedup_metrics
         so = semdedup_opts or {}
-        bad = set(so) - {"k", "iters", "tau", "train_frac"}
+        bad = set(so) - {"k", "iters", "tau", "train_frac", "nprobe"}
         if bad:
             raise ValueError(f"unknown semdedup_opts keys "
                              f"{sorted(bad)} (k | iters | tau | "
-                             "train_frac)")
+                             "train_frac | nprobe)")
 
         def extract_fn(c, _so=so):
             return semdedup_decisions(c, **_so)

@@ -1842,6 +1842,13 @@ def test_semdedup_over_semantics(spark):
     again = {tuple(r) for r in
              semdedup_over(df, k=2, iters=2, tau=0.95).collect()}
     assert again == {tuple(r) for r in out.collect()}
+    # nprobe=2 pair-join melt: a superset of comparisons, so every
+    # nprobe=1 collapse survives; keep rule (top-1 c_sim) unchanged;
+    # on this fixture (no boundary-straddling pairs) output identical
+    np2 = {tuple(r) for r in
+           semdedup_over(df, k=2, iters=2, tau=0.95,
+                         nprobe=2).collect()}
+    assert np2 == {tuple(r) for r in out.collect()}
 
 
 def test_run_job_semdedup_mode_crash_resume(spark, tmp_path):

@@ -619,12 +619,13 @@ def main() -> None:
         # vs pairs n^2/2k); codebook trains on a 10% sample.
         from pdfio_spark.pipeline.queries import semdedup_over
         n_vec = n_docs if len(sys.argv) > 2 else 100_000
+        nprobe = int(os.environ.get("SOAK_NPROBE", "1"))
         emb = _uniform_corpus(spark, n_vec, cpus)
         n_twin = n_vec // 10
         emb = _plant_twins(emb, n_vec, n_twin, cpus)
         t0 = time.perf_counter()
-        out = semdedup_over(emb, k=256, tau=0.95,
-                            train_frac=0.1).localCheckpoint()
+        out = semdedup_over(emb, k=256, tau=0.95, train_frac=0.1,
+                            nprobe=nprobe).localCheckpoint()
         total, n_kept = out.agg(
             F.count("*"),
             F.sum(F.col("is_kept").cast("long"))).collect()[0]
@@ -644,6 +645,7 @@ def main() -> None:
         print(json.dumps({
             "mode": mode, "smj": smj, "n_vectors": n_vec,
             "k": 256, "tau": 0.95, "train_frac": 0.1,
+            "nprobe": nprobe,
             "planted_twins": n_twin, "n_kept": int(n_kept),
             "collapsed_pairs": collapsed,
             "planted_collapse_frac": round(collapsed / n_twin, 3),
