@@ -1401,7 +1401,9 @@ def _shard_route(n_shards: int) -> dict:
 
 
 def domain_cap_decisions(corpus: DataFrame,
-                         max_per_domain: int = 100_000) -> DataFrame:
+                         max_per_domain: int | None = 100_000,
+                         max_tokens_per_domain: int | None = None
+                         ) -> DataFrame:
     """Per-domain document cap (the RefinedWeb/C4 curation rule: no
     single site may dominate the corpus): keep at most max_per_domain
     docs per registrable domain, chosen DETERMINISTICALLY by unsigned
@@ -1426,43 +1428,92 @@ def domain_cap_decisions(corpus: DataFrame,
     the only per-domain-global step is a cumsum over its <=1024
     histogram rows. The histogram join back is co-partitioned with
     the window's shuffle. No reference counterpart; inter-document
-    plane."""
+    plane.
+
+    `max_tokens_per_domain` (late r6) caps by TOKEN MASS instead of
+    (or in addition to) doc count — budgets are allocated in tokens,
+    not documents. Same decomposition with a weighted histogram
+    (sum of ws_tokens per (domain, bucket)) and a within-bucket
+    running token sum: a doc keeps while the tokens accumulated
+    BEFORE it (in the same deterministic hash order) are below the
+    budget, so the budget overshoots by at most the crossing doc.
+    Token count is text_metrics_cols' ws_tokens — the oracle-verified
+    definition (whitespace split; an empty text counts 1, its
+    convention). Requires a `text` column; reasons gains
+    'domain_token_cap'."""
     from pyspark.sql import Window
-    if max_per_domain < 0:
+    if max_per_domain is None and max_tokens_per_domain is None:
+        raise ValueError("at least one of max_per_domain / "
+                         "max_tokens_per_domain must be set")
+    if max_per_domain is not None and max_per_domain < 0:
         raise ValueError("max_per_domain must be >= 0")
-    m = (corpus.select(F.coalesce(F.col("url"), F.lit(""))
-                       .alias("url"))
-         .select("url", *url_parse_cols())
-         .select("url", "domain",
-                 F.xxhash64("url").alias("h"))
+    if max_tokens_per_domain is not None and max_tokens_per_domain < 0:
+        raise ValueError("max_tokens_per_domain must be >= 0")
+    token_mode = max_tokens_per_domain is not None
+    cols = [F.coalesce(F.col("url"), F.lit("")).alias("url")]
+    if token_mode:
+        cols.append(
+            F.size(F.split(F.trim(F.coalesce("text", F.lit(""))),
+                           r"\s+")).cast("long").alias("w"))
+    keep_cols = ["url", "domain", F.xxhash64("url").alias("h")] + \
+        (["w"] if token_mode else [])
+    m = (corpus.select(*cols)
+         .select("url", *url_parse_cols(),
+                 *(["w"] if token_mode else []))
+         .select(*keep_cols)
          .withColumn("ub", F.shiftrightunsigned("h", 54))
          # histogram side and window side both descend from this
          # projection: without the checkpoint each would re-scan the
          # input and re-run the URL regexes + hash (the r4
-         # checkpoint-before-self-join lesson); the snapshot is 4
+         # checkpoint-before-self-join lesson); the snapshot is 4-5
          # narrow columns
          .localCheckpoint())
-    hist = m.groupBy("domain", "ub").agg(F.count("*").alias("cnt"))
+    aggs = [F.count("*").alias("cnt")]
+    if token_mode:
+        aggs.append(F.sum("w").alias("cnt_w"))
+    hist = m.groupBy("domain", "ub").agg(*aggs)
     wd = (Window.partitionBy("domain").orderBy("ub")
           .rowsBetween(Window.unboundedPreceding, -1))
-    bucket_base = hist.select(
-        "domain", "ub",
-        F.coalesce(F.sum("cnt").over(wd), F.lit(0)).alias("base"))
+    base_cols = ["domain", "ub",
+                 F.coalesce(F.sum("cnt").over(wd), F.lit(0))
+                 .alias("base")]
+    if token_mode:
+        base_cols.append(F.coalesce(F.sum("cnt_w").over(wd),
+                                    F.lit(0)).alias("base_w"))
+    bucket_base = hist.select(*base_cols)
     wb = Window.partitionBy("domain", "ub").orderBy("h", "url")
     ranked = (m.withColumn("rk", F.row_number().over(wb))
               .join(bucket_base, ["domain", "ub"])
               .withColumn("domain_rank",
                           (F.col("base") + F.col("rk")).cast("long")))
-    dropped = F.col("domain_rank") > max_per_domain
+    reasons = []
+    if max_per_domain is not None:
+        reasons.append((F.col("domain_rank") > max_per_domain,
+                        "domain_cap"))
+    if token_mode:
+        # tokens accumulated before this doc, same (h, url) order:
+        # lower buckets' mass + the running sum within the bucket
+        wtb = (Window.partitionBy("domain", "ub").orderBy("h", "url")
+               .rowsBetween(Window.unboundedPreceding, -1))
+        ranked = ranked.withColumn(
+            "domain_tokens_before",
+            (F.col("base_w")
+             + F.coalesce(F.sum("w").over(wtb), F.lit(0)))
+            .cast("long"))
+        reasons.append((F.col("domain_tokens_before")
+                        >= max_tokens_per_domain, "domain_token_cap"))
+    reason_arr = F.filter(
+        F.array(*[F.when(cond, F.lit(tag)) for cond, tag in reasons]),
+        lambda x: x.isNotNull())
+    out_cols = ["url", "domain", "domain_rank"] + \
+        (["domain_tokens_before"] if token_mode else []) + \
+        ["reasons", "status"]
     return (ranked
-            .withColumn("reasons",
-                        F.when(dropped,
-                               F.array(F.lit("domain_cap")))
-                        .otherwise(F.array().cast("array<string>")))
-            .withColumn("status", F.when(dropped, "dropped")
+            .withColumn("reasons", reason_arr)
+            .withColumn("status",
+                        F.when(F.size("reasons") > 0, "dropped")
                         .otherwise("kept"))
-            .select("url", "domain", "domain_rank", "reasons",
-                    "status"))
+            .select(*out_cols))
 
 
 def domaincap_metrics(extracted: DataFrame) -> DataFrame:

@@ -130,10 +130,11 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "domaincap":
         from .job import domain_cap_decisions, domaincap_metrics
         co = domaincap_opts or {}
-        bad = set(co) - {"max_per_domain"}
+        bad = set(co) - {"max_per_domain", "max_tokens_per_domain"}
         if bad:
             raise ValueError(f"unknown domaincap_opts keys "
-                             f"{sorted(bad)} (max_per_domain)")
+                             f"{sorted(bad)} (max_per_domain | "
+                             "max_tokens_per_domain)")
 
         def extract_fn(c, _co=co):
             return domain_cap_decisions(c, **_co)
@@ -252,7 +253,11 @@ def run_job(spark, input_path: str, output_path: str,
     cols = {"wet": ["url", "text"], "dedup": ["url", "text"],
             "filter": ["url", "text"], "pii": ["url", "text"],
             "urlfilter": ["url"], "decontam": ["url", "text"],
-            "domaincap": ["url"],
+            # the token-budget variant weighs docs by their text
+            "domaincap": (["url", "text"]
+                          if (domaincap_opts or {})
+                          .get("max_tokens_per_domain") is not None
+                          else ["url"]),
             "linededup": ["url", "text"],
             "substrdedup": ["url", "text"],
             "semdedup": ["url", "embedding"],

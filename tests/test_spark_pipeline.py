@@ -1474,6 +1474,67 @@ def test_domain_cap_decisions_and_run_job_mode(spark, tmp_path):
         run_job(spark, inp, outp, met, mode="pdf", domaincap_opts={})
 
 
+def test_domain_token_cap(spark, tmp_path):
+    """late r6: token-budget domain cap — same exact-rank
+    decomposition with a weighted histogram + within-bucket running
+    token sum; a doc keeps while tokens accumulated BEFORE it (hash
+    order) are under the budget, so the budget overshoots by at most
+    the crossing doc."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import domain_cap_decisions
+    from pdfio_spark.pipeline.run import run_job
+    rows = [(f"https://big.com/{i}", " ".join(["tok"] * (10 * (i + 1))))
+            for i in range(6)]
+    rows += [("https://small.org/a", "just four tokens here")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    BUDGET = 100
+    out = {r.url: r for r in domain_cap_decisions(
+        df, max_per_domain=None,
+        max_tokens_per_domain=BUDGET).collect()}
+    # closed-form truth from the engine's own hash order
+    hs = {r.url: r.h % 2 ** 64 for r in
+          df.select("url", F.xxhash64("url").alias("h")).collect()}
+    toks = {u: len(t.split()) for u, t in rows}
+    cum = 0
+    for u in sorted((u for u, _ in rows[:6]), key=lambda u: hs[u]):
+        want = "kept" if cum < BUDGET else "dropped"
+        assert out[u].status == want, u
+        assert out[u].domain_tokens_before == cum
+        if out[u].status == "dropped":
+            assert list(out[u].reasons) == ["domain_token_cap"]
+        cum += toks[u]
+    assert out["https://small.org/a"].status == "kept"
+    assert out["https://small.org/a"].domain_tokens_before == 0
+    # both caps compose: rank cap fires independently of token cap
+    both = {r.url: r for r in domain_cap_decisions(
+        df, max_per_domain=1,
+        max_tokens_per_domain=BUDGET).collect()}
+    for u, _ in rows[:6]:
+        r = both[u]
+        wantr = []
+        if r.domain_rank > 1:
+            wantr.append("domain_cap")
+        if r.domain_tokens_before >= BUDGET:
+            wantr.append("domain_token_cap")
+        assert list(r.reasons) == wantr, u
+    assert sum(r.status == "kept" for r in both.values()) == 2
+    with pytest.raises(ValueError, match="at least one"):
+        domain_cap_decisions(df, max_per_domain=None,
+                             max_tokens_per_domain=None)
+    with pytest.raises(ValueError, match="max_tokens_per_domain"):
+        domain_cap_decisions(df, max_tokens_per_domain=-1)
+    # run_job plumbing: the token variant reads (url, text)
+    inp, outp, met = (str(tmp_path / p) for p in
+                      ("tc_in", "tc_out", "tc_met"))
+    df.write.parquet(inp)
+    r1 = run_job(spark, inp, outp, met, mode="domaincap",
+                 run_id="tc1",
+                 domaincap_opts={"max_per_domain": None,
+                                 "max_tokens_per_domain": BUDGET})
+    want_kept = sum(r.status == "kept" for r in out.values())
+    assert r1["by_status"].get("kept") == want_kept
+
+
 def test_corpus_global_resume_displacement_warns(spark, tmp_path):
     """r6 review: corpus-global resume is crash recovery over an
     UNCHANGED snapshot — when input appended between runs displaces

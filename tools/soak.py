@@ -1033,20 +1033,30 @@ def main() -> None:
         # ranked all 1M rows of it in 12 s (kept exactly 1000): the
         # total-skew extreme, handled without a straggler.
         from pdfio_spark.pipeline.run import run_job
+        # SOAK_TOKENCAP=1 runs the token-budget variant instead: same
+        # skew, docs weighted 5-14 tokens (id-hash), budget 10k
+        # tokens/domain — the weighted histogram + second window over
+        # the same (domain, bucket) partitioning.
+        tokencap = os.environ.get("SOAK_TOKENCAP") == "1"
         urls = (spark.range(n_docs).selectExpr(
             "concat('https://www.site', "
             "case when id % 2 = 0 then 0 else id % 1000 end, "
-            "'.com/doc/', id) as url"))
+            "'.com/doc/', id) as url",
+            "array_join(transform(sequence(1, "
+            "cast(5 + pmod(xxhash64(id), 10) as int)), "
+            "x -> 'tok'), ' ') as text"))
         inp = os.path.join(soak_dir, "rdc_in")
         outp = os.path.join(soak_dir, "rdc_out")
         met = os.path.join(soak_dir, "rdc_met")
         for d in (inp, outp, met):
             shutil.rmtree(d, ignore_errors=True)
         urls.repartition(cpus * 2).write.parquet(inp)
+        opts = ({"max_per_domain": None,
+                 "max_tokens_per_domain": 10_000} if tokencap
+                else {"max_per_domain": 1000})
         t0 = time.perf_counter()
         res = run_job(spark, inp, outp, met, mode="domaincap",
-                      run_id=f"soak-{mode}",
-                      domaincap_opts={"max_per_domain": 1000})
+                      run_id=f"soak-{mode}", domaincap_opts=opts)
         dt = time.perf_counter() - t0
         print(json.dumps({"mode": mode, "n_docs": res["written"],
                           "by_status": res["by_status"],
