@@ -1400,8 +1400,11 @@ def _shard_route(n_shards: int) -> dict:
     return toks
 
 
+_CAP_DEFAULT = object()  # sentinel: distinguishes omitted from None
+
+
 def domain_cap_decisions(corpus: DataFrame,
-                         max_per_domain: int | None = 100_000,
+                         max_per_domain=_CAP_DEFAULT,
                          max_tokens_per_domain: int | None = None
                          ) -> DataFrame:
     """Per-domain document cap (the RefinedWeb/C4 curation rule: no
@@ -1442,6 +1445,13 @@ def domain_cap_decisions(corpus: DataFrame,
     convention). Requires a `text` column; reasons gains
     'domain_token_cap'."""
     from pyspark.sql import Window
+    if max_per_domain is _CAP_DEFAULT:
+        # the doc-cap default applies only when NO cap was chosen at
+        # all: a caller setting just the token budget must not get a
+        # 100k doc cap silently composed in (r6 review — every
+        # token-only caller had to know to pass max_per_domain=None)
+        max_per_domain = (None if max_tokens_per_domain is not None
+                          else 100_000)
     if max_per_domain is None and max_tokens_per_domain is None:
         raise ValueError("at least one of max_per_domain / "
                          "max_tokens_per_domain must be set")
@@ -1452,9 +1462,8 @@ def domain_cap_decisions(corpus: DataFrame,
     token_mode = max_tokens_per_domain is not None
     cols = [F.coalesce(F.col("url"), F.lit("")).alias("url")]
     if token_mode:
-        cols.append(
-            F.size(F.split(F.trim(F.coalesce("text", F.lit(""))),
-                           r"\s+")).cast("long").alias("w"))
+        from .queries import ws_tokens_expr
+        cols.append(ws_tokens_expr().cast("long").alias("w"))
     keep_cols = ["url", "domain", F.xxhash64("url").alias("h")] + \
         (["w"] if token_mode else [])
     m = (corpus.select(*cols)

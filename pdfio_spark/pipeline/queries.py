@@ -1175,13 +1175,26 @@ def q_text_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def ws_tokens_expr(col="text"):
+    """THE whitespace token-count definition (split of the trimmed,
+    NULL-coalesced text; empty text counts 1 — its documented
+    convention) — ONE kernel shared by text_metrics_cols (oracled as
+    q_text_analytics.ws_tokens) and the token-budget domain cap
+    (job.domain_cap_decisions max_tokens_per_domain), so a budget is
+    measured in exactly the oracle-verified unit (the shared-kernel
+    rule: a drift here would silently change what a token budget
+    means)."""
+    t = F.coalesce(col, F.lit(""))
+    return F.size(F.split(F.trim(t), r"\s+"))
+
+
 def text_metrics_cols() -> list:
     """The analytics-plane expression set over a `text` column — ONE
     definition shared by q_text_analytics (oracled) and the production
     WET ingest (run.py --mode wet), so the metrics a pipeline annotates
     at ingest time are exactly the oracle-verified ones."""
     t = F.coalesce("text", F.lit(""))
-    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    ws_tokens = ws_tokens_expr()
     bpe_ish = F.size(F.expr(
         r"regexp_extract_all(coalesce(text,''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"))
     n = F.length(t)
@@ -1704,6 +1717,13 @@ def semdedup_over(emb: DataFrame, k: int = IVF_K,
 
     Input (vec_id long, embedding array<numeric>); returns one row
     per vec_id: (vec_id, c_id, c_sim, keep_id, is_kept)."""
+    if not isinstance(nprobe, int) or isinstance(nprobe, bool) \
+            or nprobe < 1:
+        # nprobe=0 would silently degrade to the top-1 path (the
+        # mitigation the caller asked for never runs) and a string
+        # from a JSON opts template would only surface as an opaque
+        # analysis error at plan time (r6 review)
+        raise ValueError(f"nprobe must be an int >= 1, got {nprobe!r}")
     qe = F.transform(F.col("embedding"),
                      lambda x: F.round(x.cast("double") * IVF_QUANT)
                      .cast("long"))

@@ -1523,6 +1523,14 @@ def test_domain_token_cap(spark, tmp_path):
                              max_tokens_per_domain=None)
     with pytest.raises(ValueError, match="max_tokens_per_domain"):
         domain_cap_decisions(df, max_tokens_per_domain=-1)
+    # r6 review: setting ONLY the token budget must not silently
+    # compose the 100k doc-cap default in — token-only without
+    # max_per_domain equals token-only with an explicit None
+    only_tok = {(r.url, r.status, tuple(r.reasons)) for r in
+                domain_cap_decisions(
+                    df, max_tokens_per_domain=BUDGET).collect()}
+    assert only_tok == {(r.url, r.status, tuple(r.reasons))
+                        for r in out.values()}
     # run_job plumbing: the token variant reads (url, text)
     inp, outp, met = (str(tmp_path / p) for p in
                       ("tc_in", "tc_out", "tc_met"))
@@ -1910,6 +1918,11 @@ def test_semdedup_over_semantics(spark):
            semdedup_over(df, k=2, iters=2, tau=0.95,
                          nprobe=2).collect()}
     assert np2 == {tuple(r) for r in out.collect()}
+    # nprobe=0 (silent top-1 degrade) and JSON-template strings fail
+    # fast instead of misbehaving at plan time
+    for bad in (0, -1, "2"):
+        with pytest.raises(ValueError, match="nprobe"):
+            semdedup_over(df, k=2, nprobe=bad)
 
 
 def test_run_job_semdedup_mode_crash_resume(spark, tmp_path):
