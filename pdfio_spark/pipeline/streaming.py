@@ -351,6 +351,43 @@ def stream_mix(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_shard_export(spark: SparkSession, input_dir: str,
+                        checkpoint_dir: str, output_dir: str,
+                        n_shards: int, seed: int = 0,
+                        schema: str = "url string, text string",
+                        key_cols=("url",), available_now: bool = True):
+    """Streaming twin of job.shard_export — continuous ingestion into
+    training shard directories. Shard membership is a PURE ROW
+    FUNCTION (pmod(xxhash64(keys, seed), n)), so the stateless map is
+    globally correct and a row lands in the same shard=N/ directory
+    as the batch writer would place it. SEMANTIC DELTA vs batch
+    (documented, inherent): each micro-batch appends its OWN files to
+    the shard dirs — one-sorted-file-per-shard and the within-shard
+    global sort_key order hold only per batch; a training reader of a
+    streamed shard orders by sort_key at read time (the column is in
+    every row). Exactly-once via the checkpoint."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    keys = [F.col(c) for c in key_cols]
+    src = (spark.readStream
+           .schema(schema)
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    df = (src.withColumn("sort_key", F.xxhash64(*keys, F.lit(seed)))
+          .withColumn("shard",
+                      F.pmod(F.col("sort_key"), F.lit(n_shards))
+                      .cast("int")))
+    writer = (df.writeStream
+              .format("parquet")
+              .partitionBy("shard")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_domain_cap(spark: SparkSession, input_dir: str,
                       checkpoint_dir: str, output_dir: str,
                       max_per_domain: int = 100_000):

@@ -1219,6 +1219,33 @@ def test_run_job_null_url_resume_idempotent(spark, tmp_path):
     assert out2.filter("url = ''").count() == 1
 
 
+def test_stream_shard_export_twin(spark, tmp_path):
+    """Streaming shard writer: every row lands in the SAME shard dir
+    the batch writer assigns (pure-row-function membership), with the
+    documented per-batch file-granularity delta."""
+    import os
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import shard_export
+    from pdfio_spark.pipeline.streaming import stream_shard_export
+    rows = [(f"https://s.org/{i}", f"txt {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    inp, chk, outp, bout = (str(tmp_path / p) for p in
+                            ("ss_in", "ss_chk", "ss_out", "ss_b"))
+    df.write.parquet(inp)
+    q = stream_shard_export(spark, inp, chk, outp, n_shards=4)
+    q.awaitTermination(120)
+    shard_export(df, bout, n_shards=4)
+    got = {(r.url, r.shard, r.sort_key) for r in
+           spark.read.parquet(outp).collect()}
+    want = {(r.url, r.shard, r.sort_key) for r in
+            spark.read.parquet(bout).collect()}
+    assert got == want
+    assert {d for d in os.listdir(outp) if d.startswith("shard=")} \
+        == {f"shard={s}" for s in range(4)}
+    with pytest.raises(ValueError, match="n_shards"):
+        stream_shard_export(spark, inp, chk, outp, n_shards=0)
+
+
 def test_stream_mix_twin(spark, tmp_path):
     """The stateless streaming twin emits byte-identical decisions to
     the batch operator (doc-local rule -> foreachBatch-free map)."""
