@@ -495,6 +495,60 @@ def dedup_metrics(extracted: DataFrame) -> DataFrame:
                        .otherwise(0)).alias("n_near_dup")))
 
 
+def dedup_against(corpus: DataFrame, reference: DataFrame) -> DataFrame:
+    """Incremental dedup (run.py --mode dedupref): decide NEW docs
+    against an EXISTING kept corpus — the daily-crawl shape, where
+    re-running corpus-global dedup over reference+increment would
+    re-shuffle the whole historical corpus for a 1% increment. Both
+    sides are (url|*, text); returns one decision per new url.
+
+    Exact stage: xxhash64(text) LEFT SEMI membership probe against
+    the reference's DISTINCT hash set — only 8-byte keys ride the
+    shuffle, unique keys so no skew. Near stage: THE shared band
+    kernel (minhash_band_melt — batch q_dedup_minhash and streaming
+    stream_neardup agree with it by construction): a new doc with any
+    (band, bucket) key present in the reference melt is a near_dup;
+    the reference keys are DISTINCT'd first, bounding the right side
+    to unique keys (a million-way-duplicated reference bucket joins
+    as one row). stream_neardup is this same decision arrival-order
+    online; this is the batch form against a frozen snapshot.
+
+    New-vs-new duplication is deliberately NOT decided here — that is
+    the corpus-global operator (--mode dedup); run it over the kept
+    survivors when the increment itself is large. Decisions are
+    doc-local GIVEN the frozen reference, so the standard per-url
+    resume anti-join applies (NOT corpus_global).
+
+    status: kept | exact_dup | near_dup (near checked only for
+    non-exact docs; shares dedup_metrics via the is_kept column)."""
+    corpus = corpus.groupBy("url").agg(F.min("text").alias("text"))
+    ids = (corpus.select("url", "text",
+                         F.xxhash64("text").alias("th"))
+           # three consumers (exact probe, near melt, final select):
+           # checkpoint or each re-reads+re-hashes the increment
+           .localCheckpoint())
+    from .queries import minhash_band_melt
+    ref_h = (reference.select(F.xxhash64("text").alias("th"))
+             .distinct())
+    exact = (ids.join(ref_h, "th", "left_semi")
+             .select("url", F.lit(True).alias("_ex")))
+    ref_keys = (minhash_band_melt(
+        reference.select(F.lit(0).alias("rid"), "text"), id_col="rid")
+        .select("band", "bucket").distinct())
+    near = (minhash_band_melt(ids, id_col="url")
+            .join(ref_keys, ["band", "bucket"], "left_semi")
+            .select("url").distinct()
+            .select("url", F.lit(True).alias("_nr")))
+    status = (F.when(F.col("_ex"), "exact_dup")
+              .when(F.col("_nr"), "near_dup")
+              .otherwise("kept"))
+    return (ids.select("url")
+            .join(exact, "url", "left")
+            .join(near, "url", "left")
+            .select("url", status.alias("status"))
+            .withColumn("is_kept", F.col("status") == "kept"))
+
+
 def _subdoc_decisions(corpus: DataFrame, over_fn, out_cols: list,
                       total_col: str) -> DataFrame:
     """Shared production wrapper for the corpus-global sub-document

@@ -72,7 +72,8 @@ def run_job(spark, input_path: str, output_path: str,
             decontam_opts: dict | None = None,
             domaincap_opts: dict | None = None,
             semdedup_opts: dict | None = None,
-            mix_opts: dict | None = None) -> dict:
+            mix_opts: dict | None = None,
+            dedupref_opts: dict | None = None) -> dict:
     """mode='pdf' (default): full PDF parse stack. mode='html': the
     web-page half — DOM block-scoring boilerplate strip over the same
     (url, html binary) table shape, same resume/metrics contract.
@@ -174,6 +175,23 @@ def run_job(spark, input_path: str, output_path: str,
         def extract_fn(c, _uo=uo):
             return url_filter_decisions(c, **_uo)
         metrics_fn = urlfilter_metrics
+    elif mode == "dedupref":
+        from .job import dedup_against, dedup_metrics
+        ro = dedupref_opts or {}
+        bad = set(ro) - {"reference_path"}
+        if bad:
+            raise ValueError(f"unknown dedupref_opts keys "
+                             f"{sorted(bad)} (reference_path)")
+        if "reference_path" not in ro:
+            raise ValueError("mode='dedupref' needs dedupref_opts="
+                             "{'reference_path': ...} — the frozen "
+                             "kept corpus to dedup the increment "
+                             "against")
+        ref = spark.read.parquet(ro["reference_path"]).select("text")
+
+        def extract_fn(c, _ref=ref):
+            return dedup_against(c, _ref)
+        metrics_fn = dedup_metrics
     elif mode == "mix":
         from .job import mix_decisions, mix_metrics
         mo = mix_opts or {}
@@ -225,7 +243,8 @@ def run_job(spark, input_path: str, output_path: str,
         raise ValueError(f"unknown mode {mode!r} (pdf | html | wet | "
                          "wat | dedup | sigaudit | filter | pii | "
                          "urlfilter | decontam | domaincap | "
-                         "linededup | substrdedup | semdedup | mix)")
+                         "linededup | substrdedup | semdedup | mix | "
+                         "dedupref)")
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
@@ -246,6 +265,9 @@ def run_job(spark, input_path: str, output_path: str,
                          "mode='semdedup'")
     if mix_opts is not None and mode != "mix":
         raise ValueError("mix_opts is only valid with mode='mix'")
+    if dedupref_opts is not None and mode != "dedupref":
+        raise ValueError("dedupref_opts is only valid with "
+                         "mode='dedupref'")
 
     rid = run_id or uuid.uuid4().hex
     src = spark.read.parquet(input_path)
@@ -262,6 +284,7 @@ def run_job(spark, input_path: str, output_path: str,
             "substrdedup": ["url", "text"],
             "semdedup": ["url", "embedding"],
             "mix": ["url"],
+            "dedupref": ["url", "text"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
                                                       ["url", "html"])
     # decisions in these modes depend on EVERY other doc: resume must
@@ -416,7 +439,8 @@ def main(argv=None) -> None:
                     choices=("pdf", "html", "wet", "wat", "dedup",
                              "sigaudit", "filter", "pii", "urlfilter",
                              "decontam", "domaincap", "linededup",
-                             "substrdedup", "semdedup", "mix"),
+                             "substrdedup", "semdedup", "mix",
+                             "dedupref"),
                     default="pdf")
     # sigaudit material: os.pathsep-separated file paths, read on the
     # driver and shipped into task closures (works on a real cluster
@@ -445,6 +469,9 @@ def main(argv=None) -> None:
     # --mode mix options, e.g. --mix-opts
     # '{"weights": {"wikipedia.org": 3.0, "spam.net": 0.1}}'
     ap.add_argument("--mix-opts", default=None)
+    # --mode dedupref options, e.g. --dedupref-opts
+    # '{"reference_path": "/data/kept_corpus"}'
+    ap.add_argument("--dedupref-opts", default=None)
     args = ap.parse_args(argv)
 
     filter_opts = None
@@ -471,6 +498,10 @@ def main(argv=None) -> None:
     if args.mix_opts is not None:
         import json
         mix_opts = json.loads(args.mix_opts)
+    dedupref_opts = None
+    if args.dedupref_opts is not None:
+        import json
+        dedupref_opts = json.loads(args.dedupref_opts)
     if args.blocked_domains is not None:
         with open(args.blocked_domains) as f:
             doms = [ln.strip() for ln in f if ln.strip()
@@ -503,7 +534,8 @@ def main(argv=None) -> None:
                   sig_material=sig_material, filter_opts=filter_opts,
                   url_opts=url_opts, decontam_opts=decontam_opts,
                   domaincap_opts=domaincap_opts,
-                  semdedup_opts=semdedup_opts, mix_opts=mix_opts)
+                  semdedup_opts=semdedup_opts, mix_opts=mix_opts,
+                  dedupref_opts=dedupref_opts)
     print(out)
     spark.stop()
 

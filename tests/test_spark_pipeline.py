@@ -2017,6 +2017,71 @@ def test_run_job_semdedup_mode_crash_resume(spark, tmp_path):
                 semdedup_opts=so)
 
 
+def test_dedup_against_and_run_job_dedupref_mode(spark, tmp_path):
+    """late r6: incremental dedup — decide NEW docs against a FROZEN
+    reference corpus (the daily-crawl shape). Exact via hash semi-
+    join, near via the shared band kernel; new-vs-new duplication
+    deliberately not decided (docstring); doc-local resume."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import dedup_against
+    from pdfio_spark.pipeline.run import run_job
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide field all day long without rest")
+    near = base.replace("rest", "pause")  # band-collides with base
+    other = ("completely different content about spark catalyst "
+             "optimizer internals and adaptive query execution plans")
+    ref = spark.createDataFrame(
+        [("ref://0", base), ("ref://1", other), ("ref://1b", other)],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("doc://a", base),            # byte-identical -> exact_dup
+         ("doc://b", near),            # band-collides  -> near_dup
+         ("doc://c", "a fresh short doc about entirely new topics "
+                     "with no overlap against the kept corpus"),
+         ("doc://d", "tiny"),          # <3 words: no shingles, kept
+         ("doc://a", base)],           # recrawl -> ONE decision
+        "url string, text string")
+    out = {r.url: r for r in
+           dedup_against(new, ref.select("text")).collect()}
+    assert len(out) == 4
+    assert out["doc://a"].status == "exact_dup"
+    assert out["doc://b"].status == "near_dup"
+    assert out["doc://c"].status == "kept" and out["doc://c"].is_kept
+    assert out["doc://d"].status == "kept"
+    # deterministic re-derivation
+    again = {(r.url, r.status) for r in
+             dedup_against(new, ref.select("text")).collect()}
+    assert again == {(r.url, r.status) for r in out.values()}
+
+    # production contract: doc-local resume (only appended input
+    # re-decided), metrics via the shared dedup_metrics
+    inp, refp, outp, met = (str(tmp_path / p) for p in
+                            ("dr_in", "dr_ref", "dr_out", "dr_met"))
+    new.write.parquet(inp)
+    ref.write.parquet(refp)
+    ro = {"reference_path": refp}
+    r1 = run_job(spark, inp, outp, met, mode="dedupref", run_id="d1",
+                 dedupref_opts=ro)
+    assert r1["by_status"] == {"kept": 2, "exact_dup": 1,
+                               "near_dup": 1}
+    spark.createDataFrame([("doc://e", other)],
+                          "url string, text string") \
+        .write.mode("append").parquet(inp)
+    r2 = run_job(spark, inp, outp, met, mode="dedupref", resume=True,
+                 run_id="d2", dedupref_opts=ro)
+    assert r2["written"] == 1
+    assert r2["by_status"] == {"exact_dup": 1}
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 5
+    assert m.agg(F.sum("n_kept")).collect()[0][0] == 2
+    with pytest.raises(ValueError, match="reference_path"):
+        run_job(spark, inp, outp, met, mode="dedupref",
+                dedupref_opts={})
+    with pytest.raises(ValueError, match="only valid"):
+        run_job(spark, inp, outp, met, mode="pdf",
+                dedupref_opts=ro)
+
+
 def test_line_dedup_over_semantics(spark):
     """r6: C4-style corpus-level line dedup — a duplicated line keeps
     only its first occurrence by (doc_id, pos), including WITHIN one

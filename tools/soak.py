@@ -1019,6 +1019,70 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode == "rundedupref":
+        # incremental dedup at 1M new docs against a 1M frozen
+        # reference: 80% fresh (disjoint 20-word synthetic texts),
+        # 10% exact copies of reference texts (closed-form
+        # exact_dup), 10% near copies (last word swapped: 17/18
+        # shingles shared — near_dup via the band kernel, fraction
+        # reported). The daily-crawl shape: the reference shuffles
+        # only 8-byte hash keys + distinct band keys.
+        from pdfio_spark.pipeline.run import run_job
+
+        def words(seed, n=20, last_seed=None):
+            parts = [f"concat('w', pmod(xxhash64(id, {seed}, {j}), "
+                     "100000))" for j in range(n)]
+            if last_seed is not None:
+                parts[-1] = (f"concat('w', pmod(xxhash64(id, "
+                             f"{last_seed}, {n - 1}), 100000))")
+            return "concat_ws(' ', " + ", ".join(parts) + ")"
+
+        n_plant = n_docs // 10
+        ref = spark.range(n_docs).selectExpr(
+            "concat('ref://', id) as url", f"{words(1)} as text")
+        fresh = spark.range(n_docs - 2 * n_plant).selectExpr(
+            "concat('new://', id) as url", f"{words(2)} as text")
+        exact = spark.range(n_plant).selectExpr(
+            "concat('ex://', id) as url", f"{words(1)} as text")
+        nearp = spark.range(n_plant).selectExpr(
+            "concat('nr://', id) as url",
+            f"{words(1, last_seed=9)} as text")
+        inp = os.path.join(soak_dir, "drf_in")
+        refp = os.path.join(soak_dir, "drf_ref")
+        outp = os.path.join(soak_dir, "drf_out")
+        met = os.path.join(soak_dir, "drf_met")
+        for d in (inp, refp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        (fresh.unionByName(exact).unionByName(nearp)
+         .repartition(cpus * 2).write.parquet(inp))
+        ref.repartition(cpus * 2).write.parquet(refp)
+        t0 = time.perf_counter()
+        res = run_job(spark, inp, outp, met, mode="dedupref",
+                      run_id=f"soak-{mode}",
+                      dedupref_opts={"reference_path": refp})
+        dt = time.perf_counter() - t0
+        bs = res["by_status"]
+        # a near plant whose swapped last word collides with the
+        # original (P = 1/vocab = 1e-5 per doc) IS byte-identical —
+        # it legitimately lands exact_dup, so the bound is a small
+        # tolerance above the planted count, not equality
+        assert n_plant <= bs.get("exact_dup", 0) <= n_plant + 20, bs
+        near_frac = (spark.read.parquet(outp)
+                     .filter("url like 'nr://%' and "
+                             "status = 'near_dup'").count() / n_plant)
+        # fresh docs never collide (disjoint shingle vocab draws)
+        assert bs.get("kept", 0) >= n_docs - 2 * n_plant, bs
+        print(json.dumps({"mode": mode, "n_docs": res["written"],
+                          "by_status": bs,
+                          "planted_near_frac": round(near_frac, 3),
+                          "sec": round(dt, 1),
+                          "docs_per_sec": round(res["written"] / dt,
+                                                1)}))
+        for d in (inp, refp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
     if mode == "rundomaincap":
         # the per-domain cap under the skew it exists for: HALF the
         # corpus lands on one registrable domain (site0.com), the
