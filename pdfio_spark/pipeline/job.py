@@ -495,55 +495,101 @@ def dedup_metrics(extracted: DataFrame) -> DataFrame:
                        .otherwise(0)).alias("n_near_dup")))
 
 
-def dedup_against(corpus: DataFrame, reference: DataFrame) -> DataFrame:
+def build_dedup_index(reference: DataFrame, index_path: str,
+                      mode: str = "error") -> None:
+    """Persist the frozen reference's dedup index once so daily
+    dedup_against runs never re-scan or re-melt the history: writes
+    `index_path/th` (distinct xxhash64(text) — 8 bytes/distinct doc)
+    and `index_path/bands` (distinct (band, bucket) keys from the
+    shared minhash_band_melt kernel). Rebuild only when the kept
+    corpus changes (e.g. after appending the day's survivors)."""
+    from .queries import minhash_band_melt
+    (reference.select(F.xxhash64("text").alias("th")).distinct()
+     .write.mode(mode).parquet(f"{index_path}/th"))
+    (minhash_band_melt(
+        reference.select(F.lit(0).alias("rid"), "text"), id_col="rid")
+     .select("band", "bucket").distinct()
+     .write.mode(mode).parquet(f"{index_path}/bands"))
+
+
+def dedup_against(corpus: DataFrame,
+                  reference: DataFrame | None = None,
+                  index_path: str | None = None) -> DataFrame:
     """Incremental dedup (run.py --mode dedupref): decide NEW docs
     against an EXISTING kept corpus — the daily-crawl shape, where
     re-running corpus-global dedup over reference+increment would
-    re-shuffle the whole historical corpus for a 1% increment. Both
-    sides are (url|*, text); returns one decision per new url.
+    re-shuffle the whole historical corpus for a 1% increment. Pass
+    EITHER `reference` (a (.., text) DataFrame — hashed and melted
+    inline, two full reference scans per run) or `index_path` (the
+    build_dedup_index output — the amortized path: at 100x-increment
+    scale the inline reference melt dominates wall time, the index
+    read is just the distinct keys). Returns one decision per url.
 
     Exact stage: xxhash64(text) LEFT SEMI membership probe against
-    the reference's DISTINCT hash set — only 8-byte keys ride the
-    shuffle, unique keys so no skew. Near stage: THE shared band
+    the reference's DISTINCT hash set. Near stage: THE shared band
     kernel (minhash_band_melt — batch q_dedup_minhash and streaming
-    stream_neardup agree with it by construction): a new doc with any
-    (band, bucket) key present in the reference melt is a near_dup;
-    the reference keys are DISTINCT'd first, bounding the right side
-    to unique keys (a million-way-duplicated reference bucket joins
-    as one row). stream_neardup is this same decision arrival-order
-    online; this is the batch form against a frozen snapshot.
+    stream_neardup agree with it by construction), checked only for
+    docs the exact stage did NOT claim (recrawl-heavy increments are
+    the common case; exact dups skip the 16-minhash melt entirely):
+    a doc with any (band, bucket) key present in the reference melt
+    is a near_dup. stream_neardup is this same decision
+    arrival-order online; this is the batch form against a frozen
+    snapshot.
 
-    New-vs-new duplication is deliberately NOT decided here — that is
-    the corpus-global operator (--mode dedup); run it over the kept
-    survivors when the increment itself is large. Decisions are
-    doc-local GIVEN the frozen reference, so the standard per-url
-    resume anti-join applies (NOT corpus_global).
+    Skew: the REFERENCE side is distinct'd (a million-way-duplicated
+    reference text/bucket joins as one row), so reference skew
+    cannot form; duplication WITHIN the increment still concentrates
+    a hot th / band key's probe rows on one SMJ task — for an
+    increment that is itself heavily duplicated, run the
+    corpus-global --mode dedup first (its exact stage collapses the
+    copies), which is also the documented composition for new-vs-new
+    duplication: this operator deliberately does NOT decide it.
+    Decisions are doc-local GIVEN the frozen reference, so the
+    standard per-url resume anti-join applies (NOT corpus_global).
 
-    status: kept | exact_dup | near_dup (near checked only for
-    non-exact docs; shares dedup_metrics via the is_kept column)."""
-    corpus = corpus.groupBy("url").agg(F.min("text").alias("text"))
-    ids = (corpus.select("url", "text",
-                         F.xxhash64("text").alias("th"))
-           # three consumers (exact probe, near melt, final select):
-           # checkpoint or each re-reads+re-hashes the increment
-           .localCheckpoint())
+    status: kept | exact_dup | near_dup (shares dedup_metrics via
+    the is_kept column)."""
+    if (reference is None) == (index_path is None):
+        raise ValueError("pass exactly one of reference / index_path")
     from .queries import minhash_band_melt
-    ref_h = (reference.select(F.xxhash64("text").alias("th"))
-             .distinct())
-    exact = (ids.join(ref_h, "th", "left_semi")
-             .select("url", F.lit(True).alias("_ex")))
-    ref_keys = (minhash_band_melt(
-        reference.select(F.lit(0).alias("rid"), "text"), id_col="rid")
-        .select("band", "bucket").distinct())
-    near = (minhash_band_melt(ids, id_col="url")
+    # NULL url -> '' (the urlfilter/mix/semdedup rule: a NULL key
+    # silently drops the _ex/_nr join flags below AND can never
+    # resume — r6 review, confirmed by repro)
+    corpus = (corpus
+              .withColumn("url", F.coalesce(F.col("url"), F.lit("")))
+              .groupBy("url").agg(F.min("text").alias("text")))
+    ids = corpus.select("url", "text",
+                        F.xxhash64("text").alias("th"))
+    if index_path is not None:
+        spark = corpus.sparkSession
+        ref_h = spark.read.parquet(f"{index_path}/th")
+        ref_keys = spark.read.parquet(f"{index_path}/bands")
+    else:
+        ref_h = (reference.select(F.xxhash64("text").alias("th"))
+                 .distinct())
+        ref_keys = (minhash_band_melt(
+            reference.select(F.lit(0).alias("rid"), "text"),
+            id_col="rid")
+            .select("band", "bucket").distinct())
+    # ONE left join carries the exact verdict (ref_h is distinct, so
+    # no fanout) — a semi+anti pair would shuffle the increment's
+    # text twice (measured 22.5 -> 28 s at 1M; this shape is fewer
+    # joins than either). The melt then filters exact dups MAP-side:
+    # recrawl-heavy increments skip the 16-minhash work entirely.
+    marked = (ids.join(ref_h.withColumn("_ex", F.lit(True)),
+                       "th", "left")
+              # two consumers (near melt, final select): checkpoint
+              # or each re-reads + re-joins the increment
+              .localCheckpoint())
+    near = (minhash_band_melt(marked.filter(F.col("_ex").isNull()),
+                              id_col="url")
             .join(ref_keys, ["band", "bucket"], "left_semi")
             .select("url").distinct()
             .select("url", F.lit(True).alias("_nr")))
     status = (F.when(F.col("_ex"), "exact_dup")
               .when(F.col("_nr"), "near_dup")
               .otherwise("kept"))
-    return (ids.select("url")
-            .join(exact, "url", "left")
+    return (marked.select("url", "_ex")
             .join(near, "url", "left")
             .select("url", status.alias("status"))
             .withColumn("is_kept", F.col("status") == "kept"))

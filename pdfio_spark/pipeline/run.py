@@ -178,19 +178,22 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "dedupref":
         from .job import dedup_against, dedup_metrics
         ro = dedupref_opts or {}
-        bad = set(ro) - {"reference_path"}
+        bad = set(ro) - {"reference_path", "index_path"}
         if bad:
             raise ValueError(f"unknown dedupref_opts keys "
-                             f"{sorted(bad)} (reference_path)")
-        if "reference_path" not in ro:
-            raise ValueError("mode='dedupref' needs dedupref_opts="
-                             "{'reference_path': ...} — the frozen "
-                             "kept corpus to dedup the increment "
-                             "against")
-        ref = spark.read.parquet(ro["reference_path"]).select("text")
+                             f"{sorted(bad)} (reference_path | "
+                             "index_path)")
+        if ("reference_path" in ro) == ("index_path" in ro):
+            raise ValueError("mode='dedupref' needs dedupref_opts "
+                             "with exactly one of reference_path "
+                             "(frozen kept corpus, hashed inline) / "
+                             "index_path (build_dedup_index output — "
+                             "the amortized daily path)")
+        ref = (spark.read.parquet(ro["reference_path"]).select("text")
+               if "reference_path" in ro else None)
 
-        def extract_fn(c, _ref=ref):
-            return dedup_against(c, _ref)
+        def extract_fn(c, _ref=ref, _ix=ro.get("index_path")):
+            return dedup_against(c, _ref, index_path=_ix)
         metrics_fn = dedup_metrics
     elif mode == "mix":
         from .job import mix_decisions, mix_metrics

@@ -2052,6 +2052,24 @@ def test_dedup_against_and_run_job_dedupref_mode(spark, tmp_path):
     again = {(r.url, r.status) for r in
              dedup_against(new, ref.select("text")).collect()}
     assert again == {(r.url, r.status) for r in out.values()}
+    # r6 review: NULL url coalesces to '' and still gets the exact
+    # verdict (a NULL key used to drop BOTH join flags -> 'kept')
+    withnull = spark.createDataFrame([(None, base)],
+                                     "url string, text string")
+    nr = dedup_against(withnull, ref.select("text")).collect()
+    assert [(r.url, r.status) for r in nr] == [("", "exact_dup")]
+    # precomputed index path decides identically (the amortized
+    # daily shape: the frozen reference is never re-melted)
+    from pdfio_spark.pipeline.job import build_dedup_index
+    ixp = str(tmp_path / "dr_ix")
+    build_dedup_index(ref.select("text"), ixp)
+    viaix = {(r.url, r.status) for r in
+             dedup_against(new, index_path=ixp).collect()}
+    assert viaix == {(r.url, r.status) for r in out.values()}
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_against(new, ref.select("text"), index_path=ixp)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_against(new)
 
     # production contract: doc-local resume (only appended input
     # re-decided), metrics via the shared dedup_metrics
@@ -2074,12 +2092,22 @@ def test_dedup_against_and_run_job_dedupref_mode(spark, tmp_path):
     m = spark.read.parquet(met)
     assert m.agg(F.sum("n_docs")).collect()[0][0] == 5
     assert m.agg(F.sum("n_kept")).collect()[0][0] == 2
-    with pytest.raises(ValueError, match="reference_path"):
+    with pytest.raises(ValueError, match="exactly one"):
         run_job(spark, inp, outp, met, mode="dedupref",
                 dedupref_opts={})
+    with pytest.raises(ValueError, match="exactly one"):
+        run_job(spark, inp, outp, met, mode="dedupref",
+                dedupref_opts={"reference_path": refp,
+                               "index_path": ixp})
     with pytest.raises(ValueError, match="only valid"):
         run_job(spark, inp, outp, met, mode="pdf",
                 dedupref_opts=ro)
+    # index-path mode through the contract too
+    outp2, met2 = str(tmp_path / "dr_out2"), str(tmp_path / "dr_met2")
+    rix = run_job(spark, inp, outp2, met2, mode="dedupref",
+                  run_id="d3", dedupref_opts={"index_path": ixp})
+    assert rix["by_status"] == {"kept": 2, "exact_dup": 2,
+                                "near_dup": 1}
 
 
 def test_line_dedup_over_semantics(spark):

@@ -1069,8 +1069,13 @@ def main() -> None:
         assert n_plant <= bs.get("exact_dup", 0) <= n_plant + 20, bs
         near_frac = (spark.read.parquet(outp)
                      .filter("url like 'nr://%' and "
-                             "status = 'near_dup'").count() / n_plant)
-        # fresh docs never collide (disjoint shingle vocab draws)
+                             "status = 'near_dup'").count()
+                     / max(n_plant, 1))
+        # the band kernel must actually catch the 1-word-in-20 edits
+        # (r6 review: an unasserted near_frac would let a kernel
+        # regression pass silently); fresh docs never collide
+        # (disjoint shingle vocab draws)
+        assert n_plant == 0 or near_frac >= 0.95, near_frac
         assert bs.get("kept", 0) >= n_docs - 2 * n_plant, bs
         print(json.dumps({"mode": mode, "n_docs": res["written"],
                           "by_status": bs,
