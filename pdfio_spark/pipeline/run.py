@@ -25,7 +25,10 @@ runs SemDeDup (job.semdedup_decisions) over (url, embedding) —
 embedding-cluster semantic dedup, corpus-global like --mode dedup;
 --mode mix (r6) runs the data-mixture sampling stage
 (job.mix_decisions) over (url) — per-domain rates with deterministic
-downsampling and epoch-style upsampling, map-only. All modes share the
+downsampling and epoch-style upsampling, map-only; --mode dedupref
+(r6) decides a NEW crawl against a FROZEN kept corpus
+(job.dedup_against — hash semi-probe + the shared band kernel,
+doc-local given the reference). All modes share the
 resume/metrics/run_id-reconcile contract (dedup resume re-derives the
 corpus-global decisions and appends only unwritten rows — see
 run_job).

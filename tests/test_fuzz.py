@@ -335,3 +335,29 @@ def test_trust_validation_never_crashes_on_mutation(data):
     for s in validate_signatures(doc, bytes(pdf), trust=trust):
         assert isinstance(s, dict) and "passed" in s
         assert isinstance(s["passed"], bool)
+
+
+@given(st.integers(min_value=1, max_value=2048))
+@settings(max_examples=30, deadline=None)
+def test_shard_route_covers_all_residues(n):
+    """_shard_route must terminate with a FULL residue cover for any
+    shard count, and every token must land its shard's partition
+    under the same murmur3 the HashPartitioner applies — the property
+    the one-task-per-shard exchange routing rests on (the bit-for-bit
+    F.hash equivalence of _mmh3_int is pinned in the Spark test)."""
+    from pdfio_spark.pipeline.job import _mmh3_int, _shard_route
+    toks = _shard_route(n)
+    assert sorted(toks) == list(range(n))
+    for s, t in toks.items():
+        assert _mmh3_int(t) % n == s
+
+
+@given(st.integers(min_value=-2 ** 63, max_value=2 ** 63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_mmh3_int_stays_int32(i):
+    """Murmur3_x86_32 output must stay in signed-int32 range for any
+    input (Spark's Murmur3Hash hashes the low 32 bits of an int
+    column; _mmh3_int masks the same way)."""
+    from pdfio_spark.pipeline.job import _mmh3_int
+    h = _mmh3_int(i)
+    assert -(1 << 31) <= h < (1 << 31)
