@@ -390,56 +390,86 @@ def stream_shard_export(spark: SparkSession, input_dir: str,
 
 def stream_domain_cap(spark: SparkSession, input_dir: str,
                       checkpoint_dir: str, output_dir: str,
-                      max_per_domain: int = 100_000):
+                      max_per_domain=None,
+                      max_tokens_per_domain: int | None = None):
     """Streaming twin of run.py --mode domaincap: one GroupState
     counter per registrable domain; a doc keeps while its domain's
     running count is below max_per_domain — ARRIVAL-order semantics
     (the stream_dedup convention), not the batch operator's
     deterministic hash order: the streaming cap admits the first N
     to arrive, the batch cap admits the hash-smallest N. Emits
-    (url, domain, kept). State is one int per domain — growth is
-    O(distinct domains), no TTL needed at web scale (~10^8 domains
-    is a few GB across the state store)."""
+    (url, domain, kept). State is one (count, tokens) pair per
+    domain — growth is O(distinct domains), no TTL needed at web
+    scale (~10^8 domains is a few GB across the state store).
+
+    max_tokens_per_domain mirrors the batch token budget (late r6):
+    a doc keeps while the domain's tokens BEFORE it (arrival order)
+    are under the budget; the token weight is the shared
+    ws_tokens_expr kernel computed JVM-side before the stateful op,
+    so the pandas fn only cumsums. The omitted-doc-cap default
+    resolves like the batch sentinel: token-only when a token budget
+    is given, 100k docs otherwise."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     from .job import url_parse_cols
+    from .queries import ws_tokens_expr
 
-    src = (spark.readStream
-           .schema("url string")
-           .option("maxFilesPerTrigger", 8)
-           .parquet(input_dir))
-    cap = int(max_per_domain)
-    if cap < 0:
+    token_mode = max_tokens_per_domain is not None
+    if max_per_domain is None:
+        max_per_domain = None if token_mode else 100_000
+    cap = None if max_per_domain is None else int(max_per_domain)
+    budget = (None if max_tokens_per_domain is None
+              else int(max_tokens_per_domain))
+    if cap is not None and cap < 0:
         # mirror the batch guard: a mis-signed cap would otherwise
         # silently mark every document kept=false forever
         raise ValueError("max_per_domain must be >= 0")
+    if budget is not None and budget < 0:
+        raise ValueError("max_tokens_per_domain must be >= 0")
+    src = (spark.readStream
+           .schema("url string, text string" if token_mode
+                   else "url string")
+           .option("maxFilesPerTrigger", 8)
+           .parquet(input_dir))
+    wcols = ([ws_tokens_expr().cast("long").alias("w")]
+             if token_mode else [])
     m = (src.select(F.coalesce(F.col("url"), F.lit(""))
-                    .alias("url"))
-         .select("url", *url_parse_cols())
-         .select("url", "domain"))
+                    .alias("url"), *wcols)
+         .select("url", *url_parse_cols(),
+                 *(["w"] if token_mode else []))
+         .select("url", "domain", *(["w"] if token_mode else [])))
 
     def decide_fn(key, pdf_iter, state):
-        c = state.get[0] if state.exists else 0
+        c, t = tuple(state.get) if state.exists else (0, 0)
         cols = ["url", "domain", "kept"]
 
         def gen():
-            nonlocal c
+            nonlocal c, t
+            import numpy as np
             for pdf in pdf_iter:
                 n = len(pdf)
                 if not n:
                     continue
-                take = max(0, min(n, cap - c))
                 pdf = pdf.copy()
-                pdf["kept"] = [i < take for i in range(n)]
+                ok = np.ones(n, dtype=bool)
+                if cap is not None:
+                    ok &= (c + np.arange(n)) < cap
+                if budget is not None:
+                    w = pdf["w"].to_numpy()
+                    before = t + np.concatenate(
+                        ([0], np.cumsum(w)[:-1]))
+                    ok &= before < budget
+                    t += int(w.sum())
+                pdf["kept"] = ok
                 c += n
                 yield pdf[cols]
-            state.update((c,))
+            state.update((c, t))
 
         return gen()
 
     decided = m.groupBy("domain").applyInPandasWithState(
         decide_fn,
         outputStructType="url string, domain string, kept boolean",
-        stateStructType="cnt long",
+        stateStructType="cnt long, tok long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
     return (decided.writeStream

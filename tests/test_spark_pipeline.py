@@ -1642,6 +1642,37 @@ def test_stream_domain_cap(spark, tmp_path):
     assert len(out2) == 7
     assert out2["https://hot.example.com/late"] is False
     assert out2["https://fresh.example.org/a"] is True
+    # token-budget twin (late r6): uniform 30-token docs make the
+    # arrival-order decision ORDER-INDEPENDENT — budget 100 admits
+    # exactly 4 (tokens_before 0/30/60/90 < 100); the under-budget
+    # domain keeps everything; the state survives a second run
+    inp2, chk2, outp2 = (str(tmp_path / p) for p in
+                         ("sdt_in", "sdt_chk", "sdt_out"))
+    t30 = " ".join(["tok"] * 30)
+    rows = ([(f"https://hot.example.com/{i}", t30) for i in range(10)]
+            + [("https://cool.example.org/a", t30)])
+    spark.createDataFrame(rows, "url string, text string") \
+        .coalesce(1).write.parquet(inp2)
+    qt = stream_domain_cap(spark, inp2, chk2, outp2,
+                           max_tokens_per_domain=100)
+    qt.awaitTermination(120)
+    ot = spark.read.parquet(outp2)
+    hot = ot.filter("domain = 'example.com'")
+    assert hot.filter("kept").count() == 4  # NO doc-cap composed in
+    assert hot.count() == 10
+    assert ot.filter("domain = 'example.org' and kept").count() == 1
+    spark.createDataFrame([("https://hot.example.com/late", t30)],
+                          "url string, text string") \
+        .coalesce(1).write.mode("append").parquet(inp2)
+    qt2 = stream_domain_cap(spark, inp2, chk2, outp2,
+                            max_tokens_per_domain=100)
+    qt2.awaitTermination(60)
+    late = {r.url: r.kept for r in
+            spark.read.parquet(outp2).collect()}
+    assert late["https://hot.example.com/late"] is False
+    with pytest.raises(ValueError, match="max_tokens_per_domain"):
+        stream_domain_cap(spark, inp2, chk2, outp2,
+                          max_tokens_per_domain=-5)
 
 
 def test_stream_url_filter(spark, tmp_path):
