@@ -501,15 +501,30 @@ def build_dedup_index(reference: DataFrame, index_path: str,
     dedup_against runs never re-scan or re-melt the history: writes
     `index_path/th` (distinct xxhash64(text) — 8 bytes/distinct doc)
     and `index_path/bands` (distinct (band, bucket) keys from the
-    shared minhash_band_melt kernel). Rebuild only when the kept
-    corpus changes (e.g. after appending the day's survivors)."""
-    from .queries import minhash_band_melt
+    shared minhash_band_melt kernel), then `index_path/meta` LAST —
+    meta is the commit marker (a crash between the two key writes
+    leaves a mixed-generation index that would decide silently
+    wrong; dedup_against refuses an index whose meta is missing) and
+    carries the band-kernel identity (MINHASH_KERNEL_ID — keys from
+    a different kernel version would drop near recall to ~0 with no
+    error; r6 review x2). Rebuild only when the kept corpus changes
+    (e.g. after appending the day's survivors)."""
+    from .queries import MINHASH_KERNEL_ID, minhash_band_melt
+    spark = reference.sparkSession
+    # tombstone FIRST (portable — a plain Spark overwrite, works on
+    # object storage where a local rmtree would silently no-op): a
+    # crash mid-rebuild must not leave the PREVIOUS generation's
+    # valid meta beside partially rewritten keys
+    (spark.createDataFrame([("rebuilding",)], "kernel string")
+     .write.mode("overwrite").parquet(f"{index_path}/meta"))
     (reference.select(F.xxhash64("text").alias("th")).distinct()
      .write.mode(mode).parquet(f"{index_path}/th"))
     (minhash_band_melt(
         reference.select(F.lit(0).alias("rid"), "text"), id_col="rid")
      .select("band", "bucket").distinct()
      .write.mode(mode).parquet(f"{index_path}/bands"))
+    (spark.createDataFrame([(MINHASH_KERNEL_ID,)], "kernel string")
+     .write.mode("overwrite").parquet(f"{index_path}/meta"))
 
 
 def dedup_against(corpus: DataFrame,
@@ -525,9 +540,9 @@ def dedup_against(corpus: DataFrame,
     scale the inline reference melt dominates wall time, the index
     read is just the distinct keys). Returns one decision per url.
 
-    Exact stage: xxhash64(text) LEFT SEMI membership probe against
-    the reference's DISTINCT hash set. Near stage: THE shared band
-    kernel (minhash_band_melt — batch q_dedup_minhash and streaming
+    Exact stage: xxhash64(text) membership flag via ONE left join
+    against the reference's DISTINCT hash set. Near stage: THE shared
+    band kernel (minhash_band_melt — batch q_dedup_minhash and streaming
     stream_neardup agree with it by construction), checked only for
     docs the exact stage did NOT claim (recrawl-heavy increments are
     the common case; exact dups skip the 16-minhash melt entirely):
@@ -562,8 +577,26 @@ def dedup_against(corpus: DataFrame,
                         F.xxhash64("text").alias("th"))
     if index_path is not None:
         spark = corpus.sparkSession
-        ref_h = spark.read.parquet(f"{index_path}/th")
-        ref_keys = spark.read.parquet(f"{index_path}/bands")
+        from .queries import MINHASH_KERNEL_ID
+        from pyspark.sql.utils import AnalysisException
+        try:
+            meta = spark.read.parquet(f"{index_path}/meta").collect()
+        except AnalysisException:
+            meta = []
+        kernels = [r.kernel for r in meta]
+        if kernels != [MINHASH_KERNEL_ID]:
+            raise ValueError(
+                f"dedup index at {index_path} is not a committed "
+                f"build_dedup_index output for kernel "
+                f"{MINHASH_KERNEL_ID!r} (found {kernels!r}) — an "
+                "interrupted rebuild or a stale/foreign kernel would "
+                "decide silently wrong")
+        # distinct() insurance: a th/bands dir someone APPENDED to
+        # across builds has duplicate keys, and a duplicate fans the
+        # left join out into N identical decision rows per url
+        ref_h = (spark.read.parquet(f"{index_path}/th").distinct())
+        ref_keys = (spark.read.parquet(f"{index_path}/bands")
+                    .distinct())
     else:
         ref_h = (reference.select(F.xxhash64("text").alias("th"))
                  .distinct())
@@ -578,8 +611,11 @@ def dedup_against(corpus: DataFrame,
     # recrawl-heavy increments skip the 16-minhash work entirely.
     marked = (ids.join(ref_h.withColumn("_ex", F.lit(True)),
                        "th", "left")
-              # two consumers (near melt, final select): checkpoint
-              # or each re-reads + re-joins the increment
+              # th is dead past the join — keep it out of the
+              # snapshot (checkpoints store all columns physically,
+              # the ivfpq lesson). Two consumers (near melt, final
+              # select): checkpoint or each re-reads + re-joins.
+              .drop("th")
               .localCheckpoint())
     near = (minhash_band_melt(marked.filter(F.col("_ex").isNull()),
                               id_col="url")

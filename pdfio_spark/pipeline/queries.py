@@ -2150,6 +2150,14 @@ def ann_ivfpq_topk_over(emb: DataFrame, cells: int = 16,
     return _exact_rerank(short, base, probes, topk)
 
 
+#: Identity of the band kernel below — STAMPED into every persisted
+#: dedup index (job.build_dedup_index) and VERIFIED on read
+#: (dedup_against): band keys are meaningless across kernel versions
+#: (different seeds/band split would silently drop near-dup recall to
+#: ~0 with every doc 'kept'). Bump when the kernel changes.
+MINHASH_KERNEL_ID = "shingle3-xxhash16-band4x4-v1"
+
+
 def minhash_band_melt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, text) -> melted (id, band, bucket) LSH band keys:
     word-3-shingles -> 16 seeded-xxhash minhashes -> 4 bands of 4 ->

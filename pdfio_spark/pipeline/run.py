@@ -3,7 +3,10 @@
     spark-submit --py-files pdfio_spark.zip pdfio_spark/pipeline/run.py \
         --input  <parquet/iceberg of (url, warc_ts, html, text, lang)> \
         --output <results dir/table> --metrics <metrics dir/table> \
-        [--resume] [--cpus N] [--mode pdf|html|wet|wat|dedup]
+        [--resume] [--cpus N] \
+        [--mode pdf|html|wet|wat|dedup|sigaudit|filter|pii|urlfilter|
+                decontam|domaincap|linededup|substrdedup|semdedup|
+                mix|dedupref]
 
 --mode pdf (default) runs the full PDF parse stack; --mode html runs
 the web-page boilerplate strip (html_extract) over the same table

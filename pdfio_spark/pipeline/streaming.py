@@ -425,6 +425,14 @@ def stream_domain_cap(spark: SparkSession, input_dir: str,
         raise ValueError("max_per_domain must be >= 0")
     if budget is not None and budget < 0:
         raise ValueError("max_tokens_per_domain must be >= 0")
+    if token_mode:
+        # fail fast on a text-less source: readStream.schema would
+        # project the missing column as NULL and ws_tokens_expr
+        # counts '' as 1 token — a token budget silently becomes a
+        # doc cap (r6 review). The batch path fails loudly; match it.
+        if "text" not in spark.read.parquet(input_dir).columns:
+            raise ValueError("max_tokens_per_domain needs a `text` "
+                             f"column in {input_dir}")
     src = (spark.readStream
            .schema("url string, text string" if token_mode
                    else "url string")
@@ -439,7 +447,15 @@ def stream_domain_cap(spark: SparkSession, input_dir: str,
          .select("url", "domain", *(["w"] if token_mode else [])))
 
     def decide_fn(key, pdf_iter, state):
-        c, t = tuple(state.get) if state.exists else (0, 0)
+        # doc-only mode keeps the ORIGINAL one-field state schema:
+        # adding the token field unconditionally would reject every
+        # pre-existing checkpoint at restart (state schema
+        # compatibility check) — the token field exists only for the
+        # NEW mode, which has no old checkpoints (r6 review)
+        if token_mode:
+            c, t = tuple(state.get) if state.exists else (0, 0)
+        else:
+            c, t = (state.get[0] if state.exists else 0), 0
         cols = ["url", "domain", "kept"]
 
         def gen():
@@ -462,14 +478,15 @@ def stream_domain_cap(spark: SparkSession, input_dir: str,
                 pdf["kept"] = ok
                 c += n
                 yield pdf[cols]
-            state.update((c, t))
+            state.update((c, t) if token_mode else (c,))
 
         return gen()
 
     decided = m.groupBy("domain").applyInPandasWithState(
         decide_fn,
         outputStructType="url string, domain string, kept boolean",
-        stateStructType="cnt long, tok long",
+        stateStructType=("cnt long, tok long" if token_mode
+                         else "cnt long"),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
     return (decided.writeStream

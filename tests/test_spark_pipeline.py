@@ -1673,6 +1673,11 @@ def test_stream_domain_cap(spark, tmp_path):
     with pytest.raises(ValueError, match="max_tokens_per_domain"):
         stream_domain_cap(spark, inp2, chk2, outp2,
                           max_tokens_per_domain=-5)
+    # a text-less source must refuse token mode (the NULL projection
+    # would count every doc as 1 token — a silent doc cap)
+    with pytest.raises(ValueError, match="text"):
+        stream_domain_cap(spark, inp, chk2, outp2,
+                          max_tokens_per_domain=100)
 
 
 def test_stream_url_filter(spark, tmp_path):
@@ -2139,6 +2144,22 @@ def test_dedup_against_and_run_job_dedupref_mode(spark, tmp_path):
                   run_id="d3", dedupref_opts={"index_path": ixp})
     assert rix["by_status"] == {"kept": 2, "exact_dup": 2,
                                 "near_dup": 1}
+    # index integrity (r6 review): an interrupted rebuild leaves the
+    # tombstone meta, a foreign kernel or missing meta refuses — an
+    # uncommitted index must never decide silently wrong
+    spark.createDataFrame([("rebuilding",)], "kernel string") \
+        .write.mode("overwrite").parquet(ixp + "/meta")
+    with pytest.raises(ValueError, match="committed"):
+        dedup_against(new, index_path=ixp)
+    import shutil
+    shutil.rmtree(ixp + "/meta")
+    with pytest.raises(ValueError, match="committed"):
+        dedup_against(new, index_path=ixp)
+    # a rebuild over the tombstoned index recommits and decides again
+    build_dedup_index(ref.select("text"), ixp, mode="overwrite")
+    assert ({(r.url, r.status) for r in
+             dedup_against(new, index_path=ixp).collect()}
+            == {(r.url, r.status) for r in out.values()})
 
 
 def test_line_dedup_over_semantics(spark):
