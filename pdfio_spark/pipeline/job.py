@@ -1318,7 +1318,8 @@ def url_filter_decisions(corpus: DataFrame,
 
 def mix_decisions(corpus: DataFrame, weights=None,
                   default_rate: float = 1.0,
-                  seed: int = 0) -> DataFrame:
+                  seed: int = 0,
+                  key_col: str = "domain") -> DataFrame:
     """Data-mixture sampling — the per-source weighting step of
     pretraining corpus assembly (Gao et al., 'The Pile', §1: per-set
     epoch counts; Brown et al., GPT-3 Table 2.2: datasets sampled at
@@ -1329,11 +1330,17 @@ def mix_decisions(corpus: DataFrame, weights=None,
         n_copies = floor(rate) + (u < frac(rate))
         u = pmod(xxhash64(url, seed), 1e6) / 1e6
 
-    `weights`: {registrable_domain: rate} dict or a 2-column
-    (domain, rate) DataFrame — a rate is the EXPECTED copies per doc
-    (0.3 downsamples to 30%, 1.0 passes, 2.5 upsamples to 2 or 3).
-    Unlisted domains get `default_rate`. Changing `seed` redraws the
-    fractional coin corpus-wide.
+    `weights`: {key: rate} dict or a 2-column (key, rate) DataFrame —
+    a rate is the EXPECTED copies per doc (0.3 downsamples to 30%,
+    1.0 passes, 2.5 upsamples to 2 or 3). Unlisted keys get
+    `default_rate`. Changing `seed` redraws the fractional coin
+    corpus-wide. `key_col` picks what the weights key on: 'domain'
+    (default — the registrable domain derived from the url via
+    url_parse_cols) or ANY column present in `corpus` — e.g. `lang`
+    for language-weighted mixes or a `source` tag for The
+    Pile-style per-set epochs; matching is lowercased either way,
+    and a NULL key falls through to `default_rate`. The output
+    carries the key under the `key_col` name.
 
     Scale shape: url_parse_cols derivation + one broadcast equi-join
     on the registrable domain + row-local hash arithmetic — map-only,
@@ -1368,16 +1375,21 @@ def mix_decisions(corpus: DataFrame, weights=None,
                     "lowercasing)")
             dd[k] = v
         weights = (corpus.sparkSession.createDataFrame(
-            sorted(dd.items()), "domain string, rate double")
+            sorted(dd.items()), f"{key_col} string, rate double")
             if dd else None)
     if float(default_rate) < 0:
         raise ValueError("negative default_rate")
-    parsed = (corpus
-              .withColumn("url", F.coalesce(F.col("url"), F.lit("")))
-              .select("url", *url_parse_cols())
-              .select("url", "domain"))
+    corpus = corpus.withColumn("url",
+                               F.coalesce(F.col("url"), F.lit("")))
+    if key_col == "domain":
+        parsed = (corpus.select("url", *url_parse_cols())
+                  .select("url", "domain"))
+    else:
+        parsed = corpus.select(
+            "url", F.lower(F.col(key_col).cast("string"))
+            .alias(key_col))
     if weights is not None:
-        parsed = parsed.join(F.broadcast(weights), "domain", "left")
+        parsed = parsed.join(F.broadcast(weights), key_col, "left")
     else:
         parsed = parsed.withColumn("rate", F.lit(None).cast("double"))
     rate = F.coalesce(F.col("rate"), F.lit(float(default_rate)))
@@ -1387,7 +1399,7 @@ def mix_decisions(corpus: DataFrame, weights=None,
         F.floor(rate).cast("int")
         + F.when(u < rate - F.floor(rate), 1).otherwise(0))
     return parsed.select(
-        "url", "domain", rate.alias("rate"),
+        "url", key_col, rate.alias("rate"),
         ncop.alias("n_copies"),
         F.when(ncop == 0, "dropped").when(ncop == 1, "kept")
         .otherwise("upsampled").alias("status"))

@@ -204,10 +204,11 @@ def run_job(spark, input_path: str, output_path: str,
     elif mode == "mix":
         from .job import mix_decisions, mix_metrics
         mo = mix_opts or {}
-        bad = set(mo) - {"weights", "default_rate", "seed"}
+        bad = set(mo) - {"weights", "default_rate", "seed", "key_col"}
         if bad:
             raise ValueError(f"unknown mix_opts keys {sorted(bad)} "
-                             "(weights | default_rate | seed)")
+                             "(weights | default_rate | seed | "
+                             "key_col)")
 
         def extract_fn(c, _mo=mo):
             return mix_decisions(c, **_mo)
@@ -292,7 +293,11 @@ def run_job(spark, input_path: str, output_path: str,
             "linededup": ["url", "text"],
             "substrdedup": ["url", "text"],
             "semdedup": ["url", "embedding"],
-            "mix": ["url"],
+            # a non-domain mix key (e.g. lang) must reach the scan
+            "mix": (["url"]
+                    + ([k] if (k := (mix_opts or {})
+                               .get("key_col", "domain")) != "domain"
+                       else [])),
             "dedupref": ["url", "text"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
                                                       ["url", "html"])

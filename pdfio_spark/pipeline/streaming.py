@@ -337,8 +337,11 @@ def stream_mix(spark: SparkSession, input_dir: str,
     micro-batch IS globally correct — same rationale as the urlfilter
     twin; a dict `weights` is broadcast per micro-batch."""
     from .job import mix_decisions
+    key = mix_opts.get("key_col", "domain")
+    schema = ("url string" if key == "domain"
+              else f"url string, {key} string")
     src = (spark.readStream
-           .schema("url string")
+           .schema(schema)
            .option("maxFilesPerTrigger", 8)
            .parquet(input_dir))
     writer = (mix_decisions(src, **mix_opts).writeStream

@@ -1150,6 +1150,19 @@ def test_mix_decisions_and_run_job_mix_mode(spark, tmp_path):
     two = mix_decisions(df, weights={"light.com": 0.0,
                                      "LIGHT.com": 0.0})
     assert two.count() == 92
+    # key_col (late r6): weight by ANY column — language-weighted mix;
+    # NULL key falls through to default_rate; output carries key_col
+    ldf = spark.createDataFrame(
+        [("https://a.org/1", "EN"), ("https://a.org/2", "de"),
+         ("https://a.org/3", None)],
+        "url string, lang string")
+    lout = {r.url: r for r in mix_decisions(
+        ldf, weights={"en": 2.0, "de": 0.0},
+        key_col="lang").collect()}
+    assert lout["https://a.org/1"].lang == "en"  # lowercased match
+    assert lout["https://a.org/1"].n_copies == 2
+    assert lout["https://a.org/2"].status == "dropped"
+    assert lout["https://a.org/3"].n_copies == 1  # NULL -> default
 
     # production contract: run_id + metrics + exactly-once resume
     inp, outp, met = (str(tmp_path / p) for p in
