@@ -1316,6 +1316,47 @@ def url_filter_decisions(corpus: DataFrame,
                     "reasons", "status"))
 
 
+def urldedup_decisions(corpus: DataFrame) -> DataFrame:
+    """URL-canonical dedup (run.py --mode urldedup): the C4-style
+    crawl step that collapses recrawls of the SAME RESOURCE before
+    any content work — two urls that normalize identically
+    (url_parse_cols' url_norm: fragment stripped, scheme/authority
+    lowercased, default port dropped, trailing root-dot removed) are
+    one document; the lexicographically smallest raw url keeps.
+    Cheapest member of the dedup family — one groupBy-min on the
+    normalized key, no content read at all — so it runs FIRST, ahead
+    of even the URL gate in the daily recipe.
+
+    Corpus-GLOBAL (the keeper depends on every other url): run.py's
+    resume re-derives the decision set and appends only unwritten
+    rows, like --mode dedup. A NULL url coalesces to '' (the
+    standing rule). status: 'kept' | 'url_dup'."""
+    corpus = (corpus
+              .withColumn("url", F.coalesce(F.col("url"), F.lit("")))
+              .dropDuplicates(["url"]))
+    m = (corpus.select("url", *url_parse_cols())
+         .select("url", "url_norm"))
+    keep = m.groupBy("url_norm").agg(F.min("url").alias("keep_url"))
+    return (m.join(keep, "url_norm")
+            .select("url", "url_norm", "keep_url",
+                    (F.col("url") == F.col("keep_url"))
+                    .alias("is_kept"),
+                    F.when(F.col("url") == F.col("keep_url"), "kept")
+                    .otherwise("url_dup").alias("status")))
+
+
+def urldedup_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage for --mode urldedup — output-borne
+    columns only."""
+    return (extracted
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+                 F.sum(F.when(F.col("status") == "url_dup", 1)
+                       .otherwise(0)).alias("n_url_dup")))
+
+
 def mix_decisions(corpus: DataFrame, weights=None,
                   default_rate: float = 1.0,
                   seed: int = 0,

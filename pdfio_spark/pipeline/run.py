@@ -225,6 +225,9 @@ def run_job(spark, input_path: str, output_path: str,
         def extract_fn(c, _so=so):
             return semdedup_decisions(c, **_so)
         metrics_fn = semdedup_metrics
+    elif mode == "urldedup":
+        from .job import urldedup_decisions, urldedup_metrics
+        extract_fn, metrics_fn = urldedup_decisions, urldedup_metrics
     elif mode == "linededup":
         from .job import linededup_decisions, linededup_metrics
         extract_fn, metrics_fn = linededup_decisions, linededup_metrics
@@ -254,7 +257,7 @@ def run_job(spark, input_path: str, output_path: str,
                          "wat | dedup | sigaudit | filter | pii | "
                          "urlfilter | decontam | domaincap | "
                          "linededup | substrdedup | semdedup | mix | "
-                         "dedupref)")
+                         "dedupref | urldedup)")
     if sig_material is not None and mode != "sigaudit":
         raise ValueError("sig_material is only valid with "
                          "mode='sigaudit'")
@@ -299,6 +302,7 @@ def run_job(spark, input_path: str, output_path: str,
                                .get("key_col", "domain")) != "domain"
                        else [])),
             "dedupref": ["url", "text"],
+            "urldedup": ["url"],
             "wat": ["url", "metadata", "nbytes"]}.get(mode,
                                                       ["url", "html"])
     # decisions in these modes depend on EVERY other doc: resume must
@@ -306,7 +310,7 @@ def run_job(spark, input_path: str, output_path: str,
     # domaincap's keep set depends on every other doc in a domain —
     # corpus-global like the dedups
     corpus_global = mode in ("dedup", "linededup", "substrdedup",
-                             "domaincap", "semdedup")
+                             "domaincap", "semdedup", "urldedup")
     corpus = src.select(*cols)
     # the resume contract keys on url, and a NULL key matches NOTHING
     # in the anti-join (SQL null equality) — a NULL-url row would be
@@ -454,7 +458,7 @@ def main(argv=None) -> None:
                              "sigaudit", "filter", "pii", "urlfilter",
                              "decontam", "domaincap", "linededup",
                              "substrdedup", "semdedup", "mix",
-                             "dedupref"),
+                             "dedupref", "urldedup"),
                     default="pdf")
     # sigaudit material: os.pathsep-separated file paths, read on the
     # driver and shipped into task closures (works on a real cluster

@@ -1063,6 +1063,48 @@ def test_url_filter_decisions_and_run_job_urlfilter_mode(spark,
         run_job(spark, inp, outp, met, mode="pdf", url_opts={})
 
 
+def test_urldedup_decisions_and_run_job_mode(spark, tmp_path):
+    """late r6: URL-canonical dedup — recrawls of the SAME resource
+    (urls that normalize identically) collapse to the
+    lexicographically smallest raw url, before any content work."""
+    from pyspark.sql import functions as F
+    from pdfio_spark.pipeline.job import urldedup_decisions
+    from pdfio_spark.pipeline.run import run_job
+    rows = [("https://WWW.Example.com:443/A?q=1#frag",),
+            ("https://www.example.com/A?q=1",),   # same resource
+            ("https://www.example.com/A?q=1#x",),  # same resource
+            ("https://www.example.com/a?q=1",),   # path CASE differs
+            ("http://other.org/",), (None,)]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r.url: r for r in urldedup_decisions(df).collect()}
+    assert len(out) == 6
+    trio = [out[rows[i][0]] for i in range(3)]
+    assert len({r.url_norm for r in trio}) == 1
+    assert sum(r.is_kept for r in trio) == 1
+    # keeper = lexicographically smallest RAW url of the group
+    want = min(rows[i][0] for i in range(3))
+    assert all(r.keep_url == want for r in trio)
+    # path case is preserved -> a distinct resource
+    assert out[rows[3][0]].is_kept
+    assert out["http://other.org/"].is_kept
+    assert out[""].is_kept  # NULL url -> '' (its own group)
+    # production contract: corpus-global resume appends only missing
+    inp, outp, met = (str(tmp_path / p) for p in
+                      ("ud_in", "ud_out", "ud_met"))
+    df.write.parquet(inp)
+    r1 = run_job(spark, inp, outp, met, mode="urldedup", run_id="u1")
+    assert r1["by_status"] == {"kept": 4, "url_dup": 2}
+    spark.createDataFrame([("https://www.example.com/A?q=1&late=1",)],
+                          "url string") \
+        .write.mode("append").parquet(inp)
+    r2 = run_job(spark, inp, outp, met, mode="urldedup",
+                 resume=True, run_id="u2")
+    assert r2["written"] == 1
+    m = spark.read.parquet(met)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 7
+    assert m.agg(F.sum("n_url_dup")).collect()[0][0] == 2
+
+
 def test_mix_decisions_and_run_job_mix_mode(spark, tmp_path):
     """r6: data-mixture sampling — per-registrable-domain rates with
     deterministic hash downsampling and epoch-style upsampling

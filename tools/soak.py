@@ -1088,6 +1088,38 @@ def main() -> None:
         spark.stop()
         return
 
+    if mode == "runurldedup":
+        # URL-canonical dedup at 1M urls: every odd url is a
+        # #fragment recrawl of its even sibling -> exactly half
+        # collapse; keeper = the fragment-less raw min.
+        from pdfio_spark.pipeline.run import run_job
+        urls = (spark.range(n_docs).selectExpr(
+            "concat('https://site', "
+            "cast(floor(id / 2) % 1000 as string), "
+            "'.com/p/', cast(floor(id / 2) as string), "
+            "case when id % 2 = 1 then '#frag' else '' end) as url"))
+        inp = os.path.join(soak_dir, "rud_in")
+        outp = os.path.join(soak_dir, "rud_out")
+        met = os.path.join(soak_dir, "rud_met")
+        for d in (inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        urls.repartition(cpus * 2).write.parquet(inp)
+        t0 = time.perf_counter()
+        res = run_job(spark, inp, outp, met, mode="urldedup",
+                      run_id=f"soak-{mode}")
+        dt = time.perf_counter() - t0
+        bs = res["by_status"]
+        assert bs.get("kept", 0) == n_docs // 2 + n_docs % 2, bs
+        assert bs.get("url_dup", 0) == n_docs // 2, bs
+        print(json.dumps({"mode": mode, "n_docs": res["written"],
+                          "by_status": bs, "sec": round(dt, 1),
+                          "docs_per_sec": round(res["written"] / dt,
+                                                1)}))
+        for d in (inp, outp, met):
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+        return
+
     if mode == "rundomaincap":
         # the per-domain cap under the skew it exists for: HALF the
         # corpus lands on one registrable domain (site0.com), the
