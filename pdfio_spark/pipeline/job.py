@@ -1331,13 +1331,18 @@ def urldedup_decisions(corpus: DataFrame) -> DataFrame:
     resume re-derives the decision set and appends only unwritten
     rows, like --mode dedup. A NULL url coalesces to '' (the
     standing rule). status: 'kept' | 'url_dup'."""
+    from pyspark.sql import Window
     corpus = (corpus
               .withColumn("url", F.coalesce(F.col("url"), F.lit("")))
               .dropDuplicates(["url"]))
     m = (corpus.select("url", *url_parse_cols())
          .select("url", "url_norm"))
-    keep = m.groupBy("url_norm").agg(F.min("url").alias("keep_url"))
-    return (m.join(keep, "url_norm")
+    # window min instead of groupBy+self-join: ONE scan + ONE shuffle
+    # (the join form re-ran the scan and the url_parse_cols regexes on
+    # both sides — the r4 self-join lesson). Groups are tiny recrawl
+    # sets, so the per-key window carries no skew risk.
+    keep_url = F.min("url").over(Window.partitionBy("url_norm"))
+    return (m.withColumn("keep_url", keep_url)
             .select("url", "url_norm", "keep_url",
                     (F.col("url") == F.col("keep_url"))
                     .alias("is_kept"),
@@ -1392,6 +1397,12 @@ def mix_decisions(corpus: DataFrame, weights=None,
     never matches it). status: 'dropped' (0) / 'kept' (1) /
     'upsampled' (>1); mix_apply materializes the copies. No
     reference counterpart; inter-document plane."""
+    if key_col in ("url", "rate", "n_copies", "status"):
+        # a reserved name would collide with the decision columns —
+        # duplicate-field weights schema / silently replaced key —
+        # and only fail deep in the plan (r6 review)
+        raise ValueError(f"key_col {key_col!r} collides with a "
+                         "decision output column")
     if weights is not None:
         # BOTH forms normalize through the same driver-side path (the
         # weights table is broadcast-small by contract, so collecting
@@ -1411,7 +1422,7 @@ def mix_decisions(corpus: DataFrame, weights=None,
         for k, v in ents:
             if k in dd and dd[k] != v:
                 raise ValueError(
-                    f"conflicting mix rates for domain {k!r}: "
+                    f"conflicting mix rates for {key_col} {k!r}: "
                     f"{dd[k]} vs {v} (entries collide after "
                     "lowercasing)")
             dd[k] = v

@@ -6,7 +6,7 @@
         [--resume] [--cpus N] \
         [--mode pdf|html|wet|wat|dedup|sigaudit|filter|pii|urlfilter|
                 decontam|domaincap|linededup|substrdedup|semdedup|
-                mix|dedupref]
+                mix|dedupref|urldedup]
 
 --mode pdf (default) runs the full PDF parse stack; --mode html runs
 the web-page boilerplate strip (html_extract) over the same table
@@ -27,11 +27,14 @@ decisions with per-rule reason tags, map-only; --mode semdedup (r6)
 runs SemDeDup (job.semdedup_decisions) over (url, embedding) —
 embedding-cluster semantic dedup, corpus-global like --mode dedup;
 --mode mix (r6) runs the data-mixture sampling stage
-(job.mix_decisions) over (url) — per-domain rates with deterministic
+(job.mix_decisions) — per-key rates (registrable domain by default;
+key_col weights any corpus column, e.g. lang) with deterministic
 downsampling and epoch-style upsampling, map-only; --mode dedupref
 (r6) decides a NEW crawl against a FROZEN kept corpus
-(job.dedup_against — hash semi-probe + the shared band kernel,
-doc-local given the reference). All modes share the
+(job.dedup_against — hash probe + the shared band kernel, doc-local
+given the reference); --mode urldedup (r6) collapses recrawls of the
+same resource by normalized url (job.urldedup_decisions,
+corpus-global). All modes share the
 resume/metrics/run_id-reconcile contract (dedup resume re-derives the
 corpus-global decisions and appends only unwritten rows — see
 run_job).

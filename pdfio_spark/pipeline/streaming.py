@@ -338,6 +338,13 @@ def stream_mix(spark: SparkSession, input_dir: str,
     twin; a dict `weights` is broadcast per micro-batch."""
     from .job import mix_decisions
     key = mix_opts.get("key_col", "domain")
+    if key != "domain" and \
+            key not in spark.read.parquet(input_dir).columns:
+        # a missing/misnamed key column would project as NULL, every
+        # doc falls through to default_rate and the mix is silently a
+        # no-op; the batch path fails loudly — match it (the
+        # stream_domain_cap text rule, r6 review)
+        raise ValueError(f"key_col {key!r} not in {input_dir}")
     schema = ("url string" if key == "domain"
               else f"url string, {key} string")
     src = (spark.readStream

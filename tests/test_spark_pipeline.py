@@ -1205,6 +1205,11 @@ def test_mix_decisions_and_run_job_mix_mode(spark, tmp_path):
     assert lout["https://a.org/1"].n_copies == 2
     assert lout["https://a.org/2"].status == "dropped"
     assert lout["https://a.org/3"].n_copies == 1  # NULL -> default
+    # reserved key_col names fail fast (they collide with decision
+    # output columns — a duplicate-field weights schema otherwise
+    # only dies deep in the plan)
+    with pytest.raises(ValueError, match="collides"):
+        mix_decisions(ldf, weights={"x": 1.0}, key_col="rate")
 
     # production contract: run_id + metrics + exactly-once resume
     inp, outp, met = (str(tmp_path / p) for p in
@@ -1319,6 +1324,11 @@ def test_stream_mix_twin(spark, tmp_path):
     want = {tuple(r) for r in
             mix_decisions(df, weights=w).collect()}
     assert got == want
+    # a missing/misnamed key column refuses instead of silently
+    # default-rating the whole corpus (NULL projection)
+    with pytest.raises(ValueError, match="key_col"):
+        stream_mix(spark, inp, chk, outp, key_col="lang",
+                   weights={"en": 2.0})
 
 
 def test_shard_export(spark, tmp_path):
