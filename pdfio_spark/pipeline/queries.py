@@ -1443,17 +1443,125 @@ IVF_LLOYD_ITERS = 2
 IVF_QUANT = 1_000_000
 
 
+def _py_norm(vals) -> float:
+    """Driver-side twin of _cos_expr's nrm fold: 0.0-seeded left fold
+    of double(v)*double(v), then sqrt — the SAME IEEE-754 ops in the
+    SAME order the JVM fold runs, so the result is bit-identical to
+    evaluating the Column expression (int->double conversion, each
+    product and each add round-to-nearest identically in CPython and
+    the JVM)."""
+    import math
+    acc = 0.0
+    for v in vals:
+        d = float(v)
+        acc += d * d
+    return math.sqrt(acc)
+
+
+def _cell_score_sql(q: str, cents) -> str:
+    """SQL text for array<struct(s=c_sim, nc=-c_id, c=c_id)> of cell
+    scores over DRIVER-LITERAL centroids — the shared ordering-key
+    family for cell assignment and probe ranking: lexicographic struct
+    comparison on (s, nc) is exactly "c_sim DESC, c_id ASC" (highest
+    sim first, ties to the lowest c_id), the same key the former
+    max_by/row_number formulations ordered by.
+
+    Shapes that matter (measured at sf0.1, n=2000):
+    - ONE generated SQL string parsed JVM-side: building the same tree
+      Column-by-Column cost ~0.66 s of py4j round-trips PER LLOYD PASS
+      (and k x 64 individual literal nodes pushed Catalyst planning to
+      2.6-4.4 s/pass — the literal matrix here is one array literal);
+    - centroid norms come from _py_norm (bit-identical driver floats),
+      so the per-row work is k dot-folds, not k x (dot + 2 norm folds)
+      (the query-norm fold re-evaluates per element — linear, cheap).
+    c_sim = round(dot / (qnorm * cnorm), 6) with _cos_expr's exact
+    sub-expressions and operand order (0.0D seeds, cast-to-double
+    products, left folds), so values are bit-identical to the former
+    broadcast-column evaluation (oracle-pinned both scales)."""
+    k = len(cents)
+    cemb = "array(" + ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in e) + ")"
+        for _, e in cents) + ")"
+    cid = "array(" + ",".join(f"{int(c)}L" for c, _ in cents) + ")"
+    cn = "array(" + ",".join(
+        f"cast('{_py_norm(e)!r}' as double)" for _, e in cents) + ")"
+    qn = (f"sqrt(aggregate(transform({q}, "
+          "x -> cast(x as double) * cast(x as double)), "
+          "0.0D, (acc, v) -> acc + v))")
+    dotb = (f"aggregate(zip_with({q}, element_at({cemb}, i + 1), "
+            "(x, y) -> cast(x as double) * cast(y as double)), "
+            "0.0D, (acc, v) -> acc + v)")
+    return (f"transform(sequence(0, {k - 1}), i -> named_struct("
+            f"'s', round({dotb} / ({qn} * element_at({cn}, i + 1)), 6), "
+            f"'nc', cast(-element_at({cid}, i + 1) as bigint), "
+            f"'c', cast(element_at({cid}, i + 1) as bigint)))")
+
+
+def _cell_score_structs(qcol_name: str, cents):
+    """Column form of _cell_score_sql."""
+    return F.expr(_cell_score_sql(qcol_name, cents))
+
+
+def _argmax_cell(qcol_name: str, cents):
+    """Nearest-cell id by (c_sim DESC, c_id ASC) over literal
+    centroids — row-local array_max, no join, no shuffle."""
+    return F.expr(f"array_max({_cell_score_sql(qcol_name, cents)}).c")
+
+
+def _ivf_train_cells(t: DataFrame, k: int,
+                     iters: int) -> list[tuple[int, list[int]]]:
+    """The Lloyd loop with centroids held DRIVER-SIDE as literals
+    (k rows x 64 longs — the same bounded-collect class as the PQ
+    codebook). Per pass, assignment is a map-only projection (argmax
+    over k literal centroids) and the ONLY exchange is the k-group
+    partial-aggregated integer sums — the former broadcast-crossJoin +
+    groupBy(vec_id) formulation fanned every qe array k-ways through a
+    corpus-wide shuffle per pass (guide §2.3: shuffle keys/metadata,
+    not payloads). Values are bit-identical: same _cos_expr doubles,
+    same (c_sim DESC, c_id ASC) argmax tie-break, same exact integer
+    sums (order-independent), emptied cells keep their previous
+    centroid."""
+    init = (t.orderBy("vec_id").limit(k)
+            .select(F.col("vec_id").alias("c_id"),
+                    F.col("qe").alias("c_emb"))
+            .collect())
+    if len(init) < k:
+        raise ValueError(f"training set has fewer than k={k} vectors "
+                         "— the cell count would silently shrink "
+                         "(pq_train raises on the same condition)")
+    cents = [(int(r["c_id"]), [int(x) for x in r["c_emb"]])
+             for r in init]
+    dim = len(cents[0][1])
+    # one generated SQL agg expression (array of per-dimension integer
+    # sums) — 64 individually built F.sum Columns cost ~0.6 s of py4j
+    # round-trips per pass
+    sum_sql = ("array(" + ",".join(
+        f"sum(element_at(qe, {i + 1}))" for i in range(dim)) + ")")
+    for _ in range(iters):
+        sums = (t.select(_argmax_cell("qe", cents).alias("c_id"), "qe")
+                .groupBy("c_id")
+                .agg(F.expr(sum_sql).alias("new_emb"))
+                .collect())
+        new = {int(r["c_id"]): [int(x) for x in r["new_emb"]]
+               for r in sums}
+        cents = [(c, new.get(c, e)) for c, e in cents]
+    return cents
+
+
 def ivf_train(base: DataFrame, k: int = IVF_K,
               iters: int = IVF_LLOYD_ITERS,
               train: DataFrame | None = None) -> DataFrame:
     """Deterministic spherical-k-means centroids over a quantized
     base (vec_id, qe: array<long>): init = the k lowest vec_ids; each
-    Lloyd pass reassigns by cosine argmax (max_by — partial-
-    aggregable, no sort; ties break toward the lowest c_id, matching
-    the search ranking's ORDER BY c_sim DESC, c_id ASC) and replaces
-    a cell centroid with the exact integer elementwise SUM of its
-    members (see IVF_QUANT — order-independent, so cross-engine
-    bit-identical; an emptied cell keeps its previous centroid).
+    Lloyd pass reassigns by cosine argmax (ties break toward the
+    lowest c_id, matching the search ranking's ORDER BY c_sim DESC,
+    c_id ASC) and replaces a cell centroid with the exact integer
+    elementwise SUM of its members (see IVF_QUANT — order-independent,
+    so cross-engine bit-identical; an emptied cell keeps its previous
+    centroid). r7: the loop runs in _ivf_train_cells with centroids as
+    driver literals — per-pass cost is one map-only pass + a k-group
+    partial agg instead of a corpus-wide k-fanned shuffle; trained
+    values are bit-identical (oracle-pinned both scales).
 
     `train` (default: the full base) is the at-scale lever: at 10^12
     vectors the Lloyd passes run over a SAMPLE — centroid quality
@@ -1461,35 +1569,9 @@ def ivf_train(base: DataFrame, k: int = IVF_K,
     mode demonstrates 100k vectors trained on a 10% sample). Returns
     (c_id, c_emb) — k rows, broadcastable."""
     t = train if train is not None else base
-    cents = (t.orderBy("vec_id").limit(k)
-             .select(F.col("vec_id").alias("c_id"),
-                     F.col("qe").alias("c_emb"))
-             .localCheckpoint())  # tiny; also feeds the count guard
-    if cents.count() < k:
-        raise ValueError(f"training set has fewer than k={k} vectors "
-                         "— the cell count would silently shrink "
-                         "(pq_train raises on the same condition)")
-    dim = 64
-    cos = _cos_expr
-    for _ in range(iters):
-        assigned = (t.crossJoin(F.broadcast(cents))
-                    .select("vec_id", "qe",
-                            cos(F.col("qe"), F.col("c_emb"))
-                            .alias("c_sim"), "c_id")
-                    .groupBy("vec_id")
-                    .agg(F.max_by("c_id",
-                                  F.struct(F.col("c_sim"),
-                                           (-F.col("c_id")).alias("nc")))
-                         .alias("c_id"),
-                         F.first("qe").alias("qe")))
-        sums = assigned.groupBy("c_id").agg(
-            F.array(*[F.sum(F.element_at(F.col("qe"), i + 1))
-                      for i in range(dim)]).alias("new_emb"))
-        cents = (cents.join(sums, "c_id", "left")
-                 .select("c_id", F.coalesce("new_emb", "c_emb")
-                         .alias("c_emb"))
-                 .localCheckpoint())  # tiny; flattens the plan per pass
-    return cents
+    cells = _ivf_train_cells(t, k, iters)
+    return base.sparkSession.createDataFrame(
+        cells, "c_id long, c_emb array<long>")
 
 
 def ann_ivf_over(emb: DataFrame, k: int = IVF_K,
@@ -1512,52 +1594,48 @@ def ann_ivf_over(emb: DataFrame, k: int = IVF_K,
                      lambda x: F.round(x.cast("double") * IVF_QUANT)
                      .cast("long"))
     # quantized base feeds every Lloyd pass + the final assignment:
-    # checkpoint once (same rationale as the LSH coded base)
-    base = (emb.select("vec_id", "embedding", qe.alias("qe"))
+    # checkpoint once (same rationale as the LSH coded base). Fan out
+    # first: a single-file scan is ONE partition, and every downstream
+    # consumer (the per-pass argmax folds, the cell assignment, the
+    # per-pair exact cosine) is per-row CPU that would otherwise run
+    # serial (the q_substr_dedup scan-fan-out lesson; at cluster scale
+    # the scan has many splits and the job layer owns this).
+    base = (emb.repartition(emb.sparkSession.sparkContext
+                            .defaultParallelism)
+            .select("vec_id", "embedding", qe.alias("qe"))
             .localCheckpoint())
-    train = None
+    train = base
     if train_frac is not None:
         train = base.filter(
             F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
             < int(train_frac * 1_000_000))
-    cents = ivf_train(base, k=k, iters=iters, train=train)
-    cos = _cos_expr
-
-    def rank_cells(c):
-        # qe is dead past c_sim — don't project it through the rank
-        # window. Do NOT go further and strip `embedding` for an
-        # id-only window + re-join: Spark 4's WindowGroupLimit pushes
-        # the per-vec_id top-1/top-nprobe BELOW the exchange map-side
-        # (the K-way fan-out never shuffles), while re-joining the
-        # embeddings forced two corpus-wide broadcasts — measured
-        # 21 s -> 134 s on the 100k soak's search action (r6 review
-        # x2: the review's K-copies-ride-the-exchange premise
-        # predates WindowGroupLimit).
-        scored = (base.crossJoin(F.broadcast(c))
-                  .select("vec_id", "embedding", "c_id",
-                          cos(F.col("qe"), F.col("c_emb"))
-                          .alias("c_sim")))
-        wc = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"),
-                                                  F.asc("c_id"))
-        return scored.withColumn("r", F.row_number().over(wc))
-
-    ranked_cells = rank_cells(cents)
+    cents = _ivf_train_cells(train, k=k, iters=iters)
+    # r7: centroids are driver literals (k x 64 longs), so cell
+    # assignment and probe ranking are ROW-LOCAL array ops over the
+    # checkpointed base — the former crossJoin + row_number window
+    # shuffled (vec_id, embedding, c_sim, c_id) k-fanned-out TWICE
+    # (once per consumer branch; 14 exchanges in the r6 plan, 3 now).
+    # Ordering is the same (c_sim DESC, c_id ASC) key the window used;
+    # values bit-identical (oracle-pinned at sf0.01 + sf0.1).
     # database side: every vector lives in exactly its nearest cell
-    cells = (ranked_cells.filter(F.col("r") == 1)
-             .select("vec_id", "embedding", "c_id"))
-    # probe side: each query visits its `nprobe` nearest cells
+    cells = base.select("vec_id", "embedding",
+                        _argmax_cell("qe", cents).alias("c_id"))
+    # probe side: each query visits its `nprobe` nearest cells — the
+    # full rank sort runs only on the filtered probe rows
     pf = (probe_filter if probe_filter is not None
           else (F.col("vec_id") % 100 == 0))
-    probes = (ranked_cells
-              .filter(pf & (F.col("r") <= nprobe))
+    top_cells = F.expr(
+        f"transform(slice(sort_array({_cell_score_sql('qe', cents)}, "
+        f"false), 1, {int(nprobe)}), s -> s.c)")
+    probes = (base.filter(pf)
               .select(F.col("vec_id").alias("q_id"),
                       F.col("embedding").alias("q_emb"),
-                      F.col("c_id").alias("q_cell")))
+                      F.explode(top_cells).alias("q_cell")))
     pairs = (cells.join(F.broadcast(probes),
                         (F.col("c_id") == F.col("q_cell"))
                         & (F.col("vec_id") != F.col("q_id")))
              .select("q_id", "vec_id",
-                     cos(F.col("embedding"), F.col("q_emb"))
+                     _cos_expr(F.col("embedding"), F.col("q_emb"))
                      .alias("cos_sim")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
                                            F.asc("vec_id"))
@@ -1576,8 +1654,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from 0.56 to 0.72 at the SAME ~25% searched fraction (untrained
     K=16/np=4 sits at 0.48 — the training is load-bearing; recall on
     these near-uniform vectors tracks searched fraction, so finer
-    cells only pay off once centroids fit the data). Centroids are a
-    K-row broadcast, assignment is a broadcast cross join + argmax,
+    cells only pay off once centroids fit the data). Centroids are
+    K driver-side literal rows (r7), assignment/probe ranking are
+    row-local array argmax/sort over them — no assignment shuffle —
     and the search join is an equi-join on cell id — candidates per
     probe shrink by ~nprobe/K, the whole point of IVF at 10^12
     vectors (where ivf_train runs on a SAMPLE — ann_ivf_over's
