@@ -2303,6 +2303,13 @@ def _minhash_md5_candidates(docs: DataFrame) -> DataFrame:
         "doc_id",
         *[F.array_min(F.transform("sh", _md5_fn(i))).alias(f"h{i}")
           for i in range(16)])
+    # NOTE (r7, measured): keep the 4-way unionByName melt. An
+    # explode-based single-pass melt (the minhash_band_melt shape) was
+    # tried and is ~50% SLOWER here: it fuses all 16
+    # array_min(transform(md5)) HOFs into ONE projection, which falls
+    # out of whole-stage codegen, while each union branch (4 HOFs via
+    # column pruning) stays compiled — the 4x shingle-construction
+    # duplication is cheaper than losing codegen on the md5 work.
     bands = []
     for b in range(4):
         cols = [F.col(f"h{b * 4 + j}") for j in range(4)]
