@@ -1599,10 +1599,14 @@ def ann_ivf_over(emb: DataFrame, k: int = IVF_K,
     # consumer (the per-pass argmax folds, the cell assignment, the
     # per-pair exact cosine) is per-row CPU that would otherwise run
     # serial (the q_substr_dedup scan-fan-out lesson; at cluster scale
-    # the scan has many splits and the job layer owns this).
-    base = (emb.repartition(emb.sparkSession.sparkContext
-                            .defaultParallelism)
-            .select("vec_id", "embedding", qe.alias("qe"))
+    # the scan has many splits and the job layer owns this). Confirmed
+    # by interleaved A/B at sf0.1: 1.8-1.9 s vs 2.8-4.7 s — the Lloyd
+    # passes re-read this checkpoint 3x, so the one-off fan-out
+    # amortizes (unlike ann_lsh_topk_over, where the same fan-out
+    # measured SLOWER — see its note).
+    emb = emb.repartition(emb.sparkSession.sparkContext
+                          .defaultParallelism)
+    base = (emb.select("vec_id", "embedding", qe.alias("qe"))
             .localCheckpoint())
     train = base
     if train_frac is not None:
@@ -3513,14 +3517,6 @@ def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
     dcols = [_dots_expr(F.col("embedding"), cps).alias("_dc")]
     if tables > 1:
         dcols.append(_dots_expr(F.col("embedding"), fps).alias("_df"))
-    base = (emb.select("vec_id", "embedding", *dcols)
-            .withColumn("_nrm", nrm_in)
-            .select("vec_id",
-                    F.transform(F.col("embedding"),
-                                lambda x: x.cast("double")
-                                / F.col("_nrm")).alias("nemb"),
-                    "_dc", *(["_df"] if tables > 1 else []))
-            .localCheckpoint())
     # offset keeps per-table key spaces disjoint in one join column —
     # it must clear BOTH code widths (r5 review: a coarse table wider
     # than the fine one would alias across tables with 1 << len(fps))
@@ -3554,16 +3550,33 @@ def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
         probes += [(off + c).cast("long") for c in pf]
     # melts carry ONLY (vec_id, bucket) — 12 bytes/row — so the probe
     # expansion shuffles kilobytes per vector, not 56 copies of the
-    # 64-double embedding. The bucket arrays are materialized in a
-    # SECOND narrow checkpoint so the rank sort (array_sort of 8/12
-    # structs per probe expr after projection collapse) runs once per
-    # row there, and the exploded melts are plain array reads.
-    melt = (base.select("vec_id", F.array(*exact).alias("_builds"),
-                        F.array(*probes).alias("_probes"))
+    # 64-double embedding. ONE checkpoint (r7: was base + a second
+    # narrow melt checkpoint — merged, since the dot arrays existed
+    # only to feed the bucket derivation) materializes the normalized
+    # embedding AND the bucket arrays in a single pass, so the rank
+    # sort (array_sort of 8/12 structs per probe expr) still runs once
+    # per row and the exploded melts are plain array reads, one
+    # checkpoint job instead of two.
+    # NOTE (r7, interleaved A/B): do NOT fan out the scan here. These
+    # projections do run serial on a single-file scan, but a
+    # defaultParallelism repartition measured ~1.5 s SLOWER end-to-end
+    # at sf0.1 (6.3-7.3 vs 7.8+): the extra corpus shuffle plus
+    # 32-task scheduling on every downstream melt/broadcast stage
+    # outweighs parallelizing ~1 s of per-row work. (q_ann_ivf is the
+    # opposite call — its Lloyd passes re-read the checkpointed base
+    # 3x, so the one-off fan-out amortizes.)
+    base = (emb.select("vec_id", "embedding", *dcols)
+            .withColumn("_nrm", nrm_in)
+            .select("vec_id",
+                    F.transform(F.col("embedding"),
+                                lambda x: x.cast("double")
+                                / F.col("_nrm")).alias("nemb"),
+                    F.array(*exact).alias("_builds"),
+                    F.array(*probes).alias("_probes"))
             .localCheckpoint())
-    build = melt.select("vec_id",
+    build = base.select("vec_id",
                         F.explode(F.col("_builds")).alias("bucket"))
-    probe = melt.select("vec_id",
+    probe = base.select("vec_id",
                         F.explode(F.col("_probes")).alias("bucket"))
     pair_ids = (_salted_bucket_pairs(build, lambda a, c: a != c,
                                      probe=probe)
