@@ -2275,7 +2275,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (minhash_band_melt) + band-bucket self-join. All JVM-side; the only
     shuffles are the doc-level agg and the band self-join. Approximate
     by construction -> rows-only driver check."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single parquet file => the 16-minhash melt (per-row CPU before
+    # any exchange) runs on 1-4 partitions; fan out first (the
+    # q_substr_dedup scan-fan-out lesson — r7 interleaved A/B:
+    # 1.48-1.65 s -> 1.09-1.18 s at sf0.1)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
     # materialize once — the self-join recomputes the 16-minhash
     # pipeline on both sides otherwise (same as the md5 twin)
     allb = minhash_band_melt(docs).localCheckpoint()
@@ -3019,7 +3024,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with array_intersect over the in-row distinct-shingle arrays — no
     shingle explode, no all-pairs join, scales with the candidate
     count, not the corpus squared."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan out the single-file scan before the md5-minhash melt (the
+    # q_substr_dedup lesson; r7 interleaved A/B: ~0.25 s at sf0.1)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
     return ngram_jaccard_over(docs)
 
 
