@@ -1370,7 +1370,11 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query vectors, JVM-side
     zip_with/aggregate dot products, window top-k. The IVF/LSH variant
     (q_ann_lsh) prunes candidates by bucket at scale."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # fan out the single-file scan: the n x queries cosine fold is
+    # per-row CPU before any exchange and ran serial (r7 interleaved
+    # A/B: 1.11-1.36 s -> 0.92-1.06 s at sf0.1)
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .repartition(spark.sparkContext.defaultParallelism))
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     sim = _cos_expr("embedding", "q_emb")
