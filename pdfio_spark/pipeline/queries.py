@@ -1462,7 +1462,7 @@ def _py_norm(vals) -> float:
     return math.sqrt(acc)
 
 
-def _cell_score_sql(q: str, cents) -> str:
+def _cell_score_sql(q: str, cents, qn_sql: str | None = None) -> str:
     """SQL text for array<struct(s=c_sim, nc=-c_id, c=c_id)> of cell
     scores over DRIVER-LITERAL centroids — the shared ordering-key
     family for cell assignment and probe ranking: lexicographic struct
@@ -1481,7 +1481,11 @@ def _cell_score_sql(q: str, cents) -> str:
     c_sim = round(dot / (qnorm * cnorm), 6) with _cos_expr's exact
     sub-expressions and operand order (0.0D seeds, cast-to-double
     products, left folds), so values are bit-identical to the former
-    broadcast-column evaluation (oracle-pinned both scales)."""
+    broadcast-column evaluation (oracle-pinned both scales).
+
+    `qn_sql` names a PRE-STORED query-norm column (semdedup_over keeps
+    one in its checkpointed base); default derives it from `q` inline
+    — same formula, same value, just re-evaluated per element."""
     k = len(cents)
     cemb = "array(" + ",".join(
         "array(" + ",".join(f"{int(x)}L" for x in e) + ")"
@@ -1489,9 +1493,10 @@ def _cell_score_sql(q: str, cents) -> str:
     cid = "array(" + ",".join(f"{int(c)}L" for c, _ in cents) + ")"
     cn = "array(" + ",".join(
         f"cast('{_py_norm(e)!r}' as double)" for _, e in cents) + ")"
-    qn = (f"sqrt(aggregate(transform({q}, "
-          "x -> cast(x as double) * cast(x as double)), "
-          "0.0D, (acc, v) -> acc + v))")
+    qn = qn_sql if qn_sql is not None else (
+        f"sqrt(aggregate(transform({q}, "
+        "x -> cast(x as double) * cast(x as double)), "
+        "0.0D, (acc, v) -> acc + v))")
     dotb = (f"aggregate(zip_with({q}, element_at({cemb}, i + 1), "
             "(x, y) -> cast(x as double) * cast(y as double)), "
             "0.0D, (acc, v) -> acc + v)")
@@ -1833,38 +1838,33 @@ def semdedup_over(emb: DataFrame, k: int = IVF_K,
         train = base.filter(
             F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
             < int(train_frac * 1_000_000))
-    cents = ivf_train(base, k=k, iters=iters, train=train)
-    # centroid norms once on the 256-row broadcast side, not per pair
-    cents = cents.select("c_id", "c_emb", _norm(F.col("c_emb"))
-                         .alias("cn"))
+    cents = _ivf_train_cells(train if train is not None else base,
+                             k=k, iters=iters)
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
-    scored = (base.crossJoin(F.broadcast(cents))
-              .select("vec_id", "ne",
-                      F.round(dot(F.col("qe"), F.col("c_emb"))
-                              / (F.col("qn") * F.col("cn")), 6)
-                      .alias("sim"),
-                      "c_id"))
+    # r7: centroids are driver literals (the q_ann_ivf rewrite), so
+    # assignment/probe ranking are ROW-LOCAL array ops over the
+    # checkpointed base, scored against the STORED qn and _py_norm
+    # centroid norms — the former broadcast-crossJoin streamed n*k
+    # rows (each carrying qe + ne) through a groupBy(vec_id) /
+    # row_number window shuffle. Same (sim DESC, c_id ASC) ordering,
+    # same rounded doubles — assignment identical.
+    score_sql = _cell_score_sql("qe", cents, qn_sql="qn")
     if nprobe <= 1:
-        # top-1 assignment via max_by: partial-aggregable, no window
-        assigned = (scored
-                    .groupBy("vec_id")
-                    .agg(F.max_by(
-                            F.struct(F.col("c_id"), F.col("sim")
-                                     .alias("c_sim")),
-                            F.struct(F.col("sim"),
-                                     (-F.col("c_id")).alias("nc")))
-                         .alias("best"),
-                         F.first("ne").alias("ne"))
+        # top-1 assignment via array_max: row-local, no shuffle
+        assigned = (base
                     .select("vec_id", "ne",
-                            F.col("best.c_id").alias("c_id"),
-                            F.col("best.c_sim").alias("c_sim"))
+                            F.expr(f"array_max({score_sql})")
+                            .alias("_m"))
+                    .select("vec_id", "ne",
+                            F.col("_m.c").alias("c_id"),
+                            F.col("_m.s").alias("c_sim"))
                     # feeds the pair join (both sides via _salted_
                     # bucket_pairs' three consumers) AND the final
-                    # keep join — without this the k-way centroid
-                    # cross join recomputes per consumer (the LSH
-                    # coded-base lesson)
+                    # keep join — without this the k-way scoring
+                    # recomputes per consumer (the LSH coded-base
+                    # lesson)
                     .localCheckpoint())
         melt = assigned.select("vec_id",
                                F.col("ne").alias("embedding"),
@@ -1874,11 +1874,16 @@ def semdedup_over(emb: DataFrame, k: int = IVF_K,
         # cells for the PAIR JOIN only (the keep rule still uses the
         # top-1 cell) — twins straddling a Lloyd boundary meet in a
         # shared runner-up cell. Pair cost scales ~nprobe^2; the
-        # window's r <= nprobe pushes map-side (WindowGroupLimit).
-        wr = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
-                                                  F.asc("c_id"))
-        ranked = (scored.withColumn("r", F.row_number().over(wr))
-                  .filter(F.col("r") <= nprobe)
+        # rank is a row-local sort of k literal-scored structs.
+        ranked = (base
+                  .select("vec_id", "ne",
+                          F.posexplode(F.expr(
+                              f"slice(sort_array({score_sql}, false), "
+                              f"1, {int(nprobe)})")).alias("_r0", "_st"))
+                  .select("vec_id", "ne",
+                          F.col("_st.c").alias("c_id"),
+                          F.col("_st.s").alias("sim"),
+                          (F.col("_r0") + 1).alias("r"))
                   .localCheckpoint())
         assigned = (ranked.filter(F.col("r") == 1)
                     .select("vec_id", "ne", "c_id",
@@ -1957,31 +1962,19 @@ def pq_train(base: DataFrame, subspaces: int = PQ_SUBSPACES,
     book = [[list(r["qe"][m * sub:(m + 1) * sub]) for r in init]
             for m in range(subspaces)]
     for _ in range(iters):
-        book_lit = F.array(*[
-            F.array(*[F.array(*[F.lit(int(v)) for v in c])
-                      for c in book[m]]) for m in range(subspaces)])
-        # one pass: explode (m, c_id) against every vector, L2 argmin
-        # per (vec_id, m), integer floor-mean per (m, c_id)
-        mc = F.expr(
-            f"explode(flatten(transform(sequence(0, {subspaces - 1}), "
-            f"m -> transform(sequence(0, {codes - 1}), "
-            "c -> struct(m as m, c as c)))))")
-        d2 = F.aggregate(
-            F.zip_with(
-                F.slice("qe", F.col("mc.m") * sub + 1, sub),
-                F.element_at(F.element_at(book_lit,
-                                          F.col("mc.m") + 1),
-                             F.col("mc.c") + 1),
-                lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("long"), lambda acc, v: acc + v)
-        assigned = (t.select("vec_id", "qe", mc.alias("mc"))
-                    .select("vec_id", "qe", "mc.m", "mc.c",
-                            d2.alias("d2"))
-                    .groupBy("vec_id", "m")
-                    .agg(F.min_by("c", F.struct("d2", "c")).alias("c"),
-                         F.first("qe").alias("qe")))
-        stats = (assigned
-                 .select("m", "c",
+        # r7: assignment is ROW-LOCAL — _pq_code_col's L2 argmin over
+        # the codebook literal (array_position of min distance = FIRST
+        # min = lowest code id, the same min_by(c, struct(d2, c))
+        # tie-break the former formulation used, its own docstring
+        # contract). The former explode of all (m, c) combos shuffled
+        # n x M*K rows each carrying the FULL qe array through a
+        # groupBy(vec_id, m); now only n x M rows of (m, c, subvector)
+        # reach the (m, c) partial agg — 1/K the rows, 1/M the bytes
+        # per row, identical integer floor-mean stats.
+        code_col = _pq_code_col(_pq_book_lit(book), sub)
+        stats = (t.select("qe", F.posexplode(code_col)
+                          .alias("m", "c1"))
+                 .select("m", (F.col("c1") - 1).alias("c"),
                          F.slice("qe", F.col("m") * sub + 1, sub)
                          .alias("sv"))
                  .groupBy("m", "c")
@@ -1997,10 +1990,11 @@ def pq_train(base: DataFrame, subspaces: int = PQ_SUBSPACES,
 
 
 def _pq_book_lit(book):
-    """Codebook nested list -> literal array<array<array<long>>>."""
-    return F.array(*[
-        F.array(*[F.array(*[F.lit(int(v)) for v in c])
-                  for c in bm]) for bm in book])
+    """Codebook nested list -> literal array<array<array<long>>>.
+    ONE nested Literal node (r7) — building it as M*K*sub individual
+    F.lit nodes made Catalyst planning the bottleneck for every
+    encode/LUT projection (the q_ann_ivf centroid-literal lesson)."""
+    return F.lit([[[int(v) for v in c] for c in bm] for bm in book])
 
 
 def _pq_code_col(book_lit, sub: int, src="qe"):
