@@ -2537,7 +2537,8 @@ _LD_HEADER = "subscribe to our newsletter for updates"
 _LD_FOOTER = "copyright footer class "
 
 
-def line_dedup_over(docs: DataFrame, min_count: int = 2) -> DataFrame:
+def line_dedup_over(docs: DataFrame, min_count: int = 2,
+                    melt_checkpoint: bool = False) -> DataFrame:
     """C4-style corpus-level LINE dedup (Raffel et al. 2020 §2.2: any
     line occurring more than once in the corpus keeps only one copy)
     — the training-data stage that strips cross-page boilerplate
@@ -2570,6 +2571,16 @@ def line_dedup_over(docs: DataFrame, min_count: int = 2) -> DataFrame:
                      .alias("la"))
              .select("doc_id",
                      F.posexplode(F.col("la")).alias("pos", "line")))
+    # melt_checkpoint materializes the line melt once for its two
+    # consumers (stats agg + keep join) instead of re-scanning and
+    # re-splitting the corpus twice. SCALE-DEPENDENT, measured both
+    # ways (r7): at sf0.1 it wins (1.47-1.69 s -> 1.14-1.30 s
+    # interleaved A/B — q_line_dedup opts in), at the 1M-doc soak it
+    # LOSES (21.3 s -> 26.1 s: materializing a corpus-sized melt
+    # costs more than the second scan) — so the production default
+    # stays off, like the bench-vs-soak fan-out splits.
+    if melt_checkpoint:
+        lines = lines.localCheckpoint()
     okey = _okey()
     # pre-filter to actually-duplicated lines: on a real corpus most
     # lines are unique and only dup lines affect the outcome — the
@@ -2635,7 +2646,8 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions (header kept once corpus-wide, footer once per class,
     blank + body lines all kept)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (line_dedup_over(line_dedup_fixture(docs))
+    return (line_dedup_over(line_dedup_fixture(docs),
+                            melt_checkpoint=True)
             .orderBy("doc_id"))
 
 
