@@ -51,9 +51,13 @@ def capture_plan(df) -> str:
 
 
 def isolate(spark) -> None:
-    """Between-query isolation: drop cached/checkpointed blocks and ask
-    the JVM to GC so a query's timing does not depend on its sequence
-    position (the r6 verdict's bench finding)."""
+    """Between-query isolation so a query's timing does not depend on
+    its sequence position (the r6 verdict's bench finding). NOTE:
+    catalog.clearCache() only drops SQL-cached relations; the
+    localCheckpoint blocks the heavy queries create are freed by the
+    gc.collect() + System.gc() pair below (Python refs die -> JVM
+    ContextCleaner unpersists) — that pair, not clearCache, is the
+    load-bearing part."""
     spark.catalog.clearCache()
     try:
         spark.sparkContext._jvm.System.gc()

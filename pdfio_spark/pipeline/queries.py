@@ -1483,9 +1483,10 @@ def _cell_score_sql(q: str, cents, qn_sql: str | None = None) -> str:
     products, left folds), so values are bit-identical to the former
     broadcast-column evaluation (oracle-pinned both scales).
 
-    `qn_sql` names a PRE-STORED query-norm column (semdedup_over keeps
-    one in its checkpointed base); default derives it from `q` inline
-    — same formula, same value, just re-evaluated per element."""
+    `qn_sql` names a PRE-STORED query-norm column (semdedup_over and
+    ann_ivf_over keep one in their checkpointed bases); default
+    derives it from `q` inline (_qn_sql) — same formula, same value,
+    just re-evaluated per element."""
     k = len(cents)
     cemb = "array(" + ",".join(
         "array(" + ",".join(f"{int(x)}L" for x in e) + ")"
@@ -1493,10 +1494,7 @@ def _cell_score_sql(q: str, cents, qn_sql: str | None = None) -> str:
     cid = "array(" + ",".join(f"{int(c)}L" for c, _ in cents) + ")"
     cn = "array(" + ",".join(
         f"cast('{_py_norm(e)!r}' as double)" for _, e in cents) + ")"
-    qn = qn_sql if qn_sql is not None else (
-        f"sqrt(aggregate(transform({q}, "
-        "x -> cast(x as double) * cast(x as double)), "
-        "0.0D, (acc, v) -> acc + v))")
+    qn = qn_sql if qn_sql is not None else _qn_sql(q)
     dotb = (f"aggregate(zip_with({q}, element_at({cemb}, i + 1), "
             "(x, y) -> cast(x as double) * cast(y as double)), "
             "0.0D, (acc, v) -> acc + v)")
@@ -1506,19 +1504,26 @@ def _cell_score_sql(q: str, cents, qn_sql: str | None = None) -> str:
             f"'c', cast(element_at({cid}, i + 1) as bigint)))")
 
 
-def _cell_score_structs(qcol_name: str, cents):
-    """Column form of _cell_score_sql."""
-    return F.expr(_cell_score_sql(qcol_name, cents))
+def _qn_sql(q: str) -> str:
+    """SQL text of the query-norm fold over array column `q` — THE one
+    spelling, shared by _cell_score_sql's inline default and the
+    callers that pre-store it as a checkpoint column (so the stored
+    and inline values are textually the same expression)."""
+    return (f"sqrt(aggregate(transform({q}, "
+            "x -> cast(x as double) * cast(x as double)), "
+            "0.0D, (acc, v) -> acc + v))")
 
 
-def _argmax_cell(qcol_name: str, cents):
+def _argmax_cell(qcol_name: str, cents, qn_sql: str | None = None):
     """Nearest-cell id by (c_sim DESC, c_id ASC) over literal
     centroids — row-local array_max, no join, no shuffle."""
-    return F.expr(f"array_max({_cell_score_sql(qcol_name, cents)}).c")
+    return F.expr(
+        f"array_max({_cell_score_sql(qcol_name, cents, qn_sql)}).c")
 
 
-def _ivf_train_cells(t: DataFrame, k: int,
-                     iters: int) -> list[tuple[int, list[int]]]:
+def _ivf_train_cells(t: DataFrame, k: int, iters: int,
+                     qn_sql: str | None = None
+                     ) -> list[tuple[int, list[int]]]:
     """The Lloyd loop with centroids held DRIVER-SIDE as literals
     (k rows x 64 longs — the same bounded-collect class as the PQ
     codebook). Per pass, assignment is a map-only projection (argmax
@@ -1547,12 +1552,17 @@ def _ivf_train_cells(t: DataFrame, k: int,
     sum_sql = ("array(" + ",".join(
         f"sum(element_at(qe, {i + 1}))" for i in range(dim)) + ")")
     for _ in range(iters):
-        sums = (t.select(_argmax_cell("qe", cents).alias("c_id"), "qe")
+        sums = (t.select(_argmax_cell("qe", cents, qn_sql)
+                         .alias("c_id"), "qe")
                 .groupBy("c_id")
                 .agg(F.expr(sum_sql).alias("new_emb"))
                 .collect())
+        # a NULL sum element (NULL/short qe at that position across
+        # the whole cell) keeps the PREVIOUS centroid — the crash-free
+        # degradation of the old join+coalesce formulation (r7 review)
         new = {int(r["c_id"]): [int(x) for x in r["new_emb"]]
-               for r in sums}
+               for r in sums
+               if all(x is not None for x in r["new_emb"])}
         cents = [(c, new.get(c, e)) for c, e in cents]
     return cents
 
@@ -1578,7 +1588,8 @@ def ivf_train(base: DataFrame, k: int = IVF_K,
     mode demonstrates 100k vectors trained on a 10% sample). Returns
     (c_id, c_emb) — k rows, broadcastable."""
     t = train if train is not None else base
-    cells = _ivf_train_cells(t, k, iters)
+    cells = _ivf_train_cells(
+        t, k, iters, qn_sql="qn" if "qn" in t.columns else None)
     return base.sparkSession.createDataFrame(
         cells, "c_id long, c_emb array<long>")
 
@@ -1588,7 +1599,8 @@ def ann_ivf_over(emb: DataFrame, k: int = IVF_K,
                  iters: int = IVF_LLOYD_ITERS,
                  train_frac: float | None = None,
                  topk: int = 5,
-                 probe_filter=None) -> DataFrame:
+                 probe_filter=None,
+                 fan_out: bool = True) -> DataFrame:
     """IVF ANN over an embeddings-shaped DataFrame: Lloyd-trained
     coarse quantizer (ivf_train) + top-`topk` exact-cosine search
     within each probe's `nprobe` nearest cells. train_frac samples
@@ -1607,22 +1619,28 @@ def ann_ivf_over(emb: DataFrame, k: int = IVF_K,
     # first: a single-file scan is ONE partition, and every downstream
     # consumer (the per-pass argmax folds, the cell assignment, the
     # per-pair exact cosine) is per-row CPU that would otherwise run
-    # serial (the q_substr_dedup scan-fan-out lesson; at cluster scale
-    # the scan has many splits and the job layer owns this). Confirmed
-    # by interleaved A/B at sf0.1: 1.8-1.9 s vs 2.8-4.7 s — the Lloyd
+    # serial (the q_substr_dedup scan-fan-out lesson). Confirmed by
+    # interleaved A/B at sf0.1: 1.8-1.9 s vs 2.8-4.7 s — the Lloyd
     # passes re-read this checkpoint 3x, so the one-off fan-out
     # amortizes (unlike ann_lsh_topk_over, where the same fan-out
-    # measured SLOWER — see its note).
-    emb = emb.repartition(emb.sparkSession.sparkContext
-                          .defaultParallelism)
+    # measured SLOWER — see its note). `fan_out=False` skips the
+    # shuffle for callers whose scan already has many splits (the
+    # cluster-scale shape — same parameterization discipline as
+    # line_dedup_over's melt_checkpoint). The stored `qn` column is
+    # _qn_sql's fold materialized once, so per-pass scoring pays k
+    # dot-folds only (not k re-folds of the query norm).
+    if fan_out:
+        emb = emb.repartition(emb.sparkSession.sparkContext
+                              .defaultParallelism)
     base = (emb.select("vec_id", "embedding", qe.alias("qe"))
+            .withColumn("qn", F.expr(_qn_sql("qe")))
             .localCheckpoint())
     train = base
     if train_frac is not None:
         train = base.filter(
             F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
             < int(train_frac * 1_000_000))
-    cents = _ivf_train_cells(train, k=k, iters=iters)
+    cents = _ivf_train_cells(train, k=k, iters=iters, qn_sql="qn")
     # r7: centroids are driver literals (k x 64 longs), so cell
     # assignment and probe ranking are ROW-LOCAL array ops over the
     # checkpointed base — the former crossJoin + row_number window
@@ -1632,13 +1650,14 @@ def ann_ivf_over(emb: DataFrame, k: int = IVF_K,
     # values bit-identical (oracle-pinned at sf0.01 + sf0.1).
     # database side: every vector lives in exactly its nearest cell
     cells = base.select("vec_id", "embedding",
-                        _argmax_cell("qe", cents).alias("c_id"))
+                        _argmax_cell("qe", cents, "qn").alias("c_id"))
     # probe side: each query visits its `nprobe` nearest cells — the
     # full rank sort runs only on the filtered probe rows
     pf = (probe_filter if probe_filter is not None
           else (F.col("vec_id") % 100 == 0))
     top_cells = F.expr(
-        f"transform(slice(sort_array({_cell_score_sql('qe', cents)}, "
+        "transform(slice(sort_array("
+        f"{_cell_score_sql('qe', cents, 'qn')}, "
         f"false), 1, {int(nprobe)}), s -> s.c)")
     probes = (base.filter(pf)
               .select(F.col("vec_id").alias("q_id"),
@@ -1839,7 +1858,7 @@ def semdedup_over(emb: DataFrame, k: int = IVF_K,
             F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000))
             < int(train_frac * 1_000_000))
     cents = _ivf_train_cells(train if train is not None else base,
-                             k=k, iters=iters)
+                             k=k, iters=iters, qn_sql="qn")
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
@@ -3526,8 +3545,9 @@ def ann_lsh_topk_over(emb: DataFrame, tables: int = 2,
     # pre-NORMALIZED here (r5): cosine then costs ONE dot product per
     # candidate pair instead of dot + two norms — the per-pair HOF work
     # that dominates once multiprobe widens the candidate set. The dot
-    # ARRAYS are stored (r6) so code bits and directed-probe ranks are
-    # cheap element_at ops downstream instead of re-running the HOFs.
+    # arrays feed the bucket/probe derivation in-plan and are NOT
+    # stored (r7 — the single checkpoint materializes nemb + the
+    # finished bucket arrays; see the note at the checkpoint below).
     nrm_in = F.sqrt(F.aggregate(
         F.transform(F.col("embedding"),
                     lambda x: x.cast("double") * x.cast("double")),
